@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (for pre-commit use only).
+
+Reads the Verify.scala output dir (per-query parquet + oracle_sql.json),
+runs each oracle in DuckDB against the same sf parquet tables, and
+compares: schema (column names), row count, and a value hash computed on
+columns sorted by name and rows sorted by all columns.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def cell(v):
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    return str(v)
+
+
+def table_hash(df: pd.DataFrame) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = n_noracle = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*")):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            n_bad += 1
+            continue
+        got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        if name not in oracles:
+            print(f"----  {name}: rows-only check, rows={len(got)}")
+            n_noracle += 1
+            continue
+        want = canon(con.execute(oracles[name]).fetchdf())
+        ok_cols = list(got.columns) == list(want.columns)
+        ok_rows = len(got) == len(want)
+        ok_hash = ok_cols and ok_rows and table_hash(got) == table_hash(want)
+        if ok_hash:
+            print(f"PASS  {name}: rows={len(got)}")
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"FAIL  {name}: cols got={list(got.columns)} want={list(want.columns)} "
+                  f"rows got={len(got)} want={len(want)}")
+            if ok_cols and ok_rows:
+                diff = (got.astype(str) != want.astype(str)).any(axis=1)
+                print("  first diffs:\n", got[diff].head(3), "\n  vs\n", want[diff].head(3))
+    print(f"\n{n_ok} pass, {n_bad} fail, {n_noracle} rows-only")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

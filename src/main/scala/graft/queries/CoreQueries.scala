@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftEngine
+import Ops._
+
+/** Core relational surface (SURVEY.md §2 #1–#17), re-expressed as
+  * declarative DataFrame plans so Catalyst supplies what the reference
+  * implements by hand: predicate/projection pushdown (optimizer.rs),
+  * hash vs sort-merge join selection (physical_plan.rs), codegen
+  * (gpu-kernel-compiler). Each query has a DuckDB oracle twin in
+  * [[CoreQueries.oracles]] with identical column names and ordering.
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // #1 projection + row-level arithmetic (parser.rs:159-230)
+    "q01_scan_project" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.select(
+        l("l_orderkey"), l("l_linenumber"),
+        (l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"),
+        (l("l_extendedprice") * (lit(1.0) - l("l_discount")) * (lit(1.0) + l("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // #2 compound filter: comparisons + AND/OR + date range (executor.rs:443-476)
+    "q02_filter" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(
+        l("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          l("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          l("l_discount") > 0.03 &&
+          (l("l_returnflag") === "R" || l("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // #3 grouped aggregation, TPC-H Q1 shape (executor.rs:297-355)
+    "q03_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(l("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // #4 COUNT(DISTINCT) (python_usage.py:231-232)
+    "q04_count_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("uniq_cust"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // #5 inner equi-join; small filtered dim side is broadcast
+    // (reference radix hash join, executor.rs:220-265 — Spark's
+    // BroadcastHashJoin avoids that shuffle entirely)
+    "q05_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // #6 LEFT outer join (logical_plan.rs:52-58)
+    "q06a_join_left" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier")
+      n.join(su, su("s_nationkey") === n("n_nationkey"), "left")
+        .groupBy("n_name").agg(count(col("s_suppkey")).as("supp_cnt"))
+        .orderBy("n_name")
+    }),
+
+    // #6 RIGHT outer join — same semantics written from the other side
+    "q06b_join_right" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier")
+      su.join(n, su("s_nationkey") === n("n_nationkey"), "right")
+        .groupBy("n_name").agg(count(col("s_suppkey")).as("supp_cnt"))
+        .orderBy("n_name")
+    }),
+
+    // #6 FULL outer join over derived aggregates (+ #13 derived tables)
+    "q06c_join_full" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt_f")).withColumnRenamed("o_custkey", "fk")
+      val p = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt_o")).withColumnRenamed("o_custkey", "ok")
+      f.join(p, f("fk") === p("ok"), "full")
+        .select(
+          coalesce(f("fk"), p("ok")).as("custkey"),
+          coalesce(f("cnt_f"), lit(0L)).as("cnt_f"),
+          coalesce(p("cnt_o"), lit(0L)).as("cnt_o"))
+        .orderBy("custkey")
+    }),
+
+    // #7 multi-way join + agg, TPC-H Q5 shape (python_usage.py:226-245).
+    // region/nation broadcast; fact-fact joins shuffle on keys with AQE.
+    "q07_multijoin" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // #8 sort-merge join strategy (executor.rs:271-291) — forced via hint
+    "q08_join_sortmerge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY").hint("merge")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // #9 ORDER BY DESC + LIMIT → Spark plans a TakeOrderedAndProject
+    // (distributed top-k, no global sort — the scale-safe plan)
+    "q09_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // #10 HAVING (python_usage.py:174,243)
+    "q10_having" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), dsum(col("p_retailprice")).as("sum_price"))
+        .filter(col("cnt") > 7)
+        .orderBy("p_brand")),
+
+    // #11 temporal extraction + grouping (python_usage.py:277-284 date_part)
+    "q11_date_part" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.groupBy(
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("y", "m", "d", "event_type")
+    }),
+
+    // #12 global aggregate, no GROUP BY (rust_usage.rs:162)
+    "q12_global_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        davg(col("l_discount")).as("avg_disc"))
+    }),
+
+    // #13 derived-table subquery + join against its aggregate
+    "q13_subquery" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val avgs = p.groupBy(col("p_brand").as("b"))
+        .agg(davg(col("p_retailprice")).as("avg_price"))
+      p.join(broadcast(avgs), p("p_brand") === avgs("b"))
+        .filter(p("p_retailprice") > avgs("avg_price"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n_above"))
+        .orderBy("p_brand")
+    }),
+
+    // #14 SQL-string API via GraftEngine (lib.rs execute_query)
+    "q14_sql_api" -> ((s, dir) => {
+      val e = new GraftEngine(s)
+      e.loadTable("lineitem", s"$dir/lineitem.parquet")
+      e.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // #17 window functions: partitioned row_number + running exact sum
+    "q17_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_spend"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount > 0.03 AND (l_returnflag = 'R' OR l_quantity < 10)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q04_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uniq_cust, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q05_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""".stripMargin,
+
+    "q06a_join_left" ->
+      """SELECT n_name, COUNT(s_suppkey) AS supp_cnt
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06b_join_right" ->
+      """SELECT n_name, COUNT(s_suppkey) AS supp_cnt
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06c_join_full" ->
+      """WITH f AS (SELECT o_custkey AS fk, COUNT(*) AS cnt_f FROM orders
+        |           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |     p AS (SELECT o_custkey AS ok, COUNT(*) AS cnt_o FROM orders
+        |           WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT COALESCE(fk, ok) AS custkey,
+        |       COALESCE(cnt_f, 0) AS cnt_f, COALESCE(cnt_o, 0) AS cnt_o
+        |FROM f FULL JOIN p ON fk = ok ORDER BY custkey""".stripMargin,
+
+    "q07_multijoin" ->
+      s"""SELECT n_name,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q08_join_sortmerge" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY' ORDER BY o_orderkey""".stripMargin,
+
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q10_having" ->
+      s"""SELECT p_brand, COUNT(*) AS cnt, ${sqlDsum("p_retailprice")} AS sum_price
+         |FROM part GROUP BY p_brand HAVING COUNT(*) > 7 ORDER BY p_brand""".stripMargin,
+
+    "q11_date_part" ->
+      s"""SELECT CAST(date_part('year', ts) AS INTEGER) AS y,
+         |  CAST(date_part('month', ts) AS INTEGER) AS m,
+         |  CAST(date_part('day', ts) AS INTEGER) AS d,
+         |  event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3, 4 ORDER BY y, m, d, event_type""".stripMargin,
+
+    "q12_global_agg" ->
+      s"""SELECT COUNT(*) AS cnt, ${sqlDsum("l_extendedprice")} AS sum_price,
+         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc
+         |FROM lineitem""".stripMargin,
+
+    "q13_subquery" ->
+      s"""SELECT p_brand, COUNT(*) AS n_above
+         |FROM part p JOIN (SELECT p_brand AS b, ${sqlDavg("p_retailprice")} AS avg_price
+         |                  FROM part GROUP BY p_brand) a ON p.p_brand = a.b
+         |WHERE p.p_retailprice > a.avg_price
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q14_sql_api" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q17_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+}

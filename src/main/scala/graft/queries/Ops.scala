@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the driver-checked query suite.
+  *
+  * Cross-engine float determinism: a double SUM's value depends on
+  * accumulation order, which differs between Spark (partitioned) and the
+  * DuckDB oracle. So aggregates over doubles are computed in exact
+  * decimal arithmetic — each input is rounded once to 4 decimals
+  * (identical IEEE-754 → identical decimal in both engines), summed
+  * exactly, then cast back to double. Row-level arithmetic (no
+  * reordering) stays in plain doubles.
+  */
+object Ops {
+  /** Exact, order-independent sum of a double column. SQL twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast("double")
+
+  /** Exact-sum-based average. SQL twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(x)`. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** SQL-side twins, for building oracle strings. */
+  def sqlDsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+  def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT($e))"
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 rejects by default. Read nanos as long (session conf) and
+    * rebuild a microsecond timestamp with integer division — `ts / 1000`
+    * in double would lose precision at nanosecond epoch magnitudes. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+}

@@ -1,0 +1,12 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry aggregating every query family for the driver contract. */
+object Queries {
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.defs
+
+  def oracles: Map[String, String] =
+    CoreQueries.oracles
+}
