@@ -1,7 +1,31 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 import scala.collection.mutable
+
+/** Engine configuration — the Spark-native counterpart of the reference's
+  * `EngineConfig` (/root/reference/gpu-olap-core/src/lib.rs:20-31). Each
+  * reference knob maps onto the Spark conf that plays the same role:
+  *
+  *  - `batch_size`          → `spark.sql.files.maxPartitionBytes` (the unit
+  *                            of parallel work fed to an executor core)
+  *  - `memory_limit`        → executor memory is cluster-submit-time in
+  *                            Spark; locally we bound shuffle parallelism
+  *                            so partitions fit (`shufflePartitions`)
+  *  - `enable_cache`        → [[GraftEngine.cacheTable]] / `CACHE TABLE`
+  *  - broadcast threshold   → `spark.sql.autoBroadcastJoinThreshold`
+  *                            (reference picks build side by row count,
+  *                            executor.rs hash-join build heuristic)
+  */
+final case class GraftConfig(
+    master: String = "local[32]",
+    appName: String = "graft",
+    shufflePartitions: Int = 32,
+    maxPartitionBytes: String = "128m",
+    autoBroadcastThreshold: String = "10m",
+    adaptiveEnabled: Boolean = true,
+    sessionTimeZone: String = "UTC")
 
 /** User-facing analytics engine: the Spark-native counterpart of the
   * reference's `OlapEngine` (/root/reference/gpu-olap-core/src/lib.rs).
@@ -30,6 +54,27 @@ final class GraftEngine(val spark: SparkSession) {
 
   def table(name: String): DataFrame = spark.table(name)
 
+  /** Unregister a table (reference: catalog.rs:111 `drop_table`). */
+  def dropTable(name: String): Boolean = {
+    registered.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  /** Schema of a registered table (reference: catalog.rs:76 `get_schema`). */
+  def schema(name: String): StructType = spark.table(name).schema
+
+  /** Row count of a registered table (reference: catalog.rs:97
+    * `get_row_count`). Distributed count — never a driver collect. */
+  def rowCount(name: String): Long = spark.table(name).count()
+
+  /** Pin a table in executor memory (reference: catalog.rs:50-59 small-
+    * table data cache / lib.rs:30 `enable_cache`). Spark's block-manager
+    * cache is the cluster analogue: partitions cache on the executors
+    * that scan them, deserialized columnar, evicted LRU under pressure. */
+  def cacheTable(name: String): Unit = spark.catalog.cacheTable(name)
+
+  def uncacheTable(name: String): Unit = spark.catalog.uncacheTable(name)
+
   /** SQL entry point (reference: lib.rs `execute_query`). Catalyst
     * performs predicate/projection pushdown, filter merging, constant
     * folding and join planning (reference: optimizer.rs) natively. */
@@ -37,23 +82,31 @@ final class GraftEngine(val spark: SparkSession) {
 }
 
 object GraftEngine {
-  /** Session tuned for the local[32] test harness but with settings that
-    * transfer to a real cluster: AQE on (runtime coalesce + skew-join
-    * handling), modest shuffle parallelism, UTC semantics. */
-  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+  /** Session from a [[GraftConfig]]. Settings transfer to a real cluster:
+    * AQE on (runtime coalesce + skew-join handling), bounded shuffle
+    * parallelism, UTC semantics. `nanosAsLong` is set here once (the
+    * events parquet carries TIMESTAMP(NANOS), which Spark 4 otherwise
+    * rejects) so no query builder needs session-conf side effects. */
+  def session(cfg: GraftConfig): SparkSession = {
     val spark = SparkSession.builder()
-      .master(master)
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+      .master(cfg.master)
+      .appName(cfg.appName)
+      .config("spark.sql.shuffle.partitions", cfg.shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", cfg.maxPartitionBytes)
+      .config("spark.sql.autoBroadcastJoinThreshold", cfg.autoBroadcastThreshold)
+      .config("spark.sql.adaptive.enabled", cfg.adaptiveEnabled.toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", cfg.adaptiveEnabled.toString)
+      .config("spark.sql.adaptive.skewJoin.enabled", cfg.adaptiveEnabled.toString)
+      .config("spark.sql.session.timeZone", cfg.sessionTimeZone)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession =
+    session(GraftConfig(master = master, shufflePartitions = shufflePartitions))
 
   /** Load every table of a test-data scale-factor directory. */
   def forDir(spark: SparkSession, dir: String): GraftEngine = {

@@ -63,13 +63,14 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     }),
 
-    // #5 inner equi-join; small filtered dim side is broadcast
-    // (reference radix hash join, executor.rs:220-265 — Spark's
-    // BroadcastHashJoin avoids that shuffle entirely)
+    // #5 inner equi-join (reference radix hash join, executor.rs:220-265).
+    // No broadcast hint: customer is fact-sized at the 100 TB design
+    // point, so the build-side choice is left to CBO/AQE — broadcast
+    // below autoBroadcastJoinThreshold, shuffled-hash/SMJ above it.
     "q05_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
         .orderBy("o_orderkey")
     }),

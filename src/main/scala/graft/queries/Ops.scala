@@ -31,12 +31,13 @@ object Ops {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects by default. Read nanos as long (session conf) and
-    * rebuild a microsecond timestamp with integer division — `ts / 1000`
-    * in double would lose precision at nanosecond epoch magnitudes. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * Spark 4 rejects by default. `spark.sql.legacy.parquet.nanosAsLong`
+    * is set ONCE at session construction (GraftEngine.session — not here,
+    * so query construction has no conf side effects); the long nanos are
+    * rebuilt into a microsecond timestamp with integer division —
+    * `ts / 1000` in double would lose precision at nanosecond epoch
+    * magnitudes. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
 }
