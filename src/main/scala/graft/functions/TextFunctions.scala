@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text building blocks for the LLM-data-pipeline operators
+  * (SURVEY.md §2 #18–#28). Everything here composes codegen'd built-ins
+  * from `org.apache.spark.sql.functions` — no UDFs — and each builder has
+  * an exact DuckDB SQL twin (the `sql*` methods) so the driver's oracle
+  * compare is bit-deterministic across engines (SURVEY §5).
+  *
+  * The reference engine's content mandate is the north-star capability
+  * set; nothing here ports reference code (the reference is a relational
+  * GPU engine with no text operators — these are the mandated extensions).
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed, trimmed, lower-cased content — the canonical
+    * form shared by fingerprinting (t04) and exact dedup (d01). */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+  def sqlNormText(e: String): String =
+    s"lower(trim(regexp_replace($e, '\\s+', ' ', 'g')))"
+
+  /** 128-bit content fingerprint of the normalized text (t04/d01).
+    * md5 chosen over xxhash because both Spark and DuckDB expose it with
+    * identical hex-string output (SURVEY §5 cross-engine determinism). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+  def sqlFingerprint(e: String): String = s"md5(${sqlNormText(e)})"
+
+  /** Whitespace token count (t03): runs of non-space characters. */
+  def wsTokenCount(c: Column): Column =
+    size(regexp_extract_all(trim(c), lit("\\S+"), lit(0)))
+  def sqlWsTokenCount(e: String): String =
+    s"len(regexp_extract_all(trim($e), '\\S+'))"
+
+  /** BPE-ish subword-boundary token count (t03): letter runs, digit
+    * runs, and single non-alphanumeric marks — the pre-tokenization
+    * split most BPE vocabularies start from. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(BpePattern), lit(0)))
+  def sqlBpeTokenCount(e: String): String =
+    s"len(regexp_extract_all(lower($e), '$BpePattern'))"
+
+  /** Lower-cased whitespace word list — input to stopword scoring and
+    * shingling. Single-space split (the corpus is single-spaced; for
+    * arbitrary text compose with [[normText]]). */
+  def words(c: Column): Column = split(lower(c), " ")
+  def sqlWords(e: String): String = s"string_split(lower($e), ' ')"
+
+  /** Count of words that fall in a fixed stopword set (t01/t02).
+    * Higher-order `filter` keeps this inside codegen; no explode. */
+  def stopwordHits(wordsCol: Column, stop: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isInCollection(stop)))
+  def sqlStopwordHits(wordsExpr: String, stop: Seq[String]): String =
+    s"len(list_filter($wordsExpr, w -> w IN (${stop.map(s => s"'$s'").mkString(",")})))"
+
+  /** Small public stopword sets per language (t01's n-gram/stopword
+    * heuristic). Deliberately tiny: the langid signal is argmax of hit
+    * counts, not coverage. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "uno", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Ratio of non-alphanumeric, non-space characters (t02). */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(lower(c), "[a-z0-9\\s]", "")).cast("double") / length(c)
+  def sqlPunctRatio(e: String): String =
+    s"(CAST(length(regexp_replace(lower($e), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length($e))"
+
+  /** Word `k`-shingles joined with spaces (MinHash/Jaccard input,
+    * d02/d04). `sequence` + `slice` stay inside codegen; documents with
+    * fewer than `k` words yield their full text as one shingle so no
+    * row silently drops out of dedup. */
+  def shingles(wordsCol: Column, k: Int): Column = {
+    val n = size(wordsCol)
+    when(n < k, array(concat_ws(" ", wordsCol)))
+      .otherwise(transform(
+        sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(wordsCol, i, lit(k)))))
+  }
+  def sqlShingles(wordsExpr: String, k: Int): String =
+    s"""CASE WHEN len($wordsExpr) < $k
+       | THEN [array_to_string($wordsExpr, ' ')]
+       | ELSE list_transform(generate_series(1, len($wordsExpr) - ${k - 1}),
+       |        i -> array_to_string($wordsExpr[i:i+${k - 1}], ' '))
+       |END""".stripMargin.replace("\n", " ")
+}

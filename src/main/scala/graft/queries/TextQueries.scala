@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import Ops._
+
+/** Text-analysis operators t01–t04 (SURVEY.md §2 #25–#28) over the
+  * `documents` table. All four are narrow projections over a single
+  * scan — no shuffle at all except t01's final ORDER BY (driver-compare
+  * determinism only; at 100 TB these run as pure map-side pipelines
+  * inside one whole-stage-codegen span per partition).
+  */
+object TextQueries {
+
+  /** Per-language stopword score columns, shared by t01/t02. */
+  private def scoreCols = Stopwords.map { case (lang, set) =>
+    lang -> stopwordHits(words(col("text")), set)
+  }
+  private def sqlScore(lang: String): String =
+    sqlStopwordHits(sqlWords("text"), Stopwords.toMap.apply(lang))
+
+  /** Deterministic argmax with fixed priority order en>de>fr>es>zh —
+    * identical CASE shape in the DuckDB twin so ties break the same. */
+  private val langs = Stopwords.map(_._1)
+
+  val defs: Map[String, Q] = Map(
+    // #25 language-ID: stopword-hit argmax (rows stay put; one scan)
+    "t01_langid" -> ((s, dir) => {
+      val scored = scoreCols.foldLeft(t(s, dir, "documents")) {
+        case (df, (lang, c)) => df.withColumn(s"s_$lang", c)
+      }
+      val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) {
+        case (acc, (lang, i)) =>
+          val rest = langs.drop(i + 1)
+          acc.when(rest.map(r => col(s"s_$lang") >= col(s"s_$r")).reduce(_ && _), lang)
+      }.otherwise(langs.last)
+      scored.select(
+        (col("doc_id") +: langs.map(l => col(s"s_$l"))) :+ pred.as("lang_pred"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // #26 quality scoring: length/punct/stopword ratios + a composite
+    "t02_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nw = wsTokenCount(col("text"))
+      val stopHits = stopwordHits(words(col("text")), Stopwords.toMap.apply("en"))
+      d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        nw.as("n_words"),
+        (length(col("text")).cast("double") / nw).as("avg_word_len"),
+        punctRatio(col("text")).as("punct_ratio"),
+        (stopHits.cast("double") / nw).as("stop_ratio"),
+        (when(nw.between(10, 500), 1.0).otherwise(0.5) *
+          (lit(1.0) - punctRatio(col("text")))).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // #27 token counting: whitespace + BPE-ish pre-tokenization
+    "t03_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // #28 document fingerprinting: md5 of whitespace-normalized content
+    "t04_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        length(col("text")).as("raw_len"))
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "t01_langid" -> {
+      val scores = langs.map(l => s"${sqlScore(l)} AS s_$l").mkString(",\n  ")
+      val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+        val rest = langs.drop(i + 1)
+        s"WHEN ${rest.map(r => s"s_$lang >= s_$r").mkString(" AND ")} THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE $cases ELSE '${langs.last}' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  $scores
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    },
+
+    "t02_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_calc,
+         |  ${sqlWsTokenCount("text")} AS n_words,
+         |  CAST(length(text) AS DOUBLE) / ${sqlWsTokenCount("text")} AS avg_word_len,
+         |  ${sqlPunctRatio("text")} AS punct_ratio,
+         |  CAST(${sqlStopwordHits(sqlWords("text"), Stopwords.toMap.apply("en"))} AS DOUBLE)
+         |    / ${sqlWsTokenCount("text")} AS stop_ratio,
+         |  (CASE WHEN ${sqlWsTokenCount("text")} BETWEEN 10 AND 500 THEN 1.0 ELSE 0.5 END
+         |    * (1.0 - ${sqlPunctRatio("text")})) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t03_tokens" ->
+      s"""SELECT doc_id,
+         |  ${sqlWsTokenCount("text")} AS ws_tokens,
+         |  ${sqlBpeTokenCount("text")} AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp,
+         |  length(text) AS raw_len
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.TextQueries
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextQueriesSpec extends SparkSpec {
+
+  test("every text query runs and returns one row per document") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    TextQueries.defs.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
+    }
+  }
+
+  test("t01 lang_pred is always one of the scored languages") {
+    val langs = TextFunctions.Stopwords.map(_._1).toSet
+    val preds = TextQueries.defs("t01_langid")(spark, sfDir)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(langs))
+  }
+
+  test("t03 BPE-ish token count >= whitespace token count") {
+    val bad = TextQueries.defs("t03_tokens")(spark, sfDir)
+      .filter(col("bpe_tokens") < col("ws_tokens")).count()
+    assert(bad == 0)
+  }
+
+  test("t04 fingerprint is whitespace-normalization invariant") {
+    import spark.implicits._
+    val df = Seq("hello   world", " hello world ", "HELLO\tWORLD").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).distinct().count()
+    assert(fps == 1)
+  }
+
+  test("text ops are single-scan map-side pipelines (no shuffle before the final sort)") {
+    // t03/t04 plans must contain no Exchange other than the oracle-
+    // determinism orderBy at the top — at 100 TB they run map-side only
+    Seq("t03_tokens", "t04_fingerprint").foreach { name =>
+      val plan = TextQueries.defs(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString()
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$name has $exchanges exchanges:\n$plan")
+    }
+  }
+}
