@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators d01–d05 (SURVEY.md §2 #18–#22) over the
+  * `documents` / `embeddings` tables.
+  *
+  * Scale design (SURVEY §4): every near-dup family is a BUCKET join —
+  * candidates meet only inside an LSH bucket, so the only shuffles are
+  * equi-joins/groupBys on bucket keys, never an O(n²) cross product.
+  * Bucket skew is bounded by band width (minhash), signature prefix
+  * (simhash) or hyperplane count (cosine), and AQE's skew-join splitting
+  * covers hot buckets. No collect(), no UDFs — all codegen'd built-ins.
+  *
+  * Determinism (SURVEY §5): every hash is md5 (identical hex output in
+  * Spark and DuckDB), and minhash takes the LEXICOGRAPHIC min of md5
+  * strings — a uniform permutation for LSH purposes but reproducible in
+  * any engine — so even the hash-family operators get full value-hash
+  * oracles rather than rows-only checks.
+  */
+object Dedup {
+
+  // ---- d01: exact dedup ---------------------------------------------------
+
+  /** Exact dedup: group by normalized-content fingerprint; keep the
+    * smallest id per group. One shuffle on the 128-bit fingerprint. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  // ---- d02: MinHash + LSH -------------------------------------------------
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  val ShingleK = 3
+
+  /** doc_id + distinct word-shingle array (shared by d02/d03/d04). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(shingles(words(col("text")), ShingleK)).as("shingles"))
+
+  /** MinHash signature: NumHashes independent permutations simulated by
+    * seed-prefixed md5; each signature entry is the lexicographic min
+    * over the document's shingles. */
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map(h =>
+      array_min(transform(sh, x => md5(concat(lit(s"$h|"), x))))): _*)
+
+  /** One row per (doc, band): band hash = md5 of the band's signature
+    * rows. Near-dups (est. Jaccard ≳ (1/Bands)^(1/RowsPerBand) ≈ 0.7)
+    * collide in ≥1 band with high probability. */
+  def bandedBuckets(docs: DataFrame): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
+      .select(col("doc_id"), explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((0 until RowsPerBand).map(j =>
+            element_at(col("sig"), b * RowsPerBand + j + 1)): _*)).as("bh"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.bh"))
+
+  /** Candidate near-dup pairs: equi-join on (band, bucket) — the
+    * scale-safe path; pair generation happens within buckets only. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val b = bandedBuckets(docs)
+    b.as("l").join(b.as("r"),
+        col("l.band_idx") === col("r.band_idx") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- d03: SimHash -------------------------------------------------------
+
+  val SimhashPrefixBits = 16
+  val MaxHamming = 8
+
+  /** Hex chars whose bit `3-pos` (within the digit) is set — used to read
+    * one simhash bit out of an md5 hex string with pure string ops, the
+    * same construct in both engines. */
+  val HexBitSet: Map[Int, Seq[String]] = Map(
+    3 -> "89abcdef".map(_.toString), 2 -> "4567cdef".map(_.toString),
+    1 -> "2367abef".map(_.toString), 0 -> "13579bdf".map(_.toString))
+
+  /** Bit `i` (0-based, MSB first) of the 64-bit simhash: majority vote of
+    * feature-hash bits, features = distinct shingles. */
+  private def simhashBit(hashes: Column, i: Int): Column = {
+    val digit = i / 4 + 1
+    val chars = HexBitSet(3 - i % 4)
+    val vote = aggregate(hashes, lit(0), (acc, h) =>
+      acc + when(substring(h, digit, 1).isInCollection(chars), 1).otherwise(-1))
+    when(vote > 0, "1").otherwise("0")
+  }
+
+  /** 64-char '0'/'1' simhash string per document. A string (not a long)
+    * so the bit math is portable to the DuckDB oracle verbatim. */
+  def simhashed(docs: DataFrame): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"), transform(col("shingles"), x => md5(x)).as("hashes"))
+      .select(col("doc_id"),
+        concat((0 until 64).map(i => simhashBit(col("hashes"), i)): _*).as("simhash"))
+
+  /** Hamming distance between two simhash strings: 64 positional
+    * comparisons (exact integer arithmetic, engine-portable). */
+  def hamming(a: Column, b: Column): Column =
+    (0 until 64).map(i =>
+      when(substring(a, i + 1, 1) === substring(b, i + 1, 1), 0).otherwise(1))
+      .reduce(_ + _)
+
+  /** Near-dup pairs: bucket on the first [[SimhashPrefixBits]] bits
+    * (near-identical docs agree on the prefix w.h.p.), then exact
+    * hamming ≤ [[MaxHamming]] within bucket. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val s = simhashed(docs)
+    s.as("l").join(s.as("r"),
+        substring(col("l.simhash"), 1, SimhashPrefixBits) ===
+          substring(col("r.simhash"), 1, SimhashPrefixBits) &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+  }
+
+  // ---- d04: n-gram Jaccard ------------------------------------------------
+
+  val JaccardThreshold = 0.5
+
+  /** Exact shingle-Jaccard, evaluated ONLY on the MinHash-LSH candidate
+    * pairs (never all-pairs): candidates ⋈ shingle sets, then
+    * |A∩B| / |A|+|B|-|A∩B| in exact integer counts. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
+    val inter = size(filter(col("sa"), x => array_contains(col("sb"), x)))
+    minhashCandidates(docs)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  // ---- d05: embedding-cosine ----------------------------------------------
+
+  val SignBits = 4
+  val CosineThreshold = 0.35
+
+  /** Sign-LSH bucket: concatenated sign bits of the first [[SignBits]]
+    * dimensions (random-hyperplane LSH with basis-vector planes — the
+    * planes are fixed so the bucketing is engine-reproducible). */
+  def signBucket(v: Column): Column =
+    concat((1 to SignBits).map(i =>
+      when(element_at(v, i) > 0, "1").otherwise("0")): _*)
+
+  /** Exact cosine, both vectors already cast to double; sequential fold
+    * keeps the accumulation order identical across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Near-dup embedding pairs: equi-join on sign bucket, cosine ≥
+    * [[CosineThreshold]] (rounded to 6 dp BEFORE thresholding so the
+    * oracle compare can never straddle the boundary). */
+  def embeddingCosinePairs(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", signBucket(col("v")))
+    e.as("l").join(e.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+import Ops._
+
+/** Driver-contract wiring for the dedup family d01–d05 (SURVEY.md §2
+  * #18–#22). The DuckDB oracle strings are GENERATED from the same
+  * constants (hash count, band layout, bit tables, thresholds) as the
+  * Spark operators in [[graft.operators.Dedup]], so the two sides cannot
+  * drift apart — even the hash-family operators get full value oracles.
+  */
+object DedupQueries {
+
+  import Dedup._
+
+  // ---- shared DuckDB SQL fragments (mirror TextFunctions/Dedup exactly) --
+
+  private val sqlWordsE = sqlWords("text")
+  private val sqlShingleSet =
+    s"list_distinct(${sqlShingles("words", ShingleK)})"
+
+  private def sqlSigEntries: String = (0 until NumHashes).map(h =>
+    s"list_aggregate(list_transform(shingles, x -> md5('$h|' || x)), 'min')")
+    .mkString(", ")
+
+  private val sqlShingleCte =
+    s"""sh AS (SELECT doc_id, $sqlShingleSet AS shingles
+       |  FROM (SELECT doc_id, $sqlWordsE AS words FROM documents))""".stripMargin
+
+  private val sqlBandArms = (0 until Bands).map { b =>
+    val cat = (0 until RowsPerBand).map(j => s"sig[${b * RowsPerBand + j + 1}]").mkString(" || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cat) AS bh FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val sqlCandidateCtes =
+    s"""WITH $sqlShingleCte,
+       |sig AS (SELECT doc_id, [$sqlSigEntries] AS sig FROM sh),
+       |bands AS ($sqlBandArms),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |  ON l.band_idx = r.band_idx AND l.bh = r.bh AND l.doc_id < r.doc_id)""".stripMargin
+
+  private def sqlSimhashBit(i: Int): String = {
+    val digit = i / 4 + 1
+    val chars = HexBitSet(3 - i % 4).map(c => s"'$c'").mkString(",")
+    s"""CASE WHEN list_sum(list_transform(hashes, h ->
+       | CASE WHEN substring(h,$digit,1) IN ($chars) THEN 1 ELSE -1 END)) > 0
+       | THEN '1' ELSE '0' END""".stripMargin.replace("\n", "")
+  }
+
+  private val sqlHamming = (1 to 64).map(i =>
+    s"(CASE WHEN substring(l.simhash,$i,1) = substring(r.simhash,$i,1) THEN 0 ELSE 1 END)")
+    .mkString(" + ")
+
+  private val sqlSignBucket = (1 to SignBits).map(i =>
+    s"CASE WHEN v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private val sqlDot =
+    "list_sum(list_transform(generate_series(1, 64), i -> l.v[i] * r.v[i]))"
+  private def sqlNorm(side: String) =
+    s"sqrt(list_sum(list_transform($side.v, x -> x * x)))"
+
+  // ---- queries ------------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    // #18 exact dedup: fingerprint groupBy, one shuffle on the hash
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("fp")),
+
+    // #19 MinHash-LSH near-dup candidates (band-bucket join, no O(n²))
+    "d02_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    // #20 SimHash near-dup pairs (prefix bucket + hamming ≤ k)
+    "d03_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    // #21 exact n-gram Jaccard on the LSH candidate pairs only
+    "d04_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    // #22 embedding-cosine near-dup via sign-LSH buckets
+    "d05_dedup_embcos" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")))
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      s"""SELECT ${sqlFingerprint("text")} AS fp, COUNT(*) AS n_copies,
+         |  MIN(doc_id) AS keep_id
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "d02_dedup_minhash" ->
+      s"""$sqlCandidateCtes
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d03_dedup_simhash" -> {
+      val sim = (0 until 64).map(sqlSimhashBit).mkString(" || ")
+      s"""WITH $sqlShingleCte,
+         |hs AS (SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hashes FROM sh),
+         |sim AS (SELECT doc_id, $sim AS simhash FROM hs)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $sqlHamming AS hamming
+         |FROM sim l JOIN sim r
+         |  ON substring(l.simhash, 1, $SimhashPrefixBits) = substring(r.simhash, 1, $SimhashPrefixBits)
+         | AND l.doc_id < r.doc_id
+         |WHERE $sqlHamming <= $MaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "d04_dedup_jaccard" ->
+      s"""$sqlCandidateCtes
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(l.shingles, x -> list_contains(r.shingles, x))) AS DOUBLE)
+         |    / (len(l.shingles) + len(r.shingles)
+         |       - len(list_filter(l.shingles, x -> list_contains(r.shingles, x)))) AS jaccard
+         |FROM cand JOIN sh l ON cand.doc_a = l.doc_id
+         |          JOIN sh r ON cand.doc_b = r.doc_id
+         |WHERE CAST(len(list_filter(l.shingles, x -> list_contains(r.shingles, x))) AS DOUBLE)
+         |    / (len(l.shingles) + len(r.shingles)
+         |       - len(list_filter(l.shingles, x -> list_contains(r.shingles, x)))) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d05_dedup_embcos" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, $sqlSignBucket AS bucket FROM e)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |    round($sqlDot / (${sqlNorm("l")} * ${sqlNorm("r")}), 6) AS cos
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |WHERE cos >= $CosineThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}

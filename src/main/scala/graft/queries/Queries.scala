@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Registry aggregating every query family for the driver contract. */
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ TextQueries.defs
+    CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs
 
   def oracles: Map[String, String] =
-    CoreQueries.oracles ++ TextQueries.oracles
+    CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Dedup
+import graft.queries.DedupQueries
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("every dedup query runs on sf0.001") {
+    DedupQueries.defs.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("d01 exact dedup groups cover all documents") {
+    val res = Dedup.exact(docs).agg(sum("n_copies")).head().getLong(0)
+    assert(res == docs.count())
+  }
+
+  test("d02 minhash candidate pairs are ordered and distinct") {
+    val pairs = Dedup.minhashCandidates(docs).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length == pairs.length)
+  }
+
+  test("d03 simhash is 64 bits and near-dup pairs respect the hamming cap") {
+    val s = Dedup.simhashed(docs)
+    assert(s.filter(length(col("simhash")) =!= 64).count() == 0)
+    val over = Dedup.simhashPairs(docs).filter(col("hamming") > Dedup.MaxHamming).count()
+    assert(over == 0)
+  }
+
+  test("d04 jaccard values are valid ratios above the threshold") {
+    val bad = Dedup.jaccardPairs(docs)
+      .filter(col("jaccard") < Dedup.JaccardThreshold || col("jaccard") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("d05 cosine pairs are within [-1, 1] and above threshold") {
+    val bad = Dedup.embeddingCosinePairs(embs)
+      .filter(col("cos") < Dedup.CosineThreshold || col("cos") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("no dedup plan contains a cartesian product — all pair generation is bucketed") {
+    Seq(
+      Dedup.minhashCandidates(docs),
+      Dedup.simhashPairs(docs),
+      Dedup.jaccardPairs(docs),
+      Dedup.embeddingCosinePairs(embs)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct"), s"cartesian product found:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join found:\n$plan")
+    }
+  }
+
+  test("minhash-identical duplicate text collides in every band") {
+    import spark.implicits._
+    val two = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(two).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // and exact dedup folds them into one group
+    assert(Dedup.exact(two).count() == 1)
+  }
+}
