@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search s01–s02 (SURVEY.md §2 #23–#24) over the
+  * `embeddings` table.
+  *
+  * Scale design (SURVEY §4:96-97):
+  *  - The QUERY side (a handful of vectors) is broadcast; the corpus
+  *    side streams map-side — no shuffle of the corpus for scoring.
+  *  - Top-k per query is `row_number() <= k` over a window, which Spark
+  *    plans with a `WindowGroupLimit`: every map task keeps only its
+  *    local top-k per query BEFORE the shuffle, so the exchange carries
+  *    O(k × tasks) rows, not the corpus. This is the declarative
+  *    equivalent of the per-partition-heap + global-merge pattern.
+  *  - s02 replaces the brute-force cross product with a sign-LSH bucket
+  *    equi-join (the ANN scale path): only same-bucket candidates are
+  *    scored, trading recall for a corpus-partitionable join key.
+  *
+  * Cosine is rounded to 6 dp before ranking so ordering (and the DuckDB
+  * oracle compare) is engine-deterministic; ties break on vec_id.
+  */
+object Similarity {
+
+  val K = 10
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def scored(candidates: DataFrame): DataFrame =
+    candidates.select(
+      col("query_id"), col("vec_id"),
+      round(Dedup.cosine(col("qv"), col("v")), 6).as("cos"))
+
+  private val topk = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    row_number().over(w)
+  }
+
+  /** s01: exact brute-force top-k. Query side broadcast (k vectors);
+    * the corpus is scanned once, scored map-side, reduced by the
+    * window-group-limited top-k. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K): DataFrame = {
+    val joined = prepared(embeddings)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+    scored(joined)
+      .withColumn("rank", topk)
+      .filter(col("rank") <= k)
+  }
+
+  /** s02: approximate top-k — candidates restricted to the query's
+    * sign-LSH bucket ([[Dedup.signBucket]]), making the candidate join
+    * an equi-join on the bucket key (partitionable at 100 TB; recall
+    * traded for never touching out-of-bucket corpus rows). */
+  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K): DataFrame = {
+    val corpus = prepared(embeddings)
+      .withColumn("bucket", Dedup.signBucket(col("v")))
+    val q = broadcast(queries.withColumn("qbucket", Dedup.signBucket(col("qv"))))
+    val joined = corpus
+      .join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+    scored(joined)
+      .withColumn("rank", topk)
+      .filter(col("rank") <= k)
+  }
+
+  /** The driver-contract query set: the first `n` vectors by id act as
+    * queries against the full corpus. */
+  def defaultQueries(embeddings: DataFrame, n: Int = 5): DataFrame =
+    prepared(embeddings)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+}

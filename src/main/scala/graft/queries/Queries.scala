@@ -5,8 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Registry aggregating every query family for the driver contract. */
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs
+    CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs
 
   def oracles: Map[String, String] =
-    CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles
+    CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles
 }

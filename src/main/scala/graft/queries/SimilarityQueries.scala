@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity}
+import Ops._
+
+/** Driver-contract wiring for similarity search s01–s02 (SURVEY.md §2
+  * #23–#24). As with dedup, the DuckDB oracles are generated from the
+  * same constants as the Spark operators (query count, k, sign-bucket
+  * width, 6-dp rounding) so both engines rank identically.
+  */
+object SimilarityQueries {
+
+  private val NQueries = 5
+
+  private val sqlDot =
+    "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c.v[i]))"
+  private val sqlQNorm = "sqrt(list_sum(list_transform(q.qv, x -> x * x)))"
+  private val sqlCNorm = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
+
+  private def sqlSignBucket(v: String): String =
+    (1 to Dedup.SignBits).map(i =>
+      s"CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private val sqlPrep =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // #23 exact brute-force cosine top-k (query side broadcast)
+    "s01_topk_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, Similarity.defaultQueries(e, NQueries))
+        .orderBy("query_id", "rank")
+    }),
+
+    // #24 LSH-bucketed approximate top-k (equi-join on sign bucket)
+    "s02_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annTopK(e, Similarity.defaultQueries(e, NQueries))
+        .orderBy("query_id", "rank")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s01_topk_cosine" ->
+      s"""WITH $sqlPrep,
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    round($sqlDot / ($sqlQNorm * $sqlCNorm), 6) AS cos
+         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cos, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= ${Similarity.K}
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "s02_ann_lsh" ->
+      s"""WITH $sqlPrep,
+         |qb AS (SELECT query_id, qv, ${sqlSignBucket("qv")} AS qbucket FROM q),
+         |cb AS (SELECT vec_id, v, ${sqlSignBucket("v")} AS bucket FROM e),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    round($sqlDot / ($sqlQNorm * $sqlCNorm), 6) AS cos
+         |  FROM cb c JOIN qb q ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cos, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= ${Similarity.K}
+         |ORDER BY query_id, rank""".stripMargin)
+}

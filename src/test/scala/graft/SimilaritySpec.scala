@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def queries = Similarity.defaultQueries(embs)
+
+  test("s01 returns exactly k ranked neighbors per query, ranks contiguous") {
+    val rows = Similarity.bruteForceTopK(embs, queries).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.values.foreach { rs =>
+      assert(rs.length == Similarity.K)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to Similarity.K))
+    }
+    // no self-matches, scores within [-1, 1], descending by rank
+    assert(rows.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("query_id")))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s02 ANN results are a subset of the same-bucket corpus, never worse than rank order") {
+    val rows = Similarity.annTopK(embs, queries).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("top-k plans use WindowGroupLimit (per-task partial top-k before the shuffle)") {
+    Seq(
+      Similarity.bruteForceTopK(embs, queries),
+      Similarity.annTopK(embs, queries)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("WindowGroupLimit"),
+        s"no WindowGroupLimit — full corpus would shuffle into the rank window:\n$plan")
+    }
+  }
+
+  test("s01 broadcasts the query side; s02 has no cartesian product at all") {
+    val p1 = Similarity.bruteForceTopK(embs, queries)
+      .queryExecution.executedPlan.toString()
+    assert(p1.contains("Broadcast"), s"query side not broadcast:\n$p1")
+    val p2 = Similarity.annTopK(embs, queries)
+      .queryExecution.executedPlan.toString()
+    assert(!p2.contains("CartesianProduct"), s"cartesian in ANN path:\n$p2")
+  }
+}
