@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One opaque media payload: the multimodal storage model (SURVEY.md §2
+  * #29) — binary content + typed metadata, the schema a 100 TB corpus of
+  * images/audio/video would use (content inline here; at scale the same
+  * schema with content in object storage + offsets works identically). */
+final case class MediaRecord(doc_id: Long, modality: String, content: Array[Byte])
+
+/** Decoded per-item features. Width/height/frames come from the decoder
+  * (stubbed below); bytes + digest are computed on the raw payload. */
+final case class MediaFeatures(
+    doc_id: Long, modality: String, n_bytes: Long, content_md5: String,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal pipeline plumbing m01 (SURVEY.md §2 #29).
+  *
+  * Spark-side design: media decode is imperative library code that can't
+  * be a Catalyst expression, so it runs via `Dataset.mapPartitions` — the
+  * Scala/Encoder analogue of a batched pandas UDF: one decoder instance
+  * per PARTITION (init amortized across its rows), streaming iterator in,
+  * streaming iterator out, no collect, partitioning preserved (zero
+  * shuffle in the whole pipeline). Everything around the decode —
+  * schema, binary column, partition layout, feature output — is real
+  * and oracle-checked.
+  *
+  * THE DECODE ITSELF IS A STUB: this container has no image/audio
+  * codecs, so [[StubMediaDecoder]] derives deterministic pseudo-features
+  * from the payload bytes (clearly marked; swap in a real codec without
+  * touching any Spark plumbing).
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a real media codec (e.g. an ImageIO /
+    * JCodec wrapper). Opened once per partition, closed at the end —
+    * the lifecycle a real native decoder needs. */
+  final class StubMediaDecoder {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
+    /** STUB: a real implementation decodes `content` and reads the true
+      * dimensions / frame count. Here: fixed arithmetic on the byte
+      * length, chosen to be reproducible in plain SQL for the oracle. */
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.content.length.toLong
+      val hex = md.digest(r.content).map("%02x".format(_)).mkString
+      md.reset()
+      MediaFeatures(
+        doc_id = r.doc_id, modality = r.modality, n_bytes = n,
+        content_md5 = hex,
+        width = (n % 640).toInt + 1,
+        height = (n % 480).toInt + 1,
+        n_frames = if (r.modality == "video") (n % 30).toInt + 1 else 1)
+    }
+
+    def close(): Unit = ()
+  }
+
+  /** Attach the multimodal schema to the documents table: payload as an
+    * opaque binary column + modality metadata (deterministic assignment
+    * by id so the oracle can reproduce it). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      col("text").cast("binary").as("content"))
+
+  /** Partition-batched decode/feature-extract: one decoder per
+    * partition, rows streamed through it. The only stage outside
+    * whole-stage codegen — by design, it wraps library code. */
+  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val decoder = new StubMediaDecoder
+      val out = it.map(decoder.decode)
+      new Iterator[MediaFeatures] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) decoder.close(); h }
+        def next(): MediaFeatures = out.next()
+      }
+    }
+  }
+}

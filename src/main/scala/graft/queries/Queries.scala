@@ -6,9 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs
 
   def oracles: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles
 }

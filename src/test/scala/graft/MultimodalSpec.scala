@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Multimodal, MediaRecord}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = Multimodal.asMediaTable(
+    spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  test("media table carries an opaque binary payload with typed metadata") {
+    val schema = media.schema
+    assert(schema("content").dataType.typeName == "binary")
+    assert(schema("modality").dataType.typeName == "string")
+    val mods = media.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video"))
+  }
+
+  test("feature extraction preserves row count and computes per-payload features") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == media.count())
+    val bad = feats.filter(col("n_bytes") <= 0 || length(col("content_md5")) =!= 32 ||
+      col("width") < 1 || col("width") > 640 || col("n_frames") < 1).count()
+    assert(bad == 0)
+    // audio/image payloads always report a single frame
+    assert(feats.filter(col("modality") =!= "video" && col("n_frames") =!= 1).count() == 0)
+  }
+
+  test("decode pipeline is shuffle-free (mapPartitions preserves partitioning)") {
+    implicit val s = spark
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"decode pipeline shuffles:\n$plan")
+    assert(plan.contains("MapPartitions"), s"expected MapPartitions stage:\n$plan")
+  }
+
+  test("decoder stub is deterministic across invocations") {
+    val r = MediaRecord(7L, "video", "payload-bytes".getBytes("UTF-8"))
+    val d1 = new Multimodal.StubMediaDecoder().decode(r)
+    val d2 = new Multimodal.StubMediaDecoder().decode(r)
+    assert(d1 == d2)
+    assert(d1.content_md5.matches("[0-9a-f]{32}"))
+  }
+}
