@@ -6,9 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs
 
   def oracles: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles
 }

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.streaming.EventStreams
+import Ops._
+
+/** Batch-equivalent entries for the streaming operators q30/q31
+  * (SURVEY.md §2 #30–#31). The SAME transform code runs on readStream
+  * sources (see graft.streaming + StreamingSpec); these run it on the
+  * batch `events` table so the driver's DuckDB oracle can check the
+  * values — batch result ≡ streaming result once all windows close.
+  */
+object StreamingQueries {
+
+  val defs: Map[String, Q] = Map(
+    // #30 watermark + event-time windowed aggregation (batch equivalent)
+    "q30_stream_batch" -> ((s, dir) =>
+      EventStreams.windowedCounts(events(s, dir))
+        .orderBy("w_start", "event_type")),
+
+    // #31 gap-based sessionization (batch-equivalent window/lag form)
+    "q31_session_batch" -> ((s, dir) =>
+      EventStreams.sessionizeBatch(events(s, dir))
+        .orderBy("user_id", "session_seq")))
+
+  val oracles: Map[String, String] = Map(
+    "q30_stream_batch" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start,
+         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+         |  event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+
+    "q31_session_batch" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${EventStreams.SessionGapMs * 1000L}
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |indexed AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER
+         |    (PARTITION BY user_id ORDER BY ts
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, session_seq, MIN(ts) AS session_start,
+         |  MAX(ts) AS session_end, COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM indexed GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.queries.Ops.dsum
+
+/** One event of the `events` table (streaming-typed view). */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** A closed user session (SURVEY.md §2 #31). */
+final case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, total_value: Double)
+
+/** Open-session state carried between triggers. */
+final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+/** Structured Streaming operators q30/q31 (SURVEY.md §2 #30–#31).
+  *
+  * Both transforms are written against plain `DataFrame`/`Dataset`, so
+  * the SAME code runs on a `readStream` source (incremental, stateful)
+  * and on the batch `events` table (the driver's oracle-checkable
+  * entry). That equivalence — batch run ≡ streaming run after all
+  * watermarks close — is asserted by the MemoryStream specs.
+  *
+  * Scale: windowed aggregation shuffles once on (window, event_type)
+  * with partial aggregation per trigger; sessionization shuffles once on
+  * user_id and keeps O(1) state per user (a single open session), so
+  * state store size is bounded by active users, not event volume.
+  */
+object EventStreams {
+
+  val SessionGapMs: Long = 30 * 60 * 1000
+
+  /** q30: event-time windowed aggregation. On a stream the watermark
+    * bounds state (late events beyond 10 min are dropped and windows
+    * older than the watermark are finalized + evicted). On a batch
+    * frame `withWatermark` is a no-op and this is a plain grouped agg —
+    * same results once every window has closed. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** q31: gap-based sessionization via flatMapGroupsWithState — one
+    * state entry per user holding only the open session; closed
+    * sessions are emitted as soon as the gap that closes them is seen.
+    * Events inside one trigger are sorted in memory (bounded by the
+    * trigger's per-user batch, not history). */
+  def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end > SessionGapMs =>
+                closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Batch-equivalent sessionization (the oracle-checkable q31 shape):
+    * a gap flag per event (lag window), a running sum of gap flags as
+    * the session index, then one grouped aggregation per session.
+    * Exactly two shuffles, both on user_id — the 100 TB plan. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+  }
+}

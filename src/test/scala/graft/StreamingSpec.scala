@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.{Event, EventStreams, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsAt(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("q30 streaming windowed agg with watermark matches the batch equivalent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, tsAt(10, 5), 1, "click", 1.0),
+      Event(2, tsAt(10, 40), 1, "click", 2.0),
+      Event(3, tsAt(10, 55), 2, "view", 3.0),
+      Event(4, tsAt(11, 10), 2, "click", 4.0),
+      Event(5, tsAt(12, 30), 1, "view", 5.0))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("q30_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events.take(3)); q.processAllAvailable()
+      stream.addData(events.drop(3)); q.processAllAvailable()
+      // advance the watermark far enough to close and emit every window
+      stream.addData(Event(99, tsAt(23, 0), 9, "tick", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("q30_out")
+      .filter(col("event_type") =!= "tick")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getAs[Long]("cnt")).sum == events.length)
+  }
+
+  test("q31 streaming sessionization emits the sessions the batch form computes") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // user 1: two sessions (40-min gap); user 2: one session — then a
+    // much-later event per user forces both open sessions closed
+    val history = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(55), 1, "a", 3.0),
+      Event(4, ts(5), 2, "b", 4.0), Event(5, ts(20), 2, "b", 5.0))
+    val closers = Seq(
+      Event(6, Timestamp.valueOf("2024-01-02 09:00:00"), 1, "a", 0.0),
+      Event(7, Timestamp.valueOf("2024-01-02 09:00:00"), 2, "b", 0.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("q31_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(history); q.processAllAvailable()
+      stream.addData(closers); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("q31_out").as[Session].collect()
+      .sortBy(s => (s.user_id, s.session_start.getTime))
+
+    val batch = EventStreams.sessionizeBatch(history.toDF())
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      .map(t => Session(t._1, t._2, t._3, t._4, t._5))
+    assert(streamed.toSeq == batch.toSeq)
+    // the 40-min gap split user 1 into two sessions
+    assert(streamed.count(_.user_id == 1) == 2)
+  }
+
+  test("sessionization state is one open session per user (bounded state)") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("q31_state")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 50 events, same user, all within the gap: no session may close
+      stream.addData((1 to 50).map(i => Event(i, ts(i % 60), 7, "x", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("q31_state").count() == 0)
+    } finally q.stop()
+  }
+}
