@@ -42,19 +42,30 @@ object Dedup {
     docs.select(col("doc_id"),
       array_distinct(shingles(words(col("text")), ShingleK)).as("shingles"))
 
-  /** MinHash signature: NumHashes independent permutations simulated by
-    * seed-prefixed md5; each signature entry is the lexicographic min
-    * over the document's shingles. */
-  def minhashSignature(sh: Column): Column =
-    array((0 until NumHashes).map(h =>
-      array_min(transform(sh, x => md5(concat(lit(s"$h|"), x))))): _*)
+  /** MinHash signatures: NumHashes independent permutations simulated by
+    * seed-prefixed md5; each signature entry is the lexicographic MIN
+    * over the document's shingles.
+    *
+    * Computed as explode → groupBy(doc) with NumHashes `min` aggregates
+    * rather than per-row higher-order folds: HOF lambdas are
+    * CodegenFallback (interpreted) in Spark, while a hash aggregate over
+    * exploded shingles stays in whole-stage codegen with map-side
+    * partial mins — the shuffle carries one 16-entry row per doc. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = shingleSets(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until NumHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("sh")))).as(s"mh$h"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(h => col(s"mh$h")): _*).as("sig"))
+  }
 
   /** One row per (doc, band): band hash = md5 of the band's signature
     * rows. Near-dups (est. Jaccard ≳ (1/Bands)^(1/RowsPerBand) ≈ 0.7)
     * collide in ≥1 band with high probability. */
   def bandedBuckets(docs: DataFrame): DataFrame =
-    shingleSets(docs)
-      .select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
+    minhashSignatures(docs)
       .select(col("doc_id"), explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band_idx"),
           md5(concat((0 until RowsPerBand).map(j =>
@@ -85,23 +96,29 @@ object Dedup {
     3 -> "89abcdef".map(_.toString), 2 -> "4567cdef".map(_.toString),
     1 -> "2367abef".map(_.toString), 0 -> "13579bdf".map(_.toString))
 
-  /** Bit `i` (0-based, MSB first) of the 64-bit simhash: majority vote of
-    * feature-hash bits, features = distinct shingles. */
-  private def simhashBit(hashes: Column, i: Int): Column = {
-    val digit = i / 4 + 1
-    val chars = HexBitSet(3 - i % 4)
-    val vote = aggregate(hashes, lit(0), (acc, h) =>
-      acc + when(substring(h, digit, 1).isInCollection(chars), 1).otherwise(-1))
-    when(vote > 0, "1").otherwise("0")
-  }
-
-  /** 64-char '0'/'1' simhash string per document. A string (not a long)
-    * so the bit math is portable to the DuckDB oracle verbatim. */
-  def simhashed(docs: DataFrame): DataFrame =
-    shingleSets(docs)
-      .select(col("doc_id"), transform(col("shingles"), x => md5(x)).as("hashes"))
+  /** 64-char '0'/'1' simhash string per document: majority vote of
+    * feature-hash bits, features = distinct shingles. A string (not a
+    * long) so the bit math is portable to the DuckDB oracle verbatim.
+    *
+    * Computed as explode → groupBy(doc) with 64 codegen'd `sum(CASE)`
+    * vote aggregates (one pass over the feature hashes, map-side
+    * partials) instead of 64 interpreted higher-order folds per row —
+    * the same vote values, ~10× less CPU at scale. */
+  def simhashed(docs: DataFrame): DataFrame = {
+    val hashed = shingleSets(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val votes = (0 until 64).map { i =>
+      val digit = i / 4 + 1
+      val chars = HexBitSet(3 - i % 4)
+      sum(when(substring(col("h"), digit, 1).isInCollection(chars), 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        concat((0 until 64).map(i => simhashBit(col("hashes"), i)): _*).as("simhash"))
+        concat((0 until 64).map(i =>
+          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
 
   /** Hamming distance between two simhash strings: 64 positional
     * comparisons (exact integer arithmetic, engine-portable). */
@@ -154,25 +171,33 @@ object Dedup {
     concat((1 to SignBits).map(i =>
       when(element_at(v, i) > 0, "1").otherwise("0")): _*)
 
-  /** Exact cosine, both vectors already cast to double; sequential fold
-    * keeps the accumulation order identical across engines. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product: the accumulation order is the array
+    * order in both Spark and DuckDB, so the doubles are bit-identical
+    * across engines. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Exact cosine. Prefer [[dot]] with PRE-COMPUTED norms in pair
+    * expressions — recomputing both norms per candidate pair triples
+    * the arithmetic (see [[embeddingCosinePairs]]). */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Near-dup embedding pairs: equi-join on sign bucket, cosine ≥
     * [[CosineThreshold]] (rounded to 6 dp BEFORE thresholding so the
-    * oracle compare can never straddle the boundary). */
+    * oracle compare can never straddle the boundary). Norms are
+    * computed once per VECTOR before the join, not once per pair —
+    * sqrt is deterministic, so the per-pair value (and the oracle) is
+    * unchanged while the pair-side arithmetic drops 3×. */
   def embeddingCosinePairs(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("bucket", signBucket(col("v")))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.as("l").join(e.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+        round(dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")), 6).as("cos"))
       .filter(col("cos") >= CosineThreshold)
   }
 }

@@ -26,14 +26,18 @@ object Similarity {
 
   val K = 10
 
-  private def prepared(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+  /** Corpus with per-vector norm computed ONCE (not per candidate
+    * pair); sqrt is deterministic so scores are unchanged. */
+  private def prepared(embeddings: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    embeddings.select(col("vec_id"), v.as("v"),
+      sqrt(Dedup.dot(v, v)).as("norm"))
+  }
 
   private def scored(candidates: DataFrame): DataFrame =
     candidates.select(
       col("query_id"), col("vec_id"),
-      round(Dedup.cosine(col("qv"), col("v")), 6).as("cos"))
+      round(Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos"))
 
   private val topk = {
     val w = Window.partitionBy("query_id")
@@ -73,5 +77,6 @@ object Similarity {
   def defaultQueries(embeddings: DataFrame, n: Int = 5): DataFrame =
     prepared(embeddings)
       .filter(col("vec_id") < n)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
 }
