@@ -89,6 +89,7 @@ object GraftEngine {
     * rejects) so no query builder needs session-conf side effects. */
   def session(cfg: GraftConfig): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(cfg.master)
       .appName(cfg.appName)
       .config("spark.sql.shuffle.partitions", cfg.shufflePartitions.toString)

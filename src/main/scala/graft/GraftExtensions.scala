@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Catalyst extension hook for the engine's native expressions
+  * (SURVEY §3 strategy (c): extend Spark through
+  * `SparkSessionExtensions`, never around it). Installed by
+  * [[GraftEngine.session]]; usable standalone via
+  * `spark.sql.extensions=graft.GraftExtensions` on any cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(graft.functions.DotProduct.registration)
+  }
+}

@@ -171,11 +171,12 @@ object Dedup {
     concat((1 to SignBits).map(i =>
       when(element_at(v, i) > 0, "1").otherwise("0")): _*)
 
-  /** Sequential-fold dot product: the accumulation order is the array
-    * order in both Spark and DuckDB, so the doubles are bit-identical
-    * across engines. */
+  /** Sequential-fold dot product (native codegen'd expression; see
+    * [[graft.functions.DotProduct]]): the accumulation order is the
+    * array order in both Spark and DuckDB, so the doubles are
+    * bit-identical across engines. */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotp(x, y)
 
   /** Exact cosine. Prefer [[dot]] with PRE-COMPUTED norms in pair
     * expressions — recomputing both norms per candidate pair triples
