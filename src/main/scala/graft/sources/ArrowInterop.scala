@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, File, FileInputStream, FileOutputStream}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC interop (SURVEY §2 #15 source/sink surface; reference:
+  * arrow-interop/src/record_batch_convert.rs and
+  * examples/python_usage.py `to_pandas()`).
+  *
+  * The reference exchanges Arrow RecordBatches zero-copy with
+  * pandas/polars. The Spark-native analogue is the Arrow IPC *stream
+  * format* at the library boundary:
+  *
+  *  - [[writeIpc]]: each PARTITION writes one `.arrow` stream file —
+  *    a distributed sink (no driver collect), batched columnar
+  *    conversion; any pyarrow/polars/pandas client reads the directory
+  *    directly (`pyarrow.ipc.open_stream`).
+  *  - [[readIpc]]: the matching distributed source — one task per file.
+  *  - [[collectIpcBytes]]: single in-memory IPC stream on the driver —
+  *    the deliberate driver-side materialization `to_pandas()` is; use
+  *    only for final, small results.
+  *
+  * Supported column types: the reference engine's surface (int32/64,
+  * float64, utf8, binary, bool, timestamp-µs-UTC).
+  */
+object ArrowInterop {
+
+  val DefaultBatchSize = 4096
+
+  private def arrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType => new ArrowType.Utf8
+      case BinaryType => new ArrowType.Binary
+      case BooleanType => new ArrowType.Bool
+      case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
+      case other => throw new IllegalArgumentException(
+        s"ArrowInterop: unsupported type $other for column ${f.name}")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), java.util.Collections.emptyList())
+  }
+
+  private def toArrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(schema.fields.map(arrowField).toSeq.asJava)
+
+  private def tsMicros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+
+  private def setCell(v: FieldVector, idx: Int, value: Any): Unit = value match {
+    case null => v.asInstanceOf[BaseValueVector with FieldVector] match {
+      case fv: BaseFixedWidthVector => fv.setNull(idx)
+      case vv: BaseVariableWidthVector => vv.setNull(idx)
+      case other => throw new IllegalStateException(s"cannot set null on $other")
+    }
+    case x: Long if v.isInstanceOf[TimeStampMicroTZVector] =>
+      v.asInstanceOf[TimeStampMicroTZVector].setSafe(idx, x)
+    case x: Long => v.asInstanceOf[BigIntVector].setSafe(idx, x)
+    case x: Int => v.asInstanceOf[IntVector].setSafe(idx, x)
+    case x: Double => v.asInstanceOf[Float8Vector].setSafe(idx, x)
+    case x: String =>
+      v.asInstanceOf[VarCharVector].setSafe(idx, x.getBytes("UTF-8"))
+    case x: Array[Byte] => v.asInstanceOf[VarBinaryVector].setSafe(idx, x)
+    case x: Boolean => v.asInstanceOf[BitVector].setSafe(idx, if (x) 1 else 0)
+    case x: Timestamp =>
+      v.asInstanceOf[TimeStampMicroTZVector].setSafe(idx, tsMicros(x))
+    case x: java.time.LocalDateTime =>
+      v.asInstanceOf[TimeStampMicroVector].setSafe(idx,
+        x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + x.getNano / 1000L)
+    case other => throw new IllegalArgumentException(s"unsupported value $other")
+  }
+
+  private def getCell(v: FieldVector, idx: Int): Any =
+    if (v.isNull(idx)) null
+    else v match {
+      case x: BigIntVector => x.get(idx)
+      case x: IntVector => x.get(idx)
+      case x: Float8Vector => x.get(idx)
+      case x: VarCharVector => new String(x.get(idx), "UTF-8")
+      case x: VarBinaryVector => x.get(idx)
+      case x: BitVector => x.get(idx) == 1
+      case x: TimeStampMicroTZVector =>
+        val micros = x.get(idx)
+        val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case x: TimeStampMicroVector =>
+        val micros = x.get(idx)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(s"unsupported vector $other")
+    }
+
+  /** Write rows of one partition as a single Arrow IPC stream. */
+  private def writePartition(schema: StructType, rows: Iterator[Row],
+      out: java.io.OutputStream, batchSize: Int): Long = {
+    val allocator = new RootAllocator()
+    val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
+    val writer = new ArrowStreamWriter(root, null, out)
+    var total = 0L
+    try {
+      writer.start()
+      while (rows.hasNext) {
+        root.allocateNew()
+        var n = 0
+        while (n < batchSize && rows.hasNext) {
+          val row = rows.next()
+          var c = 0
+          while (c < schema.length) {
+            setCell(root.getVector(c), n, row.get(c))
+            c += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+        total += n
+      }
+      writer.end()
+      total
+    } finally {
+      writer.close(); root.close(); allocator.close()
+    }
+  }
+
+  /** Distributed sink: one `.arrow` IPC stream file per partition under
+    * `dir` (a shared filesystem on a real cluster). No driver collect. */
+  def writeIpc(df: DataFrame, dir: String, batchSize: Int = DefaultBatchSize): Unit = {
+    val schema = df.schema
+    new File(dir).mkdirs()
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val f = new File(dir, f"part-$pid%05d.arrow")
+      val out = new FileOutputStream(f)
+      try writePartition(schema, rows, out, batchSize)
+      finally out.close()
+      ()
+    }
+  }
+
+  /** Distributed source: one task per `.arrow` file written by
+    * [[writeIpc]] (or any IPC-stream producer with a supported schema). */
+  def readIpc(spark: SparkSession, dir: String): DataFrame = {
+    val files = new File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no .arrow files under $dir")
+    val schema = {
+      val allocator = new RootAllocator()
+      val in = new FileInputStream(files.head)
+      val reader = new ArrowStreamReader(in, allocator)
+      try sparkSchema(reader.getVectorSchemaRoot.getSchema)
+      finally { reader.close(); in.close(); allocator.close() }
+    }
+    val rdd = spark.sparkContext
+      .parallelize(files.toSeq, files.length)
+      .flatMap { path =>
+        val allocator = new RootAllocator()
+        val in = new FileInputStream(path)
+        val reader = new ArrowStreamReader(in, allocator)
+        val root = reader.getVectorSchemaRoot
+        val out = Seq.newBuilder[Row]
+        try {
+          while (reader.loadNextBatch()) {
+            var i = 0
+            while (i < root.getRowCount) {
+              out += Row.fromSeq((0 until root.getSchema.getFields.size())
+                .map(c => getCell(root.getVector(c), i)))
+              i += 1
+            }
+          }
+        } finally { reader.close(); in.close(); allocator.close() }
+        out.result()
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def sparkSchema(s: ArrowSchema): StructType =
+    StructType(s.getFields.asScala.map { f =>
+      val dt = f.getType match {
+        case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+        case t: ArrowType.Int => IntegerType
+        case _: ArrowType.FloatingPoint => DoubleType
+        case _: ArrowType.Utf8 => StringType
+        case _: ArrowType.Binary => BinaryType
+        case _: ArrowType.Bool => BooleanType
+        case t: ArrowType.Timestamp =>
+          if (t.getTimezone == null) TimestampNTZType else TimestampType
+        case other => throw new IllegalArgumentException(s"unsupported arrow type $other")
+      }
+      StructField(f.getName, dt, f.isNullable)
+    }.toSeq)
+
+  /** Driver-side materialization as one IPC stream — the `to_pandas()`
+    * analogue. Bounded by driver memory; meant for FINAL small results
+    * (the reference's python bridge has the same contract). */
+  def collectIpcBytes(df: DataFrame, batchSize: Int = DefaultBatchSize): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writePartition(df.schema, df.toLocalIterator().asScala, out, batchSize)
+    out.toByteArray
+  }
+}
