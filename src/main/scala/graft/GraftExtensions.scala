@@ -10,5 +10,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.DotProduct.registration)
+    ext.injectFunction(graft.functions.ShingleExplode.registration)
   }
 }

@@ -37,10 +37,19 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / Bands
   val ShingleK = 3
 
-  /** doc_id + distinct word-shingle array (shared by d02/d03/d04). */
+  /** doc_id + distinct word-shingle array (d04's set-intersection input). */
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(shingles(words(col("text")), ShingleK)).as("shingles"))
+
+  /** doc_id + one row per DISTINCT shingle — the exploded form the
+    * minhash/simhash aggregations consume, produced by the native
+    * [[graft.functions.ShingleExplode]] generator in a single pass
+    * (no per-row shingle-array materialization, no interpreted HOFs). */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleExplode.shingleExplode(
+        words(col("text")), ShingleK).as("sh"))
 
   /** MinHash signatures: NumHashes independent permutations simulated by
     * seed-prefixed md5; each signature entry is the lexicographic MIN
@@ -52,11 +61,9 @@ object Dedup {
     * exploded shingles stays in whole-stage codegen with map-side
     * partial mins — the shuffle carries one 16-entry row per doc. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = shingleSets(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val mins = (0 until NumHashes).map(h =>
       min(md5(concat(lit(s"$h|"), col("sh")))).as(s"mh$h"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    shingleRows(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(h => col(s"mh$h")): _*).as("sig"))
   }
@@ -105,8 +112,7 @@ object Dedup {
     * partials) instead of 64 interpreted higher-order folds per row —
     * the same vote values, ~10× less CPU at scale. */
   def simhashed(docs: DataFrame): DataFrame = {
-    val hashed = shingleSets(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hashed = shingleRows(docs)
       .select(col("doc_id"), md5(col("sh")).as("h"))
     val votes = (0 until 64).map { i =>
       val digit = i / 4 + 1
