@@ -11,5 +11,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.DotProduct.registration)
     ext.injectFunction(graft.functions.ShingleExplode.registration)
+    ext.injectFunction(graft.functions.SimhashAgg.registration)
   }
 }

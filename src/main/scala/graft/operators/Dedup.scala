@@ -107,24 +107,16 @@ object Dedup {
     * feature-hash bits, features = distinct shingles. A string (not a
     * long) so the bit math is portable to the DuckDB oracle verbatim.
     *
-    * Computed as explode → groupBy(doc) with 64 codegen'd `sum(CASE)`
-    * vote aggregates (one pass over the feature hashes, map-side
-    * partials) instead of 64 interpreted higher-order folds per row —
-    * the same vote values, ~10× less CPU at scale. */
-  def simhashed(docs: DataFrame): DataFrame = {
-    val hashed = shingleRows(docs)
+    * Computed by the one-pass native aggregate
+    * [[graft.functions.SimhashAgg]]: the 16 hex digits of each feature
+    * hash are parsed once and update all 64 vote counters, with map-side
+    * partial buffers merging element-wise — the same votes as 64
+    * separate `sum(CASE)` aggregates at a fraction of the string work. */
+  def simhashed(docs: DataFrame): DataFrame =
+    shingleRows(docs)
       .select(col("doc_id"), md5(col("sh")).as("h"))
-    val votes = (0 until 64).map { i =>
-      val digit = i / 4 + 1
-      val chars = HexBitSet(3 - i % 4)
-      sum(when(substring(col("h"), digit, 1).isInCollection(chars), 1).otherwise(-1))
-        .as(s"v$i")
-    }
-    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        concat((0 until 64).map(i =>
-          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SimhashAgg.simhashAgg(col("h")).as("simhash"))
 
   /** Hamming distance between two simhash strings: 64 positional
     * comparisons (exact integer arithmetic, engine-portable). */
