@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import Ops._
+
+/** Composed end-to-end pipeline: the training-data-prep flow the
+  * operator families exist for, as ONE declarative plan —
+  *
+  *   quality gate → exact dedup (keep lowest id per fingerprint) →
+  *   per-language corpus/token budget.
+  *
+  * Scale shape: the quality gate and fingerprinting are map-side; dedup
+  * is one shuffle on the 128-bit fingerprint (window-min, no join-back);
+  * the final rollup is a partial-aggregated groupBy on language. Three
+  * stages total for the whole prep flow, each on a key with bounded
+  * cardinality skew.
+  */
+object PipelineQueries {
+
+  val defs: Map[String, Q] = Map(
+    "p01_training_prep" -> ((s, dir) => {
+      val enriched = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("n_words", wsTokenCount(col("text")))
+        .withColumn("punct_ratio", punctRatio(col("text")))
+        .withColumn("fp", fingerprint(col("text")))
+        .filter(col("n_words") >= 10 && col("punct_ratio") <= 0.3)
+      val deduped = enriched
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keep_id"))
+      deduped.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(bpeTokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "p01_training_prep" ->
+      s"""WITH enriched AS (
+         |  SELECT doc_id, lang, text,
+         |    ${sqlWsTokenCount("text")} AS n_words,
+         |    ${sqlPunctRatio("text")} AS punct_ratio,
+         |    ${sqlFingerprint("text")} AS fp
+         |  FROM documents),
+         |gated AS (SELECT * FROM enriched WHERE n_words >= 10 AND punct_ratio <= 0.3),
+         |deduped AS (
+         |  SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+         |                 FROM gated)
+         |  WHERE doc_id = keep_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+         |  CAST(SUM(${sqlBpeTokenCount("text")}) AS BIGINT) AS total_tokens
+         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
+      PipelineQueries.defs
 
   def oracles: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles ++
+      PipelineQueries.oracles
 }
