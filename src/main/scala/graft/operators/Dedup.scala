@@ -159,14 +159,21 @@ object Dedup {
 
   // ---- d05: embedding-cosine ----------------------------------------------
 
+  /** Default sign-LSH width for the TEST corpus (500–2k vectors): 2^4
+    * buckets keeps enough candidate pairs to exercise the operator. At
+    * 100 TB this MUST be widened — within-bucket pairing is O(n²/2^bits),
+    * so bucket population (n/2^bits) has to stay bounded as n grows:
+    * pick bits ≈ log2(n / target_bucket_size), e.g. 20–28 bits for
+    * billions of vectors. The join key is the bucket string either way;
+    * the plan shape does not change. */
   val SignBits = 4
   val CosineThreshold = 0.35
 
-  /** Sign-LSH bucket: concatenated sign bits of the first [[SignBits]]
+  /** Sign-LSH bucket: concatenated sign bits of the first `bits`
     * dimensions (random-hyperplane LSH with basis-vector planes — the
     * planes are fixed so the bucketing is engine-reproducible). */
-  def signBucket(v: Column): Column =
-    concat((1 to SignBits).map(i =>
+  def signBucket(v: Column, bits: Int = SignBits): Column =
+    concat((1 to bits).map(i =>
       when(element_at(v, i) > 0, "1").otherwise("0")): _*)
 
   /** Sequential-fold dot product (native codegen'd expression; see
@@ -188,15 +195,17 @@ object Dedup {
     * computed once per VECTOR before the join, not once per pair —
     * sqrt is deterministic, so the per-pair value (and the oracle) is
     * unchanged while the pair-side arithmetic drops 3×. */
-  def embeddingCosinePairs(embeddings: DataFrame): DataFrame = {
+  def embeddingCosinePairs(embeddings: DataFrame,
+      signBits: Int = SignBits,
+      threshold: Double = CosineThreshold): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("bucket", signBucket(col("v")))
+      .withColumn("bucket", signBucket(col("v"), signBits))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.as("l").join(e.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         round(dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")), 6).as("cos"))
-      .filter(col("cos") >= CosineThreshold)
+      .filter(col("cos") >= threshold)
   }
 }

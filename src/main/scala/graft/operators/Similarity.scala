@@ -61,10 +61,11 @@ object Similarity {
     * sign-LSH bucket ([[Dedup.signBucket]]), making the candidate join
     * an equi-join on the bucket key (partitionable at 100 TB; recall
     * traded for never touching out-of-bucket corpus rows). */
-  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K): DataFrame = {
+  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K,
+      signBits: Int = Dedup.SignBits): DataFrame = {
     val corpus = prepared(embeddings)
-      .withColumn("bucket", Dedup.signBucket(col("v")))
-    val q = broadcast(queries.withColumn("qbucket", Dedup.signBucket(col("qv"))))
+      .withColumn("bucket", Dedup.signBucket(col("v"), signBits))
+    val q = broadcast(queries.withColumn("qbucket", Dedup.signBucket(col("qv"), signBits)))
     val joined = corpus
       .join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
     scored(joined)

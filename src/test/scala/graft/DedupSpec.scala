@@ -67,4 +67,12 @@ class DedupSpec extends SparkSpec {
     // and exact dedup folds them into one group
     assert(Dedup.exact(two).count() == 1)
   }
+
+  test("wider sign-LSH buckets (scale setting) yield a subset of the default pairs") {
+    val narrow = Dedup.embeddingCosinePairs(embs, signBits = 4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.embeddingCosinePairs(embs, signBits = 8)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(narrow))
+  }
 }
