@@ -49,10 +49,12 @@ object TextFunctions {
   def words(c: Column): Column = split(lower(c), " ")
   def sqlWords(e: String): String = s"string_split(lower($e), ' ')"
 
-  /** Count of words that fall in a fixed stopword set (t01/t02).
-    * Higher-order `filter` keeps this inside codegen; no explode. */
+  /** Count of words that fall in a fixed stopword set (t01/t02) — the
+    * native codegen'd expression ([[StopwordHits]]: shared HashSet +
+    * primitive loop; the composed `size(filter(...))` form pays an
+    * interpreted lambda and a linear IN scan per word). */
   def stopwordHits(wordsCol: Column, stop: Seq[String]): Column =
-    size(filter(wordsCol, w => w.isInCollection(stop)))
+    StopwordHits.stopwordHits(wordsCol, stop)
   def sqlStopwordHits(wordsExpr: String, stop: Seq[String]): String =
     s"len(list_filter($wordsExpr, w -> w IN (${stop.map(s => s"'$s'").mkString(",")})))"
 
