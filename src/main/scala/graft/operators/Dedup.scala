@@ -55,18 +55,14 @@ object Dedup {
     * seed-prefixed md5; each signature entry is the lexicographic MIN
     * over the document's shingles.
     *
-    * Computed as explode → groupBy(doc) with NumHashes `min` aggregates
-    * rather than per-row higher-order folds: HOF lambdas are
-    * CodegenFallback (interpreted) in Spark, while a hash aggregate over
-    * exploded shingles stays in whole-stage codegen with map-side
-    * partial mins — the shuffle carries one 16-entry row per doc. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(h =>
-      min(md5(concat(lit(s"$h|"), col("sh")))).as(s"mh$h"))
-    shingleRows(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(h => col(s"mh$h")): _*).as("sig"))
-  }
+    * Computed by the one-pass native aggregate
+    * [[graft.functions.MinhashAgg]] over the exploded shingle rows: one
+    * reused digest per task, raw 16-byte running minima, hex strings
+    * only at group eval. Map-side partial mins still apply — the
+    * shuffle carries NumHashes × 16 bytes per doc. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleRows(docs).groupBy("doc_id")
+      .agg(graft.functions.MinhashAgg.minhashAgg(col("sh"), NumHashes).as("sig"))
 
   /** One row per (doc, band): band hash = md5 of the band's signature
     * rows. Near-dups (est. Jaccard ≳ (1/Bands)^(1/RowsPerBand) ≈ 0.7)
