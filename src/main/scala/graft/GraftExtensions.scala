@@ -14,5 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.SimhashAgg.registration)
     ext.injectFunction(graft.functions.StopwordHits.registration)
     ext.injectFunction(graft.functions.MinhashAgg.registration)
+    ext.injectFunction(graft.functions.ShingleSet.registration)
   }
 }

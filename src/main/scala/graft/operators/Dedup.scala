@@ -37,10 +37,12 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / Bands
   val ShingleK = 3
 
-  /** doc_id + distinct word-shingle array (d04's set-intersection input). */
+  /** doc_id + distinct word-shingle array (d04's set-intersection
+    * input), via the one-pass native [[graft.functions.ShingleSet]]. */
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      array_distinct(shingles(words(col("text")), ShingleK)).as("shingles"))
+      graft.functions.ShingleSet.shingleSet(
+        words(col("text")), ShingleK).as("shingles"))
 
   /** doc_id + one row per DISTINCT shingle — the exploded form the
     * minhash/simhash aggregations consume, produced by the native

@@ -17,6 +17,16 @@ class ShingleExplodeSpec extends SparkSpec {
     assert(viaHof.exceptAll(viaGen).count() == 0)
   }
 
+  test("native shingle-set array equals array_distinct of the HOF pipeline, order included") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = TextFunctions.words(col("text"))
+    val mismatch = docs.select(
+      graft.functions.ShingleSet.shingleSet(w, 3).as("native"),
+      array_distinct(TextFunctions.shingles(w, 3)).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch == 0)
+  }
+
   test("documents shorter than k words emit one whole-text shingle") {
     import spark.implicits._
     val df = Seq((1L, "just two")).toDF("doc_id", "text")
