@@ -60,14 +60,37 @@ object Similarity {
   /** s02: approximate top-k — candidates restricted to the query's
     * sign-LSH bucket ([[Dedup.signBucket]]), making the candidate join
     * an equi-join on the bucket key (partitionable at 100 TB; recall
-    * traded for never touching out-of-bucket corpus rows). */
+    * traded for never touching out-of-bucket corpus rows).
+    *
+    * `probes > 1` enables MULTIPROBE: each query also searches the
+    * buckets at Hamming distance 1 from its own (single sign-bit flips,
+    * nearest first), recovering neighbors that fall just across a
+    * hyperplane. The probe buckets explode on the BROADCAST query side
+    * (probes × queries rows — still tiny), so the corpus-side plan is
+    * unchanged: one equi-join on the bucket key. Standard recall/cost
+    * dial: probes ∈ [1, signBits + 1]. */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K,
-      signBits: Int = Dedup.SignBits): DataFrame = {
+      signBits: Int = Dedup.SignBits, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= signBits + 1,
+      s"probes must be in [1, ${signBits + 1}], got $probes")
     val corpus = prepared(embeddings)
       .withColumn("bucket", Dedup.signBucket(col("v"), signBits))
-    val q = broadcast(queries.withColumn("qbucket", Dedup.signBucket(col("qv"), signBits)))
-    val joined = corpus
-      .join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+    val base = queries.withColumn("qbucket", Dedup.signBucket(col("qv"), signBits))
+    val probed =
+      if (probes == 1) base
+      else {
+        // self bucket + (probes-1) single-bit flips
+        val flips = (1 until probes).map { b =>
+          concat(
+            substring(col("qbucket"), 1, b - 1),
+            when(substring(col("qbucket"), b, 1) === "1", "0").otherwise("1"),
+            substring(col("qbucket"), b + 1, signBits - b))
+        }
+        base.withColumn("qbucket",
+          explode(array(col("qbucket") +: flips: _*)))
+      }
+    val joined = corpus.join(broadcast(probed),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
     scored(joined)
       .withColumn("rank", topk)
       .filter(col("rank") <= k)

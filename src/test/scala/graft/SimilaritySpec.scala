@@ -33,6 +33,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiprobe ANN recall is at least single-probe recall, and both are honest subsets") {
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val truth = resultSet(Similarity.bruteForceTopK(embs, queries))
+    val single = resultSet(Similarity.annTopK(embs, queries, probes = 1))
+    val multi = resultSet(Similarity.annTopK(embs, queries, probes = 5))
+    def recall(s: Set[(Long, Long)]) = (s intersect truth).size.toDouble / truth.size
+    assert(recall(multi) >= recall(single),
+      s"multiprobe recall ${recall(multi)} < single-probe ${recall(single)}")
+    // multiprobe widens candidates, so per-query result quality never drops:
+    // every single-probe hit that is also ground truth stays in multiprobe
+    assert((single intersect truth).subsetOf(multi))
+  }
+
   test("top-k plans use WindowGroupLimit (per-task partial top-k before the shuffle)") {
     Seq(
       Similarity.bruteForceTopK(embs, queries),
