@@ -75,6 +75,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_.user_id == 1) == 2)
   }
 
+  test("file source -> windowed agg -> file sink with checkpoint recovers batch results") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val batch1 = Seq(
+      Event(1, tsAt(10, 5), 1, "click", 1.0), Event(2, tsAt(10, 40), 1, "click", 2.0),
+      Event(3, tsAt(10, 55), 2, "view", 3.0))
+    val batch2 = Seq(
+      Event(4, tsAt(11, 10), 2, "click", 4.0),
+      Event(5, tsAt(23, 0), 9, "tick", 0.0)) // advances watermark past hour 11
+
+    batch1.toDF().write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(batch1.toDF().schema).parquet(srcDir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      batch2.toDF().write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // append file sink only contains CLOSED windows (watermark passed);
+    // they must match the batch computation over the same closed range
+    val sunk = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "tick")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batchEq = EventStreams.windowedCounts((batch1 ++ batch2).toDF())
+      .filter(col("event_type") =!= "tick")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(sunk == batchEq)
+    assert(sunk.nonEmpty)
+  }
+
   test("sessionization state is one open session per user (bounded state)") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
