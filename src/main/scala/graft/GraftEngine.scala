@@ -102,6 +102,17 @@ object GraftEngine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate returns any PRE-EXISTING session in this JVM, silently
+    // dropping withExtensions and every .config above — graft's native
+    // functions would then fail to resolve and the nanos parquet conf
+    // would be missing. Fail fast with the fix rather than let queries
+    // die later with "undefined function: graft_dot".
+    require(spark.catalog.functionExists("graft_dot"),
+      "GraftEngine.session got a pre-existing SparkSession built without " +
+        "GraftExtensions. Build that session with " +
+        ".withExtensions(new graft.GraftExtensions) or set " +
+        "spark.sql.extensions=graft.GraftExtensions, or stop it first.")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

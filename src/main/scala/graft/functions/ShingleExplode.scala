@@ -44,11 +44,25 @@ case class ShingleExplode(child: Expression, k: Int)
   override def elementSchema: StructType =
     new StructType().add("shingle", StringType, nullable = false)
 
-  private val space = UTF8String.fromString(" ")
-
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val words = child.eval(input).asInstanceOf[ArrayData]
     if (words == null) return Iterator.empty
+    ShingleExplode.distinctShingles(words, k).asScala.iterator.map(s => InternalRow(s))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleExplode =
+    copy(child = newChild)
+}
+
+object ShingleExplode {
+  private val space = UTF8String.fromString(" ")
+
+  /** Distinct word-`k`-shingles in first-occurrence order — the single
+    * implementation behind both [[ShingleExplode]] (row form) and
+    * [[ShingleSet]] (array form), so the two registered SQL functions
+    * cannot drift apart. */
+  private[functions] def distinctShingles(
+      words: ArrayData, k: Int): java.util.LinkedHashSet[UTF8String] = {
     val n = words.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (n < k) {
@@ -66,14 +80,9 @@ case class ShingleExplode(child: Expression, k: Int)
         i += 1
       }
     }
-    out.asScala.iterator.map(s => InternalRow(s))
+    out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleExplode =
-    copy(child = newChild)
-}
-
-object ShingleExplode {
   /** Registration triple for `SparkSessionExtensions.injectFunction`.
     * SQL shape: `graft_shingles(words, k)` with `k` a literal. */
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

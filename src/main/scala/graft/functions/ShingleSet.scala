@@ -33,28 +33,10 @@ case class ShingleSet(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingle_set"
 
-  private val space = UTF8String.fromString(" ")
-
   override def nullSafeEval(wordsValue: Any): Any = {
     val words = wordsValue.asInstanceOf[ArrayData]
-    val n = words.numElements()
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    if (n < k) {
-      val all = new Array[UTF8String](n)
-      var i = 0
-      while (i < n) { all(i) = words.getUTF8String(i); i += 1 }
-      out.add(UTF8String.concatWs(space, all: _*))
-    } else {
-      val buf = new Array[UTF8String](k)
-      var i = 0
-      while (i <= n - k) {
-        var j = 0
-        while (j < k) { buf(j) = words.getUTF8String(i + j); j += 1 }
-        out.add(UTF8String.concatWs(space, buf: _*))
-        i += 1
-      }
-    }
-    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(
+      ShingleExplode.distinctShingles(words, k).toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =

@@ -57,16 +57,19 @@ case class SimhashAgg(
     val h = child.eval(input).asInstanceOf[UTF8String]
     if (h != null) {
       val bytes = h.getBytes
-      val digits = math.min(bytes.length, 16)
       var d = 0
-      while (d < digits) {
-        val v = hexVal(bytes(d))
+      while (d < 16) {
+        // identical to the composed `substring(h,d,1) IN (bit set)` form:
+        // a missing or non-hex digit is "not in set" → every bit votes -1
+        val v = if (d < bytes.length) hexVal(bytes(d)) else -1
+        val base = d * 4
         if (v >= 0) {
-          val base = d * 4
           buf(base) += (if ((v & 8) != 0) 1 else -1)
           buf(base + 1) += (if ((v & 4) != 0) 1 else -1)
           buf(base + 2) += (if ((v & 2) != 0) 1 else -1)
           buf(base + 3) += (if ((v & 1) != 0) 1 else -1)
+        } else {
+          buf(base) -= 1; buf(base + 1) -= 1; buf(base + 2) -= 1; buf(base + 3) -= 1
         }
         d += 1
       }

@@ -54,11 +54,8 @@ object DedupQueries {
     s"(CASE WHEN substring(l.simhash,$i,1) = substring(r.simhash,$i,1) THEN 0 ELSE 1 END)")
     .mkString(" + ")
 
-  private val sqlSignBucket = (1 to SignBits).map(i =>
-    s"CASE WHEN v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
-
-  private val sqlDot =
-    "list_sum(list_transform(generate_series(1, 64), i -> l.v[i] * r.v[i]))"
+  private val sqlBucket = sqlSignBucket("v", SignBits)
+  private val sqlDot = sqlListDot("l.v", "r.v")
   private def sqlNorm(side: String) =
     s"sqrt(list_sum(list_transform($side.v, x -> x * x)))"
 
@@ -124,7 +121,7 @@ object DedupQueries {
     "d05_dedup_embcos" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |b AS (SELECT vec_id, v, $sqlSignBucket AS bucket FROM e)
+         |b AS (SELECT vec_id, v, $sqlBucket AS bucket FROM e)
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
          |    round($sqlDot / (${sqlNorm("l")} * ${sqlNorm("r")}), 6) AS cos

@@ -30,6 +30,17 @@ object Ops {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** DuckDB twin of [[graft.operators.Dedup.dot]]: sequential fold in
+    * list order, bounds derived from the list itself (no hard-coded
+    * dimension — a corpus with a different embedding width stays
+    * oracle-comparable). */
+  def sqlListDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  /** DuckDB twin of [[graft.operators.Dedup.signBucket]]. */
+  def sqlSignBucket(v: String, bits: Int): String =
+    (1 to bits).map(i => s"CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark 4 rejects by default. `spark.sql.legacy.parquet.nanosAsLong`
     * is set ONCE at session construction (GraftEngine.session — not here,

@@ -12,14 +12,9 @@ object SimilarityQueries {
 
   private val NQueries = 5
 
-  private val sqlDot =
-    "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c.v[i]))"
+  private val sqlDot = Ops.sqlListDot("q.qv", "c.v")
   private val sqlQNorm = "sqrt(list_sum(list_transform(q.qv, x -> x * x)))"
   private val sqlCNorm = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
-
-  private def sqlSignBucket(v: String): String =
-    (1 to Dedup.SignBits).map(i =>
-      s"CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   private val sqlPrep =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -57,8 +52,8 @@ object SimilarityQueries {
 
     "s02_ann_lsh" ->
       s"""WITH $sqlPrep,
-         |qb AS (SELECT query_id, qv, ${sqlSignBucket("qv")} AS qbucket FROM q),
-         |cb AS (SELECT vec_id, v, ${sqlSignBucket("v")} AS bucket FROM e),
+         |qb AS (SELECT query_id, qv, ${Ops.sqlSignBucket("qv", Dedup.SignBits)} AS qbucket FROM q),
+         |cb AS (SELECT vec_id, v, ${Ops.sqlSignBucket("v", Dedup.SignBits)} AS bucket FROM e),
          |scored AS (
          |  SELECT q.query_id, c.vec_id,
          |    round($sqlDot / ($sqlQNorm * $sqlCNorm), 6) AS cos

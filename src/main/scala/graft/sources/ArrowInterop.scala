@@ -137,18 +137,36 @@ object ArrowInterop {
   }
 
   /** Distributed sink: one `.arrow` IPC stream file per partition under
-    * `dir` (a shared filesystem on a real cluster). No driver collect. */
+    * `dir` (a shared filesystem on a real cluster). No driver collect.
+    *
+    * Commit protocol: each task writes to an attempt-unique `.tmp` name
+    * and atomically renames into place only after a complete stream —
+    * task retries and speculative duplicates can never interleave into
+    * one file or leave a truncated visible part. A `_SUCCESS` marker is
+    * written by the driver once every partition committed, so readers
+    * can distinguish a finished directory from a failed job's leftovers. */
   def writeIpc(df: DataFrame, dir: String, batchSize: Int = DefaultBatchSize): Unit = {
     val schema = df.schema
     new File(dir).mkdirs()
     df.foreachPartition { (rows: Iterator[Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val f = new File(dir, f"part-$pid%05d.arrow")
-      val out = new FileOutputStream(f)
-      try writePartition(schema, rows, out, batchSize)
-      finally out.close()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val tmp = new File(dir, f".part-$pid%05d.arrow.attempt-${tc.taskAttemptId()}%d.tmp")
+      val out = new FileOutputStream(tmp)
+      try {
+        writePartition(schema, rows, out, batchSize)
+        out.close()
+        val dest = new File(dir, f"part-$pid%05d.arrow")
+        java.nio.file.Files.move(tmp.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally {
+        out.close()
+        tmp.delete()
+      }
       ()
     }
+    new FileOutputStream(new File(dir, "_SUCCESS")).close()
   }
 
   /** Distributed source: one task per `.arrow` file written by
@@ -167,22 +185,36 @@ object ArrowInterop {
     val rdd = spark.sparkContext
       .parallelize(files.toSeq, files.length)
       .flatMap { path =>
+        // stream batch-by-batch: peak task memory is ONE Arrow batch,
+        // not the whole file inflated into Row objects
         val allocator = new RootAllocator()
         val in = new FileInputStream(path)
         val reader = new ArrowStreamReader(in, allocator)
         val root = reader.getVectorSchemaRoot
-        val out = Seq.newBuilder[Row]
-        try {
-          while (reader.loadNextBatch()) {
-            var i = 0
-            while (i < root.getRowCount) {
-              out += Row.fromSeq((0 until root.getSchema.getFields.size())
-                .map(c => getCell(root.getVector(c), i)))
-              i += 1
-            }
+        val nCols = root.getSchema.getFields.size()
+        new Iterator[Row] {
+          private var rowInBatch = 0
+          private var batchRows = 0
+          private var closed = false
+          private def closeAll(): Unit = if (!closed) {
+            closed = true; reader.close(); in.close(); allocator.close()
           }
-        } finally { reader.close(); in.close(); allocator.close() }
-        out.result()
+          override def hasNext: Boolean = {
+            if (closed) return false
+            while (rowInBatch >= batchRows) {
+              if (!reader.loadNextBatch()) { closeAll(); return false }
+              batchRows = root.getRowCount
+              rowInBatch = 0
+            }
+            true
+          }
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = Row.fromSeq((0 until nCols).map(c => getCell(root.getVector(c), rowInBatch)))
+            rowInBatch += 1
+            r
+          }
+        }
       }
     spark.createDataFrame(rdd, schema)
   }

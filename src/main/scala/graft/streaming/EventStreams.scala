@@ -49,34 +49,55 @@ object EventStreams {
         col("event_type"), col("cnt"), col("sum_value"))
 
   /** q31: gap-based sessionization via flatMapGroupsWithState — one
-    * state entry per user holding only the open session; closed
-    * sessions are emitted as soon as the gap that closes them is seen.
-    * Events inside one trigger are sorted in memory (bounded by the
-    * trigger's per-user batch, not history). */
-  def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[Session] = {
+    * state entry per user holding only the open session. A session
+    * closes two ways: a same-user event beyond the gap (emitted
+    * immediately), or the event-time WATERMARK passing the gap boundary
+    * (EventTimeTimeout fires, the open session is emitted and its state
+    * entry REMOVED). The second path is what bounds the state store to
+    * currently-active users — without it, one-and-done users would pin
+    * state forever and their last session would never be output.
+    * Requires a `withWatermark` upstream (applied here). Events inside
+    * one trigger are sorted in memory (bounded by the trigger's
+    * per-user batch, not history). */
+  def sessionize(events: Dataset[Event], watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end > SessionGapMs =>
-                closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          def close(s: SessionState): Session =
+            Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed session_end + gap: flush and evict
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end > SessionGapMs =>
+                  closed += close(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once the watermark is past its gap
+              state.setTimeoutTimestamp(s.end + SessionGapMs)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

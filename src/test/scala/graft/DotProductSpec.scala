@@ -36,6 +36,15 @@ class DotProductSpec extends SparkSpec {
     assert(df.filter(col("d") <= 0).count() == 0)
   }
 
+  test("graft_dot returns NULL on length mismatch or null elements, like the HOF form") {
+    val mismatch = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d").head()
+    assert(mismatch.isNullAt(0), "length mismatch must be NULL, not a partial dot")
+    val nullElem = spark.sql(
+      "SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS d").head()
+    assert(nullElem.isNullAt(0), "null element must poison the sum")
+  }
+
   test("graft_dot rejects non-double-array arguments") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot('a', 'b')").collect()

@@ -44,15 +44,16 @@ class StreamingSpec extends SparkSpec {
     implicit val s = spark
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    // user 1: two sessions (40-min gap); user 2: one session — then a
-    // much-later event per user forces both open sessions closed
+    // user 1: two sessions (40-min gap); user 2: one session. No
+    // same-user closer events: the open sessions must flush via the
+    // EventTimeTimeout when a DIFFERENT user's events advance the
+    // watermark past the gap boundary.
     val history = Seq(
       Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
       Event(3, ts(55), 1, "a", 3.0),
       Event(4, ts(5), 2, "b", 4.0), Event(5, ts(20), 2, "b", 5.0))
-    val closers = Seq(
-      Event(6, Timestamp.valueOf("2024-01-02 09:00:00"), 1, "a", 0.0),
-      Event(7, Timestamp.valueOf("2024-01-02 09:00:00"), 2, "b", 0.0))
+    val tick1 = Event(6, Timestamp.valueOf("2024-01-02 09:00:00"), 9, "t", 0.0)
+    val tick2 = Event(7, Timestamp.valueOf("2024-01-02 11:00:00"), 9, "t", 0.0)
 
     val stream = MemoryStream[Event]
     val q = EventStreams.sessionize(stream.toDS())
@@ -60,9 +61,11 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append).start()
     try {
       stream.addData(history); q.processAllAvailable()
-      stream.addData(closers); q.processAllAvailable()
+      stream.addData(tick1); q.processAllAvailable() // advances watermark
+      stream.addData(tick2); q.processAllAvailable() // timeouts fire
     } finally q.stop()
     val streamed = spark.table("q31_out").as[Session].collect()
+      .filter(_.user_id != 9)
       .sortBy(s => (s.user_id, s.session_start.getTime))
 
     val batch = EventStreams.sessionizeBatch(history.toDF())
