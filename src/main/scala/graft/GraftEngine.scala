@@ -112,6 +112,15 @@ object GraftEngine {
         "GraftExtensions. Build that session with " +
         ".withExtensions(new graft.GraftExtensions) or set " +
         "spark.sql.extensions=graft.GraftExtensions, or stop it first.")
+    // every cfg knob below is a RUNTIME SQL conf: re-apply on the
+    // returned session so a getOrCreate that reused an earlier graft
+    // session still honors this call's GraftConfig (builder .config
+    // values are dropped on reuse). Only cfg.master is builder-only.
+    spark.conf.set("spark.sql.shuffle.partitions", cfg.shufflePartitions.toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", cfg.maxPartitionBytes)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", cfg.autoBroadcastThreshold)
+    spark.conf.set("spark.sql.adaptive.enabled", cfg.adaptiveEnabled.toString)
+    spark.conf.set("spark.sql.session.timeZone", cfg.sessionTimeZone)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLogLevel("WARN")
     spark

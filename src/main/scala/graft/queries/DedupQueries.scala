@@ -56,8 +56,7 @@ object DedupQueries {
 
   private val sqlBucket = sqlSignBucket("v", SignBits)
   private val sqlDot = sqlListDot("l.v", "r.v")
-  private def sqlNorm(side: String) =
-    s"sqrt(list_sum(list_transform($side.v, x -> x * x)))"
+  private def sqlNorm(side: String) = sqlListNorm(s"$side.v")
 
   // ---- queries ------------------------------------------------------------
 

@@ -37,6 +37,10 @@ object Ops {
   def sqlListDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
 
+  /** DuckDB twin of the per-vector L2 norm used by cosine scoring. */
+  def sqlListNorm(e: String): String =
+    s"sqrt(list_sum(list_transform($e, x -> x * x)))"
+
   /** DuckDB twin of [[graft.operators.Dedup.signBucket]]. */
   def sqlSignBucket(v: String, bits: Int): String =
     (1 to bits).map(i => s"CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")

@@ -13,8 +13,8 @@ object SimilarityQueries {
   private val NQueries = 5
 
   private val sqlDot = Ops.sqlListDot("q.qv", "c.v")
-  private val sqlQNorm = "sqrt(list_sum(list_transform(q.qv, x -> x * x)))"
-  private val sqlCNorm = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
+  private val sqlQNorm = Ops.sqlListNorm("q.qv")
+  private val sqlCNorm = Ops.sqlListNorm("c.v")
 
   private val sqlPrep =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

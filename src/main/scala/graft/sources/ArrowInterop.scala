@@ -147,7 +147,16 @@ object ArrowInterop {
     * can distinguish a finished directory from a failed job's leftovers. */
   def writeIpc(df: DataFrame, dir: String, batchSize: Int = DefaultBatchSize): Unit = {
     val schema = df.schema
-    new File(dir).mkdirs()
+    val d = new File(dir)
+    d.mkdirs()
+    // overwrite semantics: invalidate the directory FIRST (drop the old
+    // _SUCCESS), then clear every stale part/tmp file — a re-write with
+    // fewer partitions must not leave phantom rows from the previous
+    // run, and a failed re-write must not leave the old success marker
+    new File(d, "_SUCCESS").delete()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".arrow") || f.getName.endsWith(".tmp"))
+      .foreach(_.delete())
     df.foreachPartition { (rows: Iterator[Row]) =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
@@ -182,6 +191,7 @@ object ArrowInterop {
       try sparkSchema(reader.getVectorSchemaRoot.getSchema)
       finally { reader.close(); in.close(); allocator.close() }
     }
+    val expectedSchema = schema
     val rdd = spark.sparkContext
       .parallelize(files.toSeq, files.length)
       .flatMap { path =>
@@ -191,14 +201,24 @@ object ArrowInterop {
         val in = new FileInputStream(path)
         val reader = new ArrowStreamReader(in, allocator)
         val root = reader.getVectorSchemaRoot
+        // every file must carry the schema inferred from the first one —
+        // fail with the file name, not a decode error rows later
+        val fileSchema = sparkSchema(root.getSchema)
+        require(fileSchema == expectedSchema,
+          s"$path schema $fileSchema differs from ${files.head}'s $expectedSchema")
         val nCols = root.getSchema.getFields.size()
+        var closed = false
+        def closeAll(): Unit = if (!closed) {
+          closed = true; reader.close(); in.close(); allocator.close()
+        }
+        // a limit()/failure can abandon the iterator mid-file: the task
+        // completion listener releases the fd + off-heap Arrow buffers
+        // that the exhaustion path would otherwise never reach
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         new Iterator[Row] {
           private var rowInBatch = 0
           private var batchRows = 0
-          private var closed = false
-          private def closeAll(): Unit = if (!closed) {
-            closed = true; reader.close(); in.close(); allocator.close()
-          }
           override def hasNext: Boolean = {
             if (closed) return false
             while (rowInBatch >= batchRows) {

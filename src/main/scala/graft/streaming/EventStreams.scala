@@ -58,7 +58,17 @@ object EventStreams {
     * state forever and their last session would never be output.
     * Requires a `withWatermark` upstream (applied here). Events inside
     * one trigger are sorted in memory (bounded by the trigger's
-    * per-user batch, not history). */
+    * per-user batch, not history).
+    *
+    * Disorder tolerance: late events inside the watermark merge into
+    * the open session with both bounds extended (start can move
+    * backwards), matching the batch form. The one residual
+    * approximation of keeping O(1) state: an event arriving more than
+    * the GAP before the open session's start merges rather than opening
+    * the separate earlier session batch would produce — exact
+    * reordering under arbitrary lateness requires buffering the
+    * watermark window per key (O(rate × delay) state), which this
+    * operator deliberately trades away. */
   def sessionize(events: Dataset[Event], watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
@@ -86,7 +96,11 @@ object EventStreams {
                   closed += close(s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                  // a late-but-within-watermark event can precede the
+                  // open session's start — extend BOTH bounds so the
+                  // emitted session matches the batch/oracle computation
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.sum + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

@@ -29,6 +29,15 @@ class ArrowInteropSpec extends SparkSpec {
     assert(files.forall(_.length() > 0))
   }
 
+  test("re-writing a directory with fewer partitions leaves no stale parts") {
+    val dir = Files.createTempDirectory("arrow_rw").toString
+    ArrowInterop.writeIpc(orders.repartition(4), dir)
+    ArrowInterop.writeIpc(orders.limit(50).repartition(2), dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow"))
+    assert(parts.length == 2, s"stale parts survived: ${parts.map(_.getName).toSeq}")
+    assert(ArrowInterop.readIpc(spark, dir).count() == 50)
+  }
+
   test("collectIpcBytes produces a parseable IPC stream (to_pandas analogue)") {
     val bytes = ArrowInterop.collectIpcBytes(orders.limit(100))
     assert(bytes.length > 0)

@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_.user_id == 1) == 2)
   }
 
+  test("late-but-within-watermark event moves session_start backwards like batch") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("q31_late")
+      .outputMode(OutputMode.Append).start()
+    val events = Seq(
+      Event(1, ts(30), 1, "a", 1.0), // trigger 1: session opens at 10:30
+      Event(2, ts(21), 1, "a", 2.0)) // trigger 2: LATE event at 10:21
+    try {
+      stream.addData(events.head); q.processAllAvailable()
+      stream.addData(events(1)); q.processAllAvailable()
+      // close via watermark: far-future ticks from another user
+      stream.addData(Event(3, Timestamp.valueOf("2024-01-02 09:00:00"), 9, "t", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(4, Timestamp.valueOf("2024-01-02 11:00:00"), 9, "t", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sess = spark.table("q31_late").as[Session].collect().filter(_.user_id == 1)
+    assert(sess.length == 1)
+    assert(sess.head.session_start == ts(21), "late event must extend session start backwards")
+    assert(sess.head.session_end == ts(30))
+    assert(sess.head.n_events == 2)
+  }
+
   test("file source -> windowed agg -> file sink with checkpoint recovers batch results") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
