@@ -194,6 +194,22 @@ object CoreQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // semi-structured JSON column: path extraction + typed aggregation
+    // (events.props carries JSON metadata — the filter/rollup shape an
+    // LLM-data pipeline uses for document metadata). get_json_object is
+    // codegen'd; extraction happens map-side before the grouped agg.
+    "q18_json_extract" -> ((s, dir) => {
+      val e = events(s, dir)
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      e.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(k).as("sum_k"),
+          min(k).as("min_k"),
+          max(k).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // #17 window functions: partitioned row_number + running exact sum
     "q17_window" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -310,6 +326,13 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q17_window" ->
       """SELECT o_custkey, o_orderkey,
