@@ -194,6 +194,22 @@ object CoreQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // approximate sketches: HyperLogLog++ distinct counts and t-digest-
+    // style quantiles — the constant-memory aggregates a 100 TB rollup
+    // uses where exact DISTINCT/median would shuffle the world. Approx
+    // values are algorithm-specific, so this entry has no DuckDB oracle
+    // (rows-only check); SketchSpec bounds the error against exact
+    // values instead.
+    "q19_sketches" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
     // semi-structured JSON column: path extraction + typed aggregation
     // (events.props carries JSON metadata — the filter/rollup shape an
     // LLM-data pipeline uses for document metadata). get_json_object is
