@@ -194,6 +194,38 @@ object CoreQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // OLAP hierarchy rollup: subtotals per (flag, status), per flag, and
+    // grand total in ONE pass (Expand + single shuffle — no N separate
+    // aggregations). Null group keys from the rollup are coalesced to a
+    // sentinel on both engines so the compare never hinges on NULL
+    // representation.
+    "q20_rollup" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")
+    }),
+
+    // set operations: INTERSECT / EXCEPT between customer segments
+    "q21_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      def custs(status: String) =
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .filter(col("o_orderstatus") === status)
+          .select(col("c_custkey"), col("c_mktsegment"))
+      val both = custs("F").intersect(custs("O"))
+      val onlyF = custs("F").except(custs("O"))
+      both.withColumn("side", lit("both"))
+        .unionAll(onlyF.withColumn("side", lit("only_f")))
+        .groupBy("side", "c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("side", "c_mktsegment")
+    }),
+
     // approximate sketches: HyperLogLog++ distinct counts and t-digest-
     // style quantiles — the constant-memory aggregates a 100 TB rollup
     // uses where exact DISTINCT/median would shuffle the world. Approx
@@ -342,6 +374,25 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q20_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+         |  COALESCE(l_linestatus, 'ALL') AS status,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+
+    "q21_setops" ->
+      """WITH f AS (SELECT c_custkey, c_mktsegment FROM orders JOIN customer
+        |           ON o_custkey = c_custkey WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT c_custkey, c_mktsegment FROM orders JOIN customer
+        |           ON o_custkey = c_custkey WHERE o_orderstatus = 'O'),
+        |     tagged AS (
+        |       SELECT *, 'both' AS side FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+        |       UNION ALL
+        |       SELECT *, 'only_f' AS side FROM (SELECT * FROM f EXCEPT SELECT * FROM o))
+        |SELECT side, c_mktsegment, COUNT(*) AS cnt
+        |FROM tagged GROUP BY side, c_mktsegment ORDER BY side, c_mktsegment""".stripMargin,
 
     "q18_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
