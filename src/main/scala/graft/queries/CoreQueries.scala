@@ -194,6 +194,33 @@ object CoreQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // semi/anti joins — EXISTS / NOT EXISTS as physical join types: the
+    // probe side streams once, no duplication from the build side, and
+    // the anti case is the classic "customers with no orders" shape
+    "q22_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val withF = c.join(o, c("c_custkey") === o("o_custkey"), "leftsemi")
+        .withColumn("side", lit("has_f"))
+      val withoutF = c.join(o, c("c_custkey") === o("o_custkey"), "leftanti")
+        .withColumn("side", lit("no_f"))
+      withF.unionAll(withoutF)
+        .groupBy("side", "c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("side", "c_mktsegment")
+    }),
+
+    // string-function surface: LIKE, substring, concat, upper, length
+    "q23_strfuncs" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_name").like("%1%"))
+        .select(
+          col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("prefix"),
+          concat(col("c_mktsegment"), lit("/"), col("c_name")).as("tagged"),
+          length(col("c_name")).as("name_len"))
+        .orderBy("c_custkey")
+    }),
+
     // OLAP hierarchy rollup: subtotals per (flag, status), per flag, and
     // grand total in ONE pass (Expand + single shuffle — no N separate
     // aggregations). Null group keys from the rollup are coalesced to a
@@ -374,6 +401,24 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q22_semi_anti" ->
+      """WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+        |tagged AS (
+        |  SELECT c_mktsegment, 'has_f' AS side FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM f WHERE f.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'no_f' AS side FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.o_custkey = c.c_custkey))
+        |SELECT side, c_mktsegment, COUNT(*) AS cnt
+        |FROM tagged GROUP BY side, c_mktsegment ORDER BY side, c_mktsegment""".stripMargin,
+
+    "q23_strfuncs" ->
+      """SELECT c_custkey,
+        |  upper(substring(c_name, 1, 8)) AS prefix,
+        |  concat(c_mktsegment, '/', c_name) AS tagged,
+        |  length(c_name) AS name_len
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
 
     "q20_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
