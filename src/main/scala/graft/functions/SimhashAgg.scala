@@ -25,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Bit semantics (identical to the DuckDB oracle): bit `i` lives in hex
   * digit `i/4` at in-digit position `i%4` (MSB first); a set bit votes
   * +1, a clear bit −1; the result is the 64-char '1'/'0' string of
-  * vote-sum > 0.
+  * vote-sum > 0. A NULL input row votes −1 on all 64 bits — exactly what
+  * the composed form does (CASE over a NULL substring falls to ELSE), so
+  * the vote-for-vote equivalence holds on nullable inputs too.
   */
 case class SimhashAgg(
     child: Expression,
@@ -55,7 +57,12 @@ case class SimhashAgg(
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val h = child.eval(input).asInstanceOf[UTF8String]
-    if (h != null) {
+    if (h == null) {
+      // identical to the composed form: CASE substring(NULL,d,1) IN (...)
+      // falls to ELSE, so a NULL hash votes -1 on every bit
+      var i = 0
+      while (i < 64) { buf(i) -= 1; i += 1 }
+    } else {
       val bytes = h.getBytes
       var d = 0
       while (d < 16) {

@@ -223,18 +223,23 @@ object CoreQueries {
 
     // OLAP hierarchy rollup: subtotals per (flag, status), per flag, and
     // grand total in ONE pass (Expand + single shuffle — no N separate
-    // aggregations). Null group keys from the rollup are coalesced to a
-    // sentinel on both engines so the compare never hinges on NULL
-    // representation.
+    // aggregations). Subtotal rows are tagged with explicit GROUPING()
+    // bits (gflag/gstatus) rather than a sentinel key value, so a
+    // genuine NULL or literal 'ALL' in the data stays distinguishable
+    // from rollup-generated subtotals.
     "q20_rollup" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       l.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("gflag"),
+          grouping(col("l_linestatus")).cast("int").as("gstatus"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
         .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gflag"), col("gstatus"),
+          when(col("gflag") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("flag"),
+          when(col("gstatus") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("status"),
           col("sum_qty"), col("cnt"))
-        .orderBy("flag", "status")
+        .orderBy("gflag", "gstatus", "flag", "status")
     }),
 
     // set operations: INTERSECT / EXCEPT between customer segments
@@ -421,11 +426,13 @@ object CoreQueries {
         |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
 
     "q20_rollup" ->
-      s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
-         |  COALESCE(l_linestatus, 'ALL') AS status,
+      s"""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS gflag,
+         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS gstatus,
+         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
          |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         |ORDER BY flag, status""".stripMargin,
+         |ORDER BY gflag, gstatus, flag, status""".stripMargin,
 
     "q21_setops" ->
       """WITH f AS (SELECT c_custkey, c_mktsegment FROM orders JOIN customer

@@ -36,6 +36,15 @@ object ArrowInterop {
 
   val DefaultBatchSize = 4096
 
+  // The java.io.File-based commit protocol (driver-side cleanup +
+  // _SUCCESS, executor-side part writes) only composes on a POSIX
+  // path visible to every node. URI-schemed paths (hdfs://, s3a://)
+  // would silently scatter parts — reject them up front.
+  private def requireLocalPath(dir: String): Unit =
+    require(!dir.contains("://"),
+      s"ArrowInterop requires a plain filesystem path shared by all nodes; " +
+        s"got URI-schemed '$dir' (use parquet for hdfs/s3 targets)")
+
   private def arrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
       case LongType => new ArrowType.Int(64, true)
@@ -146,6 +155,7 @@ object ArrowInterop {
     * written by the driver once every partition committed, so readers
     * can distinguish a finished directory from a failed job's leftovers. */
   def writeIpc(df: DataFrame, dir: String, batchSize: Int = DefaultBatchSize): Unit = {
+    requireLocalPath(dir)
     val schema = df.schema
     val d = new File(dir)
     d.mkdirs()
@@ -179,8 +189,19 @@ object ArrowInterop {
   }
 
   /** Distributed source: one task per `.arrow` file written by
-    * [[writeIpc]] (or any IPC-stream producer with a supported schema). */
-  def readIpc(spark: SparkSession, dir: String): DataFrame = {
+    * [[writeIpc]] (or any IPC-stream producer with a supported schema).
+    *
+    * By default requires the `_SUCCESS` marker [[writeIpc]] leaves after
+    * every partition committed, so a failed job's partial directory is
+    * rejected instead of read as complete. Pass
+    * `requireSuccessMarker = false` for directories produced by an
+    * external IPC writer that uses no marker. */
+  def readIpc(spark: SparkSession, dir: String,
+      requireSuccessMarker: Boolean = true): DataFrame = {
+    requireLocalPath(dir)
+    require(!requireSuccessMarker || new File(dir, "_SUCCESS").exists(),
+      s"$dir has no _SUCCESS marker — the writing job did not finish " +
+        "(pass requireSuccessMarker = false to read anyway)")
     val files = new File(dir).listFiles()
       .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
     require(files.nonEmpty, s"no .arrow files under $dir")

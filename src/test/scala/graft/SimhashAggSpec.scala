@@ -40,6 +40,18 @@ class SimhashAggSpec extends SparkSpec {
     assert(tied == "0" * 64)
   }
 
+  test("NULL input rows vote -1 on every bit, matching the composed CASE form") {
+    // one all-f hash (+1 every bit) + two NULLs (-1 each) → sum -1 → all '0';
+    // the composed sum(CASE ... ELSE -1) form gives the same votes
+    val s = spark.sql(
+      """SELECT graft_simhash(h) AS s FROM
+        |(SELECT repeat('f', 16) AS h
+        | UNION ALL SELECT CAST(NULL AS STRING)
+        | UNION ALL SELECT CAST(NULL AS STRING))""".stripMargin)
+      .head().getString(0)
+    assert(s == "0" * 64)
+  }
+
   test("partial-buffer merge across many partitions matches single-partition result") {
     import spark.implicits._
     val features = (1 to 200).map(i => (1L, f"$i%032x")).toDF("id", "h")
