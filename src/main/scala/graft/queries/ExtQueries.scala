@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import Ops._
+
+/** Extended relational surface beyond SURVEY.md §2: CUBE, PIVOT, as-of
+  * join, range/band join, and deterministic hash sampling — the shapes a
+  * warehouse user reaches for right after the core set. Each has a full
+  * DuckDB value oracle.
+  */
+object ExtQueries {
+
+  /** Price bands for the range join: [900+10i, 900+10(i+1)), i ∈ [0,10).
+    * Shared constant so the Spark plan and the oracle agree exactly. */
+  val NBands = 10
+  val BandLo = 900
+  val BandWidth = 10
+
+  val defs: Map[String, Q] = Map(
+    // CUBE: all 2^k grouping-set subtotals in ONE pass (a single Expand
+    // + shuffle — not 2^k separate aggregations). Subtotals are tagged
+    // with explicit GROUPING() bits, same contract as q20_rollup.
+    "q24_cube" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("y", year(col("ts")))
+      e.cube(col("event_type"), col("y"))
+        .agg(
+          grouping(col("event_type")).cast("int").as("gtype"),
+          grouping(col("y")).cast("int").as("gy"),
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"))
+        .select(
+          col("gtype"), col("gy"),
+          when(col("gtype") === 1, lit("ALL")).otherwise(col("event_type")).as("etype"),
+          when(col("gy") === 1, lit(-1)).otherwise(col("y")).as("y"),
+          col("cnt"), col("sum_value"))
+        .orderBy("gtype", "gy", "etype", "y")
+    }),
+
+    // PIVOT: long→wide reshape. The value list is DECLARED, which keeps
+    // the plan a single pass (one partial agg per pivot value, no
+    // distinct-values pre-query and no second job at 100 TB).
+    "q25_pivot" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // as-of join: each click attributed to the same user's most recent
+    // prior-or-simultaneous purchase. One shuffle on user_id (see
+    // graft.operators.AsOfJoin — no pair explosion).
+    "q26_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.backward(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("ts", "value"))
+        .orderBy("event_id")
+    }),
+
+    // range (band) join: parts bucketed into price intervals. The band
+    // table is tiny and BROADCAST, so the interval predicate runs as a
+    // broadcast nested-loop over 10 rows per record — map-side, no
+    // shuffle of the fact side, safe at any corpus size.
+    "q27_range_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val bands = s.range(0, NBands).select(
+        col("id").as("band"),
+        (lit(BandLo) + col("id") * BandWidth).cast("double").as("lo"),
+        (lit(BandLo) + (col("id") + 1) * BandWidth).cast("double").as("hi"))
+      p.join(broadcast(bands),
+          p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"), dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // deterministic stratified hash sampling: keep a row iff the first
+    // md5 hex digit of its key falls in a fixed set (3/16 ≈ 18.75%).
+    // Unlike TABLESAMPLE/rand(), the sample is reproducible across
+    // engines, runs, and partitionings — the property a training-data
+    // pipeline needs for auditable subsets. Pure map-side filter.
+    "q28_sample" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+          .isin("0", "1", "2"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sample"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q24_cube" ->
+      s"""SELECT CAST(GROUPING(event_type) AS INTEGER) AS gtype,
+         |  CAST(GROUPING(y) AS INTEGER) AS gy,
+         |  CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS etype,
+         |  CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS y,
+         |  COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+         |FROM (SELECT event_type, CAST(date_part('year', ts) AS INTEGER) AS y, value
+         |      FROM events)
+         |GROUP BY CUBE (event_type, y)
+         |ORDER BY gtype, gy, etype, y""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q26_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       p.ts AS asof_ts, p.value AS asof_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q27_range_join" ->
+      s"""WITH bands AS (SELECT i AS band,
+         |    CAST($BandLo + i * $BandWidth AS DOUBLE) AS lo,
+         |    CAST($BandLo + (i + 1) * $BandWidth AS DOUBLE) AS hi
+         |  FROM range(0, $NBands) t(i))
+         |SELECT band, COUNT(*) AS cnt, ${sqlDsum("p_retailprice")} AS sum_price
+         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q28_sample" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_sample,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}
