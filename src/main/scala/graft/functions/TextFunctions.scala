@@ -74,6 +74,22 @@ object TextFunctions {
   def sqlPunctRatio(e: String): String =
     s"(CAST(length(regexp_replace(lower($e), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length($e))"
 
+  /** PII scrubbing (t05): email and phone-number shaped spans replaced
+    * with typed placeholders. Patterns restricted to constructs whose
+    * semantics are identical in Java regex (Spark, codegen'd
+    * regexp_replace) and RE2 (DuckDB): character classes + greedy
+    * quantifiers, no alternation/backrefs. Emails first so the phone
+    * pass never splits an address's digit runs. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  val PhonePattern = "[+]?[0-9][0-9-]{5,}"
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+  def sqlPiiRedact(e: String): String =
+    s"regexp_replace(regexp_replace($e, '$EmailPattern', '<EMAIL>', 'g'), " +
+      s"'$PhonePattern', '<PHONE>', 'g')"
+
   /** Word `k`-shingles joined with spaces (MinHash/Jaccard input,
     * d02/d04). `sequence` + `slice` stay inside codegen; documents with
     * fewer than `k` words yield their full text as one shingle so no

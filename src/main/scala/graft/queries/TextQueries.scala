@@ -70,7 +70,26 @@ object TextQueries {
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
         length(col("text")).as("raw_len"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // t05 PII redaction: the synthetic corpus carries no PII-shaped
+    // spans, so each doc is first augmented with a deterministic
+    // doc_id-derived email + phone — the redactor then has something
+    // real to scrub and the oracle stays value-checkable. Pure map-side
+    // projection (regexp_replace/regexp_count are codegen'd built-ins).
+    "t05_pii" -> ((s, dir) => {
+      val aug = concat(
+        lit("user"), col("doc_id").cast("string"),
+        lit("@mail.example.com wrote: "), col("text"),
+        lit(" call +1-555-01"), col("doc_id").cast("string"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        piiRedact(aug).as("clean_text"),
+        regexp_count(aug, lit(EmailPattern)).as("n_emails"),
+        regexp_count(regexp_replace(aug, EmailPattern, "<EMAIL>"),
+          lit(PhonePattern)).as("n_phones"))
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "t01_langid" -> {
@@ -107,5 +126,17 @@ object TextQueries {
     "t04_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp,
          |  length(text) AS raw_len
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t05_pii" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com wrote: '
+         |    || text || ' call +1-555-01' || CAST(doc_id AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id, ${sqlPiiRedact("t")} AS clean_text,
+         |  len(regexp_extract_all(t, '$EmailPattern')) AS n_emails,
+         |  len(regexp_extract_all(
+         |    regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$PhonePattern')) AS n_phones
+         |FROM aug ORDER BY doc_id""".stripMargin)
 }

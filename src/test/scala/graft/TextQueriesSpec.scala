@@ -33,6 +33,18 @@ class TextQueriesSpec extends SparkSpec {
     assert(fps == 1)
   }
 
+  test("t05 redacts every email/phone span and counts what it scrubbed") {
+    val df = TextQueries.defs("t05_pii")(spark, sfDir)
+    val leaked = df.filter(
+      col("clean_text").rlike(TextFunctions.EmailPattern) ||
+        col("clean_text").rlike(TextFunctions.PhonePattern)).count()
+    assert(leaked == 0, "clean_text still contains PII-shaped spans")
+    val unredacted = df.filter(col("n_emails") < 1 || col("n_phones") < 1).count()
+    assert(unredacted == 0, "every augmented doc should report >=1 email and phone")
+    assert(df.filter(col("clean_text").contains("<EMAIL>") &&
+      col("clean_text").contains("<PHONE>")).count() == df.count())
+  }
+
   test("text ops are single-scan map-side pipelines (no shuffle before the final sort)") {
     // t03/t04 plans must contain no Exchange other than the oracle-
     // determinism orderBy at the top — at 100 TB they run map-side only
