@@ -89,6 +89,54 @@ object Dedup {
       .distinct()
   }
 
+  // ---- d06: cluster resolution (connected components) ---------------------
+
+  /** Resolve near-dup candidate pairs into duplicate CLUSTERS — the step
+    * that turns pairwise evidence into an actual keep/drop decision. Each
+    * document gets the minimum doc_id of its connected component as
+    * `cluster_rep`; `is_kept = 1` marks the one canonical doc per
+    * cluster (singletons keep themselves).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * vertex takes the min of its own label and its neighbors' labels,
+    * converging in O(component diameter) rounds. LSH candidate clusters
+    * are near-cliques (every member collides with most others in some
+    * band), so diameters are small and a handful of rounds suffice even
+    * on a crawl-scale corpus. Per round: one equi-join edges⋈labels +
+    * one groupBy(src) + one left join — all shuffles on doc_id, never a
+    * cross product. `localCheckpoint` truncates the growing lineage each
+    * round (else the plan tree doubles per iteration); convergence is
+    * detected with a scalar checksum aggregate (sum of labels is
+    * monotonically non-increasing and strictly decreases iff any label
+    * moved), so the driver never sees row data. */
+  def clusters(docs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val pairs = minhashCandidates(docs)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // candidates are reused every round: compute once
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_rep"))
+      .localCheckpoint()
+    var checksum = labels.agg(sum("cluster_rep")).first().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_rep").as("nbr_rep"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep")))
+            .as("cluster_rep"))
+        .localCheckpoint()
+      val newSum = next.agg(sum("cluster_rep")).first().getLong(0)
+      converged = newSum == checksum
+      checksum = newSum
+      labels = next
+      iter += 1
+    }
+    labels.withColumn("is_kept",
+      when(col("cluster_rep") === col("doc_id"), 1).otherwise(0))
+  }
+
   // ---- d03: SimHash -------------------------------------------------------
 
   val SimhashPrefixBits = 16

@@ -79,7 +79,13 @@ object DedupQueries {
 
     // #22 embedding-cosine near-dup via sign-LSH buckets
     "d05_dedup_embcos" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")))
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")),
+
+    // d06: candidate pairs → connected-component clusters → one kept
+    // canonical doc per cluster (iterative min-label propagation; the
+    // DuckDB twin is a recursive reachability CTE over the same edges)
+    "d06_dedup_cluster" -> ((s, dir) =>
+      Dedup.clusters(t(s, dir, "documents")).orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -116,6 +122,18 @@ object DedupQueries {
          |    / (len(l.shingles) + len(r.shingles)
          |       - len(list_filter(l.shingles, x -> list_contains(r.shingles, x)))) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d06_dedup_cluster" ->
+      s"""${sqlCandidateCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_rep,
+         |  CAST(CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "d05_dedup_embcos" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

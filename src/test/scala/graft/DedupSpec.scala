@@ -46,6 +46,25 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("d06 clusters are a consistent fixpoint over the candidate graph") {
+    val labels = Dedup.clusters(docs)
+    assert(labels.count() == docs.count(), "every doc gets a cluster label")
+    // rep is the component MIN, so rep <= member id everywhere
+    assert(labels.filter(col("cluster_rep") > col("doc_id")).count() == 0)
+    // reps are fixpoints: a rep's own cluster_rep is itself (is_kept = 1)
+    val reps = labels.select(col("cluster_rep").as("doc_id")).distinct()
+    val nonFix = labels.join(reps, "doc_id")
+      .filter(col("cluster_rep") =!= col("doc_id")).count()
+    assert(nonFix == 0, "a cluster rep must map to itself")
+    // every candidate edge's endpoints agree on the rep (propagation
+    // actually converged — no edge straddles two clusters)
+    val l = labels.select(col("doc_id").as("doc_a"), col("cluster_rep").as("rep_a"))
+    val r = labels.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rep_b"))
+    val straddling = Dedup.minhashCandidates(docs).join(l, "doc_a").join(r, "doc_b")
+      .filter(col("rep_a") =!= col("rep_b")).count()
+    assert(straddling == 0, "an edge connects two different clusters")
+  }
+
   test("no dedup plan contains a cartesian product — all pair generation is bucketed") {
     Seq(
       Dedup.minhashCandidates(docs),
