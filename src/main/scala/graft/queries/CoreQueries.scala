@@ -274,6 +274,23 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // exact percentiles/median: interpolated quantiles per group — the
+    // exact counterpart to q19's sketch quantiles. One shuffle on the
+    // group key; per-group state is the sorted value list, which is why
+    // the APPROXIMATE sketch (q19) is the 100 TB default and this exact
+    // form is for bounded-cardinality groups. Rounded to 6 dp so the
+    // engines' interpolation arithmetic can't straddle the value hash.
+    "q29_percentiles" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      def pct(p: Double) = round(percentile(col("l_extendedprice"), lit(p)), 6)
+      l.groupBy("l_returnflag")
+        .agg(
+          pct(0.25).as("p25"), pct(0.5).as("median"),
+          pct(0.75).as("p75"), pct(0.9).as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // semi-structured JSON column: path extraction + typed aggregation
     // (events.props carries JSON metadata — the filter/rollup shape an
     // LLM-data pipeline uses for document metadata). get_json_object is
@@ -445,6 +462,15 @@ object CoreQueries {
         |       SELECT *, 'only_f' AS side FROM (SELECT * FROM f EXCEPT SELECT * FROM o))
         |SELECT side, c_mktsegment, COUNT(*) AS cnt
         |FROM tagged GROUP BY side, c_mktsegment ORDER BY side, c_mktsegment""".stripMargin,
+
+    "q29_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q18_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
