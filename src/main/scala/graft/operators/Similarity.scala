@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,60 @@ object Similarity {
       }
     val joined = corpus.join(broadcast(probed),
       col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+    scored(joined)
+      .withColumn("rank", topk)
+      .filter(col("rank") <= k)
+  }
+
+  val NCentroids = 16
+  val NProbe = 4
+
+  /** s03: IVF-style ANN — the coarse-quantizer path real vector stores
+    * (FAISS IVF-Flat) use. The corpus is partitioned into `nCentroids`
+    * cells (centroids = the first `nCentroids` corpus vectors, a
+    * deterministic, engine-reproducible choice standing in for a k-means
+    * fit); each query probes only its `nProbe` nearest cells.
+    *
+    * Scale shape: the centroid set is SMALL BY DEFINITION, so it is
+    * collapsed to a one-row array and broadcast — cell assignment is a
+    * map-side `aggregate` fold (argmax over 16 centroids) with NO
+    * shuffle of the corpus. Probe selection runs a window only on the
+    * broadcast query side (k rows). The candidate join is an equi-join
+    * on the cell id — partitionable at any corpus size, like s02's
+    * bucket join but with data-adaptive regions instead of fixed
+    * hyperplanes. Ties everywhere break to the lowest cent_id, matching
+    * the oracle's ORDER BY ... cent_id ASC. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe): DataFrame = {
+    val corpus = prepared(embeddings)
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    def cellCos(vec: Column, norm: Column, c: Column) =
+      round(Dedup.dot(vec, c.getField("cv")) / (norm * c.getField("cnorm")), 6)
+    // all centroids as ONE broadcast row (sorted for a deterministic fold)
+    val centArr = cents.agg(sort_array(collect_list(
+      struct(col("cent_id"), col("cv"), col("cnorm")))).as("cents"))
+    val assigned = corpus.crossJoin(broadcast(centArr))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
+        (acc, c) => {
+          val s = cellCos(col("v"), col("norm"), c)
+          when(s > acc.getField("ccos"),
+            struct(s.as("ccos"), c.getField("cent_id").as("cell")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("v"), col("norm"), col("best.cell").as("cell"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cent_id"),
+        round(Dedup.dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6)
+          .as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cent_id").as("cell"))
+    val joined = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
     scored(joined)
       .withColumn("rank", topk)
       .filter(col("rank") <= k)

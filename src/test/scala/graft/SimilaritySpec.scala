@@ -47,6 +47,34 @@ class SimilaritySpec extends SparkSpec {
     assert((single intersect truth).subsetOf(multi))
   }
 
+  test("s03 IVF results rank correctly and recall grows with probed cells") {
+    val rows = Similarity.ivfTopK(embs, queries).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val truth = resultSet(Similarity.bruteForceTopK(embs, queries))
+    def recall(nProbe: Int) =
+      (resultSet(Similarity.ivfTopK(embs, queries, nProbe = nProbe))
+        intersect truth).size.toDouble / truth.size
+    // probing every cell IS exhaustive search — recall must hit 1.0
+    assert(recall(Similarity.NCentroids) == 1.0)
+    assert(recall(Similarity.NProbe) <= recall(Similarity.NCentroids))
+  }
+
+  test("s03 corpus cell assignment is map-side — no corpus-keyed window shuffle") {
+    val plan = Similarity.ivfTopK(embs, queries)
+      .queryExecution.executedPlan.toString()
+    // the only Window over vec_id-partitioned data would come from a
+    // shuffled argmax; assignment must run as a fold inside the scan task
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVF path:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled by vec_id — cell assignment is not map-side:\n$plan")
+  }
+
   test("top-k plans use WindowGroupLimit (per-task partial top-k before the shuffle)") {
     Seq(
       Similarity.bruteForceTopK(embs, queries),
