@@ -20,7 +20,14 @@ object StreamingQueries {
     // #31 gap-based sessionization (batch-equivalent window/lag form)
     "q31_session_batch" -> ((s, dir) =>
       EventStreams.sessionizeBatch(events(s, dir))
-        .orderBy("user_id", "session_seq")))
+        .orderBy("user_id", "session_seq")),
+
+    // q32 streaming dedup (batch-equivalent first-event-per-key form;
+    // the streaming twin is dropDuplicatesWithinWatermark — see
+    // EventStreams.dedupKeyed + StreamingSpec)
+    "q32_stream_dedup" -> ((s, dir) =>
+      EventStreams.firstEventPerKey(events(s, dir))
+        .orderBy("user_id", "event_type")))
 
   val oracles: Map[String, String] = Map(
     "q30_stream_batch" ->
@@ -46,5 +53,13 @@ object StreamingQueries {
          |  MAX(ts) AS session_end, COUNT(*) AS n_events,
          |  ${sqlDsum("value")} AS total_value
          |FROM indexed GROUP BY user_id, session_seq
-         |ORDER BY user_id, session_seq""".stripMargin)
+         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q32_stream_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  ts AS first_ts, value AS first_value
+        |FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
 }

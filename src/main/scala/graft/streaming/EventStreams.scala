@@ -115,6 +115,36 @@ object EventStreams {
       }
   }
 
+  /** q32: streaming exact dedup — emit only the first event per
+    * (user_id, event_type). `dropDuplicatesWithinWatermark` holds a
+    * state entry per key only until the watermark passes the first
+    * occurrence's event time, so state is bounded by key arrival rate ×
+    * watermark horizon, not by stream history — the property that makes
+    * streaming dedup viable at firehose rates (plain `dropDuplicates`
+    * on a stream accumulates every key forever). Within one horizon the
+    * dedup is exact; a re-occurrence after the horizon re-emits, which
+    * is the standard trade. Keeps the first ARRIVAL: equal to the batch
+    * [[firstEventPerKey]] whenever arrival order is event-time order
+    * (asserted by the MemoryStream spec). */
+  def dedupKeyed(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Batch-equivalent first-event-per-key (the oracle-checkable q32
+    * shape): rank by (ts, event_id) within the key — the event_id
+    * tiebreak makes the kept row deterministic under ts collisions —
+    * and keep rank 1. `row_number <= 1` plans as WindowGroupLimit:
+    * every map task forwards one candidate per key, so the single
+    * shuffle on the key carries O(keys × tasks), not the corpus. */
+  def firstEventPerKey(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("ts").as("first_ts"),
+        col("value").as("first_value"))
+  }
+
   /** Batch-equivalent sessionization (the oracle-checkable q31 shape):
     * a gap flag per event (lag window), a running sum of gap flags as
     * the session index, then one grouped aggregation per session.

@@ -105,6 +105,35 @@ class StreamingSpec extends SparkSpec {
     assert(sess.head.n_events == 2)
   }
 
+  test("q32 streaming dedup (within-watermark) matches batch first-event-per-key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // duplicates arrive in event-time order, across trigger boundaries
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(2), 1, "click", 2.0), // dup of (1, click)
+      Event(3, ts(3), 2, "view", 3.0),
+      Event(4, ts(5), 1, "click", 4.0), // dup again, later trigger
+      Event(5, ts(6), 2, "click", 5.0),
+      Event(6, ts(8), 2, "view", 6.0)) // dup of (2, view)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupKeyed(stream.toDF())
+      .writeStream.format("memory").queryName("q32_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events.take(3)); q.processAllAvailable()
+      stream.addData(events.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("q32_out")
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+        col("ts").as("first_ts"), col("value").as("first_value"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    val batch = EventStreams.firstEventPerKey(events.toDF())
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.length == 3) // 3 distinct keys; 3 duplicate arrivals suppressed
+  }
+
   test("file source -> windowed agg -> file sink with checkpoint recovers batch results") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
