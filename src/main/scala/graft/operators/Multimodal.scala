@@ -68,6 +68,25 @@ object Multimodal {
         .otherwise("video").as("modality"),
       col("text").cast("binary").as("content"))
 
+  /** m02: frame sampling — every `step`-th frame of each video, one
+    * output row per sampled frame. This is the one-row→many-rows shape
+    * real frame extraction has; the per-frame decode is the same stub
+    * (a deterministic digest of payload-digest + frame index) so the
+    * whole pipeline stays oracle-checkable. `explode(sequence(...))` is
+    * a generator inside the scan stage: no shuffle, output rows are
+    * produced streaming in the same task that read the input split —
+    * exactly how a 100 TB video corpus must fan out (never materialize
+    * all frames of a partition at once, never collect). */
+  def sampleFrames(features: DataFrame, step: Int = FrameStep): DataFrame =
+    features.filter(col("modality") === "video")
+      .select(col("doc_id"), col("content_md5"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("content_md5"), lit("|"), col("frame_idx").cast("string")))
+          .as("frame_md5"))
+
+  val FrameStep = 5
+
   /** Partition-batched decode/feature-extract: one decoder per
     * partition, rows streamed through it. The only stage outside
     * whole-stage codegen — by design, it wraps library code. */

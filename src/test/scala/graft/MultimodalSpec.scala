@@ -34,6 +34,21 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"), s"expected MapPartitions stage:\n$plan")
   }
 
+  test("m02 frame sampling fans out only videos, stride respected, no shuffle") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(media).toDF()
+    val frames = Multimodal.sampleFrames(feats)
+    // one row per sampled frame: ceil(n_frames / step) rows per video
+    val expected = feats.filter(col("modality") === "video")
+      .select(ceil(col("n_frames").cast("double") / Multimodal.FrameStep))
+      .collect().map(_.getLong(0)).sum
+    assert(frames.count() == expected)
+    assert(frames.filter(col("frame_idx") % Multimodal.FrameStep =!= 0).count() == 0)
+    val plan = frames.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"frame fan-out shuffles:\n$plan")
+    assert(plan.contains("Generate"), s"expected generator fan-out:\n$plan")
+  }
+
   test("decoder stub is deterministic across invocations") {
     val r = MediaRecord(7L, "video", "payload-bytes".getBytes("UTF-8"))
     val d1 = new Multimodal.StubMediaDecoder().decode(r)
