@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.AsOfJoin
 import Ops._
 
@@ -16,6 +17,9 @@ object ExtQueries {
   val NBands = 10
   val BandLo = 900
   val BandWidth = 10
+
+  /** Salt fan-out for q33's two-phase aggregation. */
+  val NSalts = 16
 
   val defs: Map[String, Q] = Map(
     // CUBE: all 2^k grouping-set subtotals in ONE pass (a single Expand
@@ -81,6 +85,28 @@ object ExtQueries {
         .orderBy("band")
     }),
 
+    // skew-resistant two-phase (salted) aggregation: a hot grouping key
+    // at 100 TB turns one reducer into the straggler. Phase 1 splits
+    // every key into NSalts sub-groups (deterministic salt — the salt
+    // never reaches the output, so any spreading function works) and
+    // aggregates them in parallel; phase 2 merges the tiny partials.
+    // Partial sums stay in exact DECIMAL until the final merge, so the
+    // result is bit-identical to the plain single-phase GROUP BY — which
+    // is exactly what the oracle runs.
+    "q33_salted_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.withColumn("salt", pmod(col("l_orderkey"), lit(NSalts)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(28, 4))).as("psum"),
+          count(lit(1)).as("pcnt"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("psum")).cast("double").as("sum_qty"),
+          sum(col("pcnt")).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // deterministic stratified hash sampling: keep a row iff the first
     // md5 hex digit of its key falls in a fixed set (3/16 ≈ 18.75%).
     // Unlike TABLESAMPLE/rand(), the sample is reproducible across
@@ -133,6 +159,11 @@ object ExtQueries {
          |SELECT band, COUNT(*) AS cnt, ${sqlDsum("p_retailprice")} AS sum_price
          |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
          |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q33_salted_agg" ->
+      s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q28_sample" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_sample,

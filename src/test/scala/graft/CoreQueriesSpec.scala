@@ -68,6 +68,17 @@ class CoreQueriesSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
 
+  test("q33 salted two-phase aggregation equals the plain single-phase GROUP BY") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{ExtQueries, Ops}
+    val salted = ExtQueries.defs("q33_salted_agg")(spark, sfDir).collect().toSeq
+    val plain = Ops.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(Ops.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("merge hint yields a sort-merge join (q08)") {
     val df = CoreQueries.defs("q08_join_sortmerge")(spark, sfDir)
     assert(df.queryExecution.executedPlan.toString().contains("SortMergeJoin"))
