@@ -42,6 +42,19 @@ object DedupQueries {
        |  FROM bands l JOIN bands r
        |  ON l.band_idx = r.band_idx AND l.bh = r.bh AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** Recursive connected-components CTE chain over the minhash candidate
+    * edges (d06's oracle; also the dedup stage of p02's pipeline
+    * oracle). Ends with `reach(src, dst)` = reachability pairs; the
+    * component rep of `src` is `MIN(dst)`. */
+  private[queries] val sqlClusterCtes: String =
+    s"""${sqlCandidateCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
   private def sqlSimhashBit(i: Int): String = {
     val digit = i / 4 + 1
     val chars = HexBitSet(3 - i % 4).map(c => s"'$c'").mkString(",")
@@ -124,13 +137,7 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d06_dedup_cluster" ->
-      s"""${sqlCandidateCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      s"""$sqlClusterCtes
          |SELECT src AS doc_id, MIN(dst) AS cluster_rep,
          |  CAST(CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS INTEGER) AS is_kept
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,

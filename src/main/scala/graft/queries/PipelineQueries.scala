@@ -35,6 +35,28 @@ object PipelineQueries {
         sum(col("n_words")).as("total_words"),
         sum(bpeTokenCount(col("text"))).as("total_tokens"))
         .orderBy("lang")
+    }),
+
+    // p02: the NEAR-dup curation flow — cluster resolution (d06) keeps
+    // one canonical doc per near-dup cluster, survivors are PII-redacted
+    // (t05), quality-gated (t02) and token-budgeted (t03) per language.
+    // Scale shape: clustering is the iterative bucketed d06 plan; the
+    // keep-set join is a semi-join on doc_id; everything after is
+    // map-side until the final partial-aggregated groupBy(lang).
+    "p02_neardup_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.operators.Dedup.clusters(docs)
+        .filter(col("is_kept") === 1).select("doc_id")
+      docs.join(kept, Seq("doc_id"), "left_semi")
+        .withColumn("clean_text", piiRedact(col("text")))
+        .withColumn("n_words", wsTokenCount(col("clean_text")))
+        .withColumn("punct_ratio", punctRatio(col("clean_text")))
+        .filter(col("n_words") >= 10 && col("punct_ratio") <= 0.3)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(bpeTokenCount(col("clean_text"))).as("total_tokens"))
+        .orderBy("lang")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -53,5 +75,22 @@ object PipelineQueries {
          |SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS total_words,
          |  CAST(SUM(${sqlBpeTokenCount("text")}) AS BIGINT) AS total_tokens
-         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p02_neardup_prep" ->
+      s"""${DedupQueries.sqlClusterCtes},
+         |kept AS (SELECT src AS doc_id FROM reach GROUP BY src
+         |  HAVING MIN(dst) = src),
+         |cleaned AS (
+         |  SELECT d.doc_id, d.lang, ${sqlPiiRedact("d.text")} AS clean_text
+         |  FROM documents d JOIN kept USING (doc_id)),
+         |enriched AS (
+         |  SELECT *, ${sqlWsTokenCount("clean_text")} AS n_words,
+         |    ${sqlPunctRatio("clean_text")} AS punct_ratio
+         |  FROM cleaned)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+         |  CAST(SUM(${sqlBpeTokenCount("clean_text")}) AS BIGINT) AS total_tokens
+         |FROM enriched WHERE n_words >= 10 AND punct_ratio <= 0.3
+         |GROUP BY lang ORDER BY lang""".stripMargin)
 }
