@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.GraftEngine
 import Ops._
 
@@ -274,6 +275,38 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // extended window-function surface: ntile bucketing, lag/lead
+    // offsets, and a bounded moving average — one shuffle on the
+    // partition key, every function sharing the same window frame scan.
+    // The moving average divides an exact decimal sum by the frame row
+    // count so the doubles match the oracle bit-for-bit.
+    "q34_window_suite" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = w.rowsBetween(-2, 0)
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (sum(col("o_totalprice").cast(DecimalType(28, 4))).over(frame).cast("double")
+          / count(lit(1)).over(frame)).as("avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // correlated scalar subquery (decorrelated by Catalyst into a left
+    // outer aggregate join — the declarative form is the point: the
+    // user writes the subquery, the optimizer picks the join plan)
+    "q35_corr_subquery" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); c.createOrReplaceTempView("customer_v")
+      val o = t(s, dir, "orders"); o.createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+          (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_v c
+        ORDER BY c_custkey""")
+    }),
+
     // exact percentiles/median: interpolated quantiles per group — the
     // exact counterpart to q19's sketch quantiles. One shuffle on the
     // group key; per-group state is the sorted value list, which is why
@@ -462,6 +495,24 @@ object CoreQueries {
         |       SELECT *, 'only_f' AS side FROM (SELECT * FROM f EXCEPT SELECT * FROM o))
         |SELECT side, c_mktsegment, COUNT(*) AS cnt
         |FROM tagged GROUP BY side, c_mktsegment ORDER BY side, c_mktsegment""".stripMargin,
+
+    "q34_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER f AS DOUBLE)
+        |    / COUNT(*) OVER f AS avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q35_corr_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
 
     "q29_percentiles" ->
       """SELECT l_returnflag,

@@ -68,6 +68,24 @@ class CoreQueriesSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
 
+  test("q35 correlated subquery is decorrelated into a join, not per-row execution") {
+    val df = CoreQueries.defs("q35_corr_subquery")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Join"), s"no join — subquery not decorrelated:\n$plan")
+    // the aggregate-join keeps every customer and counts all orders once
+    import org.apache.spark.sql.functions._
+    val total = df.agg(sum("n_orders")).head().getLong(0)
+    assert(total == graft.queries.Ops.t(spark, sfDir, "orders").count())
+  }
+
+  test("q34 window suite: one shuffle feeds all window functions") {
+    val df = CoreQueries.defs("q34_window_suite")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    // one partition shuffle for the windows + the oracle-determinism sort
+    assert(shuffles <= 2, s"window functions should share one partitioning:\n$plan")
+  }
+
   test("q33 salted two-phase aggregation equals the plain single-phase GROUP BY") {
     import org.apache.spark.sql.functions._
     import graft.queries.{ExtQueries, Ops}
