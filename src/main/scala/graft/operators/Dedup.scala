@@ -137,6 +137,27 @@ object Dedup {
       when(col("cluster_rep") === col("doc_id"), 1).otherwise(0))
   }
 
+  // ---- d07: benchmark decontamination -------------------------------------
+
+  /** Flag corpus documents that share at least one word `ShingleK`-gram
+    * with a BENCHMARK set (test-set decontamination — the step that
+    * keeps evaluation data out of a training corpus; distinct from
+    * dedup, which compares the corpus against itself). Returns one row
+    * per contaminated doc with its overlapping-shingle count.
+    *
+    * Scale shape: benchmark suites are small by definition, so the
+    * distinct benchmark-shingle set is BROADCAST; the corpus side
+    * streams map-side through the hash join and only contaminated
+    * (doc, shingle) hits reach the count aggregation. The corpus is
+    * never shuffled by shingle. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val bench = shingleRows(benchmark).select(col("sh")).distinct()
+    shingleRows(corpus)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared"))
+  }
+
   // ---- d03: SimHash -------------------------------------------------------
 
   val SimhashPrefixBits = 16

@@ -15,6 +15,9 @@ object DedupQueries {
 
   import Dedup._
 
+  /** Docs 0..9 act as the held-out benchmark slice for d07. */
+  val BenchmarkDocs = 10
+
   // ---- shared DuckDB SQL fragments (mirror TextFunctions/Dedup exactly) --
 
   private val sqlWordsE = sqlWords("text")
@@ -94,6 +97,17 @@ object DedupQueries {
     "d05_dedup_embcos" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")),
 
+    // d07: test-set decontamination — corpus docs sharing any word
+    // 3-gram with the benchmark slice (docs 0-9 stand in for a held-out
+    // eval suite; the benchmark shingle set is broadcast)
+    "d07_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        corpus = docs.filter(col("doc_id") >= BenchmarkDocs),
+        benchmark = docs.filter(col("doc_id") < BenchmarkDocs))
+        .orderBy("doc_id")
+    }),
+
     // d06: candidate pairs → connected-component clusters → one kept
     // canonical doc per cluster (iterative min-label propagation; the
     // DuckDB twin is a recursive reachability CTE over the same edges)
@@ -135,6 +149,16 @@ object DedupQueries {
          |    / (len(l.shingles) + len(r.shingles)
          |       - len(list_filter(l.shingles, x -> list_contains(r.shingles, x)))) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d07_decontam" ->
+      s"""WITH $sqlShingleCte,
+         |bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh
+         |  WHERE doc_id < $BenchmarkDocs),
+         |corpus AS (SELECT doc_id, unnest(shingles) AS sh FROM sh
+         |  WHERE doc_id >= $BenchmarkDocs)
+         |SELECT c.doc_id, CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_shared
+         |FROM corpus c JOIN bench b ON c.sh = b.sh
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d06_dedup_cluster" ->
       s"""$sqlClusterCtes

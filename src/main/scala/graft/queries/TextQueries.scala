@@ -72,6 +72,26 @@ object TextQueries {
         length(col("text")).as("raw_len"))
         .orderBy("doc_id")),
 
+    // t06 repetition / composition signals (the Gopher-style filters a
+    // crawl-cleaning pipeline gates on): duplicate-word mass, mean word
+    // length, symbols-per-word. Pure map-side projection, one scan.
+    "t06_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = words(col("text"))
+      val nw = size(ws)
+      val nd = size(array_distinct(ws))
+      val nonspace = length(regexp_replace(col("text"), "\\s", ""))
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      d.select(
+        col("doc_id"),
+        nw.as("n_words"),
+        nd.as("n_distinct_words"),
+        round(lit(1.0) - nd.cast("double") / nw, 6).as("word_rep_ratio"),
+        round(nonspace.cast("double") / nw, 6).as("mean_word_len"),
+        round(punct.cast("double") / nw, 6).as("symbols_per_word"))
+        .orderBy("doc_id")
+    }),
+
     // t05 PII redaction: the synthetic corpus carries no PII-shaped
     // spans, so each doc is first augmented with a deterministic
     // doc_id-derived email + phone — the redactor then has something
@@ -126,6 +146,18 @@ object TextQueries {
     "t04_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp,
          |  length(text) AS raw_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t06_repetition" ->
+      s"""SELECT doc_id,
+         |  len(${sqlWords("text")}) AS n_words,
+         |  len(list_distinct(${sqlWords("text")})) AS n_distinct_words,
+         |  round(1.0 - CAST(len(list_distinct(${sqlWords("text")})) AS DOUBLE)
+         |    / len(${sqlWords("text")}), 6) AS word_rep_ratio,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |    / len(${sqlWords("text")}), 6) AS mean_word_len,
+         |  round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / len(${sqlWords("text")}), 6) AS symbols_per_word
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t05_pii" ->

@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
     assert(straddling == 0, "an edge connects two different clusters")
   }
 
+  test("d07 decontamination broadcasts the benchmark side and flags only corpus docs") {
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val flagged = Dedup.decontaminate(corpus, bench)
+    assert(flagged.filter(col("doc_id") < 10).count() == 0)
+    assert(flagged.filter(col("n_shared") < 1).count() == 0)
+    val plan = flagged.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set should broadcast:\n$plan")
+    // a doc that IS a benchmark doc must be flagged with every shingle shared
+    val selfHit = Dedup.decontaminate(bench.limit(1), bench)
+    assert(selfHit.count() == 1)
+  }
+
   test("no dedup plan contains a cartesian product — all pair generation is bucketed") {
     Seq(
       Dedup.minhashCandidates(docs),
