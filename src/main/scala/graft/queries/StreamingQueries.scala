@@ -27,7 +27,14 @@ object StreamingQueries {
     // EventStreams.dedupKeyed + StreamingSpec)
     "q32_stream_dedup" -> ((s, dir) =>
       EventStreams.firstEventPerKey(events(s, dir))
-        .orderBy("user_id", "event_type")))
+        .orderBy("user_id", "event_type")),
+
+    // q36 stream-static enrichment join (batch-equivalent entry; the
+    // streaming twin joins each micro-batch against the broadcast
+    // dimension — see EventStreams.enrichedCounts + StreamingSpec)
+    "q36_stream_enrich" -> ((s, dir) =>
+      EventStreams.enrichedCounts(events(s, dir), t(s, dir, "customer"))
+        .orderBy("c_mktsegment", "event_type")))
 
   val oracles: Map[String, String] = Map(
     "q30_stream_batch" ->
@@ -61,5 +68,12 @@ object StreamingQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER
         |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q36_stream_enrich" ->
+      s"""SELECT c_mktsegment, event_type, COUNT(*) AS cnt,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment, event_type
+         |ORDER BY c_mktsegment, event_type""".stripMargin)
 }

@@ -130,6 +130,20 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** q36: stream-static enrichment — every micro-batch of the event
+    * stream joins the static customer dimension and rolls up per
+    * (segment, event_type). The static side is BROADCAST: each executor
+    * holds the dimension once and the stream is never shuffled for the
+    * join (stream-static joins are stateless — no watermark state at
+    * all; only the downstream aggregation keeps state). The same call
+    * works on a batch frame, which is the oracle-checked q36 entry. */
+  def enrichedCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+
   /** Batch-equivalent first-event-per-key (the oracle-checkable q32
     * shape): rank by (ts, event_id) within the key — the event_id
     * tiebreak makes the kept row deterministic under ts collisions —

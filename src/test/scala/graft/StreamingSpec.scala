@@ -134,6 +134,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == 3) // 3 distinct keys; 3 duplicate arrivals suppressed
   }
 
+  test("q36 stream-static enrichment matches the batch join, dimension broadcast") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+    val events = Seq(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "view", 2.0),
+      Event(3, ts(3), 1, "click", 3.0),
+      Event(4, ts(4), 3, "purchase", 4.0))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.enrichedCounts(stream.toDF(), customers)
+      .writeStream.format("memory").queryName("q36_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(events.take(2)); q.processAllAvailable()
+      stream.addData(events.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("q36_out")
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+    val batch = EventStreams.enrichedCounts(events.toDF(), customers)
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+    assert(streamed == batch)
+    val plan = EventStreams.enrichedCounts(events.toDF(), customers)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$plan")
+  }
+
   test("file source -> windowed agg -> file sink with checkpoint recovers batch results") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
