@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.TableLayout
+import org.apache.spark.sql.functions._
+
+class TableLayoutSpec extends SparkSpec {
+
+  test("co-bucketed tables join with zero exchanges") {
+    // the in-memory catalog forgets tables between sessions but their
+    // warehouse directories persist — clear both before writing
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    TableLayout.writeBucketed(o, "orders_b", "o_orderkey", 4)
+    TableLayout.writeBucketed(
+      l.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 4)
+    val joined = TableLayout.readBucketed(spark, "orders_b")
+      .join(TableLayout.readBucketed(spark, "lineitem_b"), "o_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    // the join needs NO shuffle: both sides arrive pre-hashed on the key.
+    // (the groupBy on a different key still exchanges once.)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"co-bucketed join should not shuffle its inputs:\n$plan")
+    // and the result matches the plain (shuffling) join
+    val plain = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    assert(joined.orderBy("o_orderstatus").collect().toSeq ==
+      plain.orderBy("o_orderstatus").collect().toSeq)
+  }
+
+  test("partition-pruned scan reads only the predicate's directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val e = graft.queries.Ops.events(spark, sfDir)
+    TableLayout.writePartitioned(e, dir, "event_type")
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type"), s"no partition pruning in scan:\n$scan")
+    assert(pruned.count() == e.filter(col("event_type") === "click").count())
+    // directory layout: one subdir per event_type value
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.forall(_.startsWith("event_type=")))
+  }
+}
