@@ -72,6 +72,20 @@ object TextQueries {
         length(col("text")).as("raw_len"))
         .orderBy("doc_id")),
 
+    // t07 vocabulary extraction: corpus-level token frequencies, top
+    // 100 by count — the counting pass a tokenizer build starts from.
+    // explode is a generator in the scan stage; the groupBy(word) gets
+    // map-side partial counts, so the shuffle carries one row per
+    // distinct word per task (vocabulary-sized, not corpus-sized), and
+    // the global top-k plans as TakeOrderedAndProject.
+    "t07_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(100)),
+
     // t06 repetition / composition signals (the Gopher-style filters a
     // crawl-cleaning pipeline gates on): duplicate-word mass, mean word
     // length, symbols-per-word. Pure map-side projection, one scan.
@@ -147,6 +161,12 @@ object TextQueries {
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp,
          |  length(text) AS raw_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t07_vocab" ->
+      s"""SELECT word, COUNT(*) AS freq,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |FROM (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents)
+         |GROUP BY word ORDER BY freq DESC, word LIMIT 100""".stripMargin,
 
     "t06_repetition" ->
       s"""SELECT doc_id,

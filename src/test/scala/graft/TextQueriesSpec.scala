@@ -6,11 +6,24 @@ import org.apache.spark.sql.functions._
 
 class TextQueriesSpec extends SparkSpec {
 
-  test("every text query runs and returns one row per document") {
+  test("every per-doc text query runs and returns one row per document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    TextQueries.defs.foreach { case (name, fn) =>
+    (TextQueries.defs - "t07_vocab").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
+  }
+
+  test("t07 vocabulary: top-k by frequency, doc_freq bounded, TakeOrdered plan") {
+    val df = TextQueries.defs("t07_vocab")(spark, sfDir)
+    val rows = df.collect()
+    // the synthetic vocabulary is smaller than k, so the limit returns it all
+    assert(rows.length > 0 && rows.length <= 100)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getAs[Long]("doc_freq") <= r.getAs[Long]("freq")))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should not be a full sort:\n$plan")
   }
 
   test("t01 lang_pred is always one of the scored languages") {
