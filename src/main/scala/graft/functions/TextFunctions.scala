@@ -15,12 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Java regex `\s` is `[ \t\n\x0B\f\r]` but RE2's (DuckDB's) `\s`
+    * EXCLUDES vertical tab — the one divergence between the engines'
+    * regex dialects this library touches. The SQL twins therefore spell
+    * the class out (identical to Java's `\s`), so a corpus containing
+    * \x0B still hash-matches the oracle. */
+  val SqlWs = """ \t\n\f\r\x0B"""
+
   /** Whitespace-collapsed, trimmed, lower-cased content — the canonical
     * form shared by fingerprinting (t04) and exact dedup (d01). */
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
   def sqlNormText(e: String): String =
-    s"lower(trim(regexp_replace($e, '\\s+', ' ', 'g')))"
+    s"lower(trim(regexp_replace($e, '[$SqlWs]+', ' ', 'g')))"
 
   /** 128-bit content fingerprint of the normalized text (t04/d01).
     * md5 chosen over xxhash because both Spark and DuckDB expose it with
@@ -32,12 +39,14 @@ object TextFunctions {
   def wsTokenCount(c: Column): Column =
     size(regexp_extract_all(trim(c), lit("\\S+"), lit(0)))
   def sqlWsTokenCount(e: String): String =
-    s"len(regexp_extract_all(trim($e), '\\S+'))"
+    s"len(regexp_extract_all(trim($e), '[^$SqlWs]+'))"
 
   /** BPE-ish subword-boundary token count (t03): letter runs, digit
     * runs, and single non-alphanumeric marks — the pre-tokenization
     * split most BPE vocabularies start from. */
-  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  // the explicit class spelling keeps the SHARED pattern string
+  // identical to `[^a-z0-9\s]` in Java while staying \x0B-correct in RE2
+  val BpePattern = s"[a-z]+|[0-9]+|[^a-z0-9$SqlWs]"
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit(BpePattern), lit(0)))
   def sqlBpeTokenCount(e: String): String =
@@ -72,16 +81,20 @@ object TextFunctions {
   def punctRatio(c: Column): Column =
     length(regexp_replace(lower(c), "[a-z0-9\\s]", "")).cast("double") / length(c)
   def sqlPunctRatio(e: String): String =
-    s"(CAST(length(regexp_replace(lower($e), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length($e))"
+    s"(CAST(length(regexp_replace(lower($e), '[a-z0-9$SqlWs]', '', 'g')) AS DOUBLE) / length($e))"
 
   /** PII scrubbing (t05): email and phone-number shaped spans replaced
     * with typed placeholders. Patterns restricted to constructs whose
     * semantics are identical in Java regex (Spark, codegen'd
-    * regexp_replace) and RE2 (DuckDB): character classes + greedy
-    * quantifiers, no alternation/backrefs. Emails first so the phone
-    * pass never splits an address's digit runs. */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+"
-  val PhonePattern = "[+]?[0-9][0-9-]{5,}"
+    * regexp_replace) and RE2 (DuckDB): `(?i)`, character classes and
+    * greedy quantifiers — no alternation/backrefs. Emails first so the
+    * phone pass never splits an address's digit runs. The phone class
+    * admits separators (dots, parens, spaces) but must END on a digit,
+    * so it never swallows trailing prose; over-matching adjacent digit
+    * groups is accepted — for a scrubber, over-redaction is the safe
+    * failure mode. */
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+"
+  val PhonePattern = "[+]?[(]?[0-9][0-9() .-]{5,}[0-9]"
   def piiRedact(c: Column): Column =
     regexp_replace(
       regexp_replace(c, EmailPattern, "<EMAIL>"),

@@ -110,13 +110,18 @@ object Dedup {
     * monotonically non-increasing and strictly decreases iff any label
     * moved), so the driver never sees row data. */
   def clusters(docs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val pairs = minhashCandidates(docs)
+    // checkpoint the candidate pairs BEFORE mirroring them: the band
+    // self-join (the expensive stage) runs once, and both union
+    // branches are trivial column swaps of the materialized result
+    val pairs = minhashCandidates(docs).localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // candidates are reused every round: compute once
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_rep"))
       .localCheckpoint()
-    var checksum = labels.agg(sum("cluster_rep")).first().getLong(0)
+    // coalesce(0): an empty corpus sums to NULL, not 0
+    def sumLabels(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster_rep"), lit(0L))).first().getLong(0)
+    var checksum = sumLabels(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -127,12 +132,19 @@ object Dedup {
           least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep")))
             .as("cluster_rep"))
         .localCheckpoint()
-      val newSum = next.agg(sum("cluster_rep")).first().getLong(0)
+      val newSum = sumLabels(next)
       converged = newSum == checksum
       checksum = newSum
       labels = next
       iter += 1
     }
+    // wrong labels must never come back silently: a component with
+    // diameter > maxIters would leave non-minimal reps (and multiple
+    // is_kept docs per cluster) — fail instead so the caller raises
+    // maxIters deliberately
+    require(converged,
+      s"cluster labels did not converge within $maxIters rounds — " +
+        "a candidate component has diameter > maxIters; raise maxIters")
     labels.withColumn("is_kept",
       when(col("cluster_rep") === col("doc_id"), 1).otherwise(0))
   }

@@ -174,9 +174,9 @@ object TextQueries {
          |  len(list_distinct(${sqlWords("text")})) AS n_distinct_words,
          |  round(1.0 - CAST(len(list_distinct(${sqlWords("text")})) AS DOUBLE)
          |    / len(${sqlWords("text")}), 6) AS word_rep_ratio,
-         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |  round(CAST(length(regexp_replace(text, '[$SqlWs]', '', 'g')) AS DOUBLE)
          |    / len(${sqlWords("text")}), 6) AS mean_word_len,
-         |  round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |  round(CAST(length(regexp_replace(lower(text), '[a-z0-9$SqlWs]', '', 'g')) AS DOUBLE)
          |    / len(${sqlWords("text")}), 6) AS symbols_per_word
          |FROM documents ORDER BY doc_id""".stripMargin,
 
