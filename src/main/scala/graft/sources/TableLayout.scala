@@ -39,4 +39,16 @@ object TableLayout {
     * not survive a plain `spark.read.parquet`). */
   def readBucketed(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Totally-ordered layout: `repartitionByRange` samples the key to
+    * cut balanced ranges across `partitions` tasks, then each task
+    * sorts locally — a global sort with NO single-reducer bottleneck
+    * (file i holds keys entirely before file i+1's). This is how sorted
+    * output leaves a 100 TB job; `orderBy` alone reaches the same plan
+    * only when nothing downstream repartitions first. */
+  def writeGlobalSorted(df: DataFrame, path: String, key: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, df(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

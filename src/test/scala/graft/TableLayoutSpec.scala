@@ -40,6 +40,26 @@ class TableLayoutSpec extends SparkSpec {
       plain.orderBy("o_orderstatus").collect().toSeq)
   }
 
+  test("global-sorted write is range-partitioned: files hold disjoint ordered key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/out"
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    TableLayout.writeGlobalSorted(o, dir, "o_totalprice", 4)
+    // every parquet part file covers a key range disjoint from the others
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val ranges = parts.toSeq.map { f =>
+      val df = spark.read.parquet(f.getAbsolutePath)
+      val r = df.agg(min("o_totalprice"), max("o_totalprice")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    assert(ranges.size > 1, "expected multiple range files")
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap: $ranges")
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(dir).count() == o.count())
+  }
+
   test("partition-pruned scan reads only the predicate's directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val e = graft.queries.Ops.events(spark, sfDir)
