@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Adversarial-input hardening: scalacheck-GENERATED corpora (fixed
+  * seed, so failures reproduce) pushed through the text/dedup operators
+  * as ordinary DataFrames — one Spark job per property over the whole
+  * sample set, not one per sample.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  /** Deterministic sample of n values from a generator. */
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val nastyText: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "word", "123",
+      "a@b.cd", "+1-555-0100", "<EMAIL>", "the", "%", "|", "'", "\\"))
+      .map(_.mkString(" ")),
+    Gen.const(""),
+    Gen.const(" \t\n\f\r "))
+
+  test("piiRedact is idempotent on adversarial strings") {
+    import spark.implicits._
+    val df = sample(nastyText, 300).toDF("text")
+    val once = TextFunctions.piiRedact(col("text"))
+    val twice = TextFunctions.piiRedact(once)
+    assert(df.filter(not(twice <=> once)).count() == 0)
+  }
+
+  test("fingerprint is whitespace-normalization invariant on generated text") {
+    import spark.implicits._
+    val texts = sample(Gen.asciiPrintableStr, 200)
+    // the same text with extra whitespace wrapping/padding must collide
+    val df = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, s"  ${t.replace(" ", "\t ")} \n")
+    }.toDF("id", "a", "b")
+    val diff = df.filter(
+      TextFunctions.fingerprint(col("a")) =!= TextFunctions.fingerprint(col("b"))).count()
+    assert(diff == 0)
+  }
+
+  test("token counts are non-negative and bpe >= ws on adversarial strings") {
+    import spark.implicits._
+    val df = sample(nastyText, 300).toDF("text")
+    val bad = df.select(
+      TextFunctions.wsTokenCount(col("text")).as("ws"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe"))
+      .filter(col("ws") < 0 || col("bpe") < col("ws")).count()
+    assert(bad == 0)
+  }
+
+  test("simhash hamming distance is symmetric and bounded on generated docs") {
+    import spark.implicits._
+    val docs = sample(nastyText.suchThat(_.trim.nonEmpty), 60)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val s = Dedup.simhashed(docs)
+    val pairs = s.as("l").crossJoin(s.as("r"))
+      .select(
+        Dedup.hamming(col("l.simhash"), col("r.simhash")).as("h_lr"),
+        Dedup.hamming(col("r.simhash"), col("l.simhash")).as("h_rl"))
+    assert(pairs.filter(col("h_lr") =!= col("h_rl")).count() == 0)
+    assert(pairs.filter(col("h_lr") < 0 || col("h_lr") > 64).count() == 0)
+  }
+
+  test("empty inputs flow through the operator families without errors") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.minhashCandidates(noDocs).count() == 0)
+    assert(Dedup.simhashPairs(noDocs).count() == 0)
+    assert(Dedup.jaccardPairs(noDocs).count() == 0)
+    assert(Dedup.clusters(noDocs).count() == 0)
+    assert(Dedup.decontaminate(noDocs, noDocs).count() == 0)
+    assert(Dedup.embeddingCosinePairs(noVecs).count() == 0)
+    val q = Similarity.defaultQueries(noVecs)
+    assert(Similarity.bruteForceTopK(noVecs, q).count() == 0)
+    assert(Similarity.annTopK(noVecs, q).count() == 0)
+    assert(Similarity.ivfTopK(noVecs, q).count() == 0)
+  }
+
+  test("single-document corpus: no self-pairs, cluster keeps itself") {
+    import spark.implicits._
+    val one = Seq((42L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(one).count() == 0)
+    assert(Dedup.simhashPairs(one).count() == 0)
+    val labels = Dedup.clusters(one).collect()
+    assert(labels.length == 1)
+    assert(labels.head.getAs[Long]("cluster_rep") == 42L)
+    assert(labels.head.getAs[Int]("is_kept") == 1)
+  }
+}
