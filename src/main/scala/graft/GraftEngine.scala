@@ -120,6 +120,8 @@ object GraftEngine {
     spark.conf.set("spark.sql.files.maxPartitionBytes", cfg.maxPartitionBytes)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", cfg.autoBroadcastThreshold)
     spark.conf.set("spark.sql.adaptive.enabled", cfg.adaptiveEnabled.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", cfg.adaptiveEnabled.toString)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", cfg.adaptiveEnabled.toString)
     spark.conf.set("spark.sql.session.timeZone", cfg.sessionTimeZone)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLogLevel("WARN")

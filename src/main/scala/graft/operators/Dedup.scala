@@ -224,15 +224,20 @@ object Dedup {
 
   /** Exact shingle-Jaccard, evaluated ONLY on the MinHash-LSH candidate
     * pairs (never all-pairs): candidates ⋈ shingle sets, then
-    * |A∩B| / |A|+|B|-|A∩B| in exact integer counts. */
+    * |A∩B| / |A|+|B|-|A∩B| in exact integer counts. The intersection
+    * uses the native `array_intersect` expression (hash-set build, one
+    * pass over each array) computed ONCE per pair — not the interpreted
+    * `filter`+`array_contains` HOF, which is O(|A|·|B|) per evaluation
+    * and falls out of codegen. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val sh = shingleSets(docs)
-    val inter = size(filter(col("sa"), x => array_contains(col("sb"), x)))
     minhashCandidates(docs)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 

@@ -94,11 +94,12 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       val decoder = new StubMediaDecoder
-      val out = it.map(decoder.decode)
-      new Iterator[MediaFeatures] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) decoder.close(); h }
-        def next(): MediaFeatures = out.next()
-      }
+      // close on TASK COMPLETION, not iterator exhaustion: a limit/take
+      // or a downstream failure abandons the iterator mid-partition,
+      // and a real native decoder would leak its handle per task
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+      it.map(decoder.decode)
     }
   }
 }

@@ -126,9 +126,14 @@ object Similarity {
       struct(col("cent_id"), col("cv"), col("cnorm")))).as("cents"))
     val assigned = corpus.crossJoin(broadcast(centArr))
       .withColumn("best", aggregate(col("cents"),
-        struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
+        struct(lit(-3.0).as("ccos"), lit(-1L).as("cell")),
         (acc, c) => {
-          val s = cellCos(col("v"), col("norm"), c)
+          // NULL scores (zero-norm vector or centroid) fold as -2 —
+          // below every real cosine — so a degenerate vector is still
+          // assigned to its lowest-cent_id cell, matching the oracle's
+          // NULLS-LAST ROW_NUMBER, instead of silently dropping out of
+          // the cell join with cell = -1
+          val s = coalesce(cellCos(col("v"), col("norm"), c), lit(-2.0))
           when(s > acc.getField("ccos"),
             struct(s.as("ccos"), c.getField("cent_id").as("cell")))
             .otherwise(acc)

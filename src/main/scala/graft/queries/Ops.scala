@@ -33,9 +33,12 @@ object Ops {
   /** DuckDB twin of [[graft.operators.Dedup.dot]]: sequential fold in
     * list order, bounds derived from the list itself (no hard-coded
     * dimension — a corpus with a different embedding width stays
-    * oracle-comparable). */
+    * oracle-comparable). Matches DotProduct's edge semantics: length
+    * mismatch → NULL (never a plausible partial sum over the shorter
+    * prefix), two empty lists → 0.0 (SQL SUM of zero rows is NULL). */
   def sqlListDot(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    s"(CASE WHEN len($a) <> len($b) THEN NULL ELSE " +
+      s"coalesce(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), 0.0) END)"
 
   /** DuckDB twin of the per-vector L2 norm used by cosine scoring. */
   def sqlListNorm(e: String): String =

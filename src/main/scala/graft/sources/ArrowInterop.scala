@@ -202,7 +202,8 @@ object ArrowInterop {
     require(!requireSuccessMarker || new File(dir, "_SUCCESS").exists(),
       s"$dir has no _SUCCESS marker — the writing job did not finish " +
         "(pass requireSuccessMarker = false to read anyway)")
-    val files = new File(dir).listFiles()
+    // listFiles is null (not empty) for a missing/unreadable directory
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
     require(files.nonEmpty, s"no .arrow files under $dir")
     val schema = {

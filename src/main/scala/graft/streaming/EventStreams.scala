@@ -69,9 +69,23 @@ object EventStreams {
     * reordering under arbitrary lateness requires buffering the
     * watermark window per key (O(rate × delay) state), which this
     * operator deliberately trades away. */
+  /** Timestamp ↔ epoch-MICROsecond conversions: the session state and
+    * gap arithmetic run at µs precision to match [[sessionizeBatch]]
+    * (which compares `unix_micros` deltas) and the events table's µs
+    * timestamps — ms-truncated arithmetic would merge sessions exactly
+    * GAP+sub-ms apart and shift emitted bounds on µs-resolution data. */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionize(events: Dataset[Event], watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+    val gapUs = SessionGapMs * 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -79,20 +93,20 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           def close(s: SessionState): Session =
-            Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+            Session(userId, toTimestamp(s.start), toTimestamp(s.end), s.n, s.sum)
           if (it.isEmpty && state.hasTimedOut) {
             // watermark passed session_end + gap: flush and evict
             val out = state.getOption.map(close).iterator
             state.remove()
             out
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.end > SessionGapMs =>
+                case Some(s) if t - s.end > gapUs =>
                   closed += close(s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
@@ -107,8 +121,10 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              // close the open session once the watermark is past its gap
-              state.setTimeoutTimestamp(s.end + SessionGapMs)
+              // close the open session once the watermark is past its
+              // gap (timeout timestamps are ms-resolution: round UP so
+              // the timeout never fires a hair before the µs boundary)
+              state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999L, 1000L))
             }
             closed.result().iterator
           }
