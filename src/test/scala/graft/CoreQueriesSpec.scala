@@ -97,6 +97,16 @@ class CoreQueriesSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("shuffle-hash hint yields a ShuffledHashJoin (reference radix-hash analogue)") {
+    import org.apache.spark.sql.functions._
+    val o = graft.queries.Ops.t(spark, sfDir, "orders")
+    val l = graft.queries.Ops.t(spark, sfDir, "lineitem")
+    val joined = o.hint("SHUFFLE_HASH").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"), s"hint not honored:\n$plan")
+  }
+
   test("merge hint yields a sort-merge join (q08)") {
     val df = CoreQueries.defs("q08_join_sortmerge")(spark, sfDir)
     assert(df.queryExecution.executedPlan.toString().contains("SortMergeJoin"))
