@@ -294,6 +294,22 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // explicit NULL ordering: the left join leaves customers without
+    // orders at max_price = NULL; NULLS FIRST puts them at the head of
+    // the limited result, so the LIMIT's row selection (not just its
+    // presentation order) depends on honoring the null placement — an
+    // ordering-semantics check the row-canonicalizing driver hash would
+    // otherwise never see.
+    "q37_null_ordering" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(max(o("o_totalprice")).as("max_price"))
+        .orderBy(col("max_price").asc_nulls_first, col("c_custkey").asc)
+        .limit(50)
+    }),
+
     // correlated scalar subquery (decorrelated by Catalyst into a left
     // outer aggregate join — the declarative form is the point: the
     // user writes the subquery, the optimizer picks the join plan)
@@ -533,6 +549,13 @@ object CoreQueries {
         |  f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q37_null_ordering" ->
+      """SELECT c_custkey, MAX(o_totalprice) AS max_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY max_price ASC NULLS FIRST, c_custkey ASC
+        |LIMIT 50""".stripMargin,
 
     "q35_corr_subquery" ->
       """SELECT c_custkey, c_mktsegment,

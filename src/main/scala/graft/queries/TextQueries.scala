@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import Ops._
@@ -86,6 +87,32 @@ object TextQueries {
         .orderBy(col("freq").desc, col("word"))
         .limit(100)),
 
+    // t08 TF-IDF keyword extraction: top-3 highest-scoring terms per
+    // document. Term frequencies shuffle once on (doc, word), document
+    // frequencies derive from them with a second vocabulary-sized
+    // groupBy, the corpus total is a one-row broadcast, and the per-doc
+    // top-3 plans as WindowGroupLimit. The df join is left unhinted —
+    // vocabulary size varies wildly across corpora, so AQE picks
+    // broadcast vs shuffle at runtime.
+    "t08_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val total = d.select(count(lit(1)).as("n_docs"))
+      val tf = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("word").asc)
+      tf.join(docFreq, "word")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // t06 repetition / composition signals (the Gopher-style filters a
     // crawl-cleaning pipeline gates on): duplicate-word mass, mean word
     // length, symbols-per-word. Pure map-side projection, one scan.
@@ -161,6 +188,23 @@ object TextQueries {
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp,
          |  length(text) AS raw_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t08_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.word, tf.tf, dfreq.df,
+         |    round(tf.tf * ln((tot.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN tot)
+         |SELECT doc_id, word, tf, df, tfidf, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER
+         |    (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "t07_vocab" ->
       s"""SELECT word, COUNT(*) AS freq,

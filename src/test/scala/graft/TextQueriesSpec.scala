@@ -8,9 +8,20 @@ class TextQueriesSpec extends SparkSpec {
 
   test("every per-doc text query runs and returns one row per document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    (TextQueries.defs - "t07_vocab").foreach { case (name, fn) =>
+    (TextQueries.defs - "t07_vocab" - "t08_tfidf").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
+  }
+
+  test("t08 TF-IDF: 3 keywords per doc, rarer terms outscore ubiquitous ones") {
+    val df = TextQueries.defs("t08_tfidf")(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(df.count() == docs * 3)
+    // a term appearing in EVERY document has idf = ln((N+1)/(N+1)) = 0:
+    // it can never outrank a term with df < N and tf >= 1
+    val bad = df.filter(col("df") === lit(docs) && col("tfidf") > 0).count()
+    assert(bad == 0)
+    assert(df.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
   }
 
   test("t07 vocabulary: top-k by frequency, doc_freq bounded, TakeOrdered plan") {
