@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 import Ops._
 
@@ -28,6 +29,18 @@ object StreamingQueries {
     "q32_stream_dedup" -> ((s, dir) =>
       EventStreams.firstEventPerKey(events(s, dir))
         .orderBy("user_id", "event_type")),
+
+    // q38 stream-stream interval join (batch-equivalent entry; the
+    // streaming twin watermarks both sides and the bounded interval
+    // predicate is what caps the join state — see
+    // EventStreams.clickPurchaseJoin + StreamingSpec)
+    "q38_stream_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      EventStreams.clickPurchaseJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_ts")
+    }),
 
     // q36 stream-static enrichment join (batch-equivalent entry; the
     // streaming twin joins each micro-batch against the broadcast
@@ -69,6 +82,18 @@ object StreamingQueries {
         |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q38_stream_join" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id AS p_user, ts AS purchase_ts,
+         |    value AS purchase_value
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT click_id, user_id, click_ts, purchase_ts, purchase_value
+         |FROM c JOIN p ON user_id = p_user
+         |  AND purchase_ts >= click_ts
+         |  AND purchase_ts <= click_ts + INTERVAL ${EventStreams.JoinWindowMs / 1000} SECOND
+         |ORDER BY click_id, purchase_ts""".stripMargin,
 
     "q36_stream_enrich" ->
       s"""SELECT c_mktsegment, event_type, COUNT(*) AS cnt,

@@ -160,6 +160,33 @@ object EventStreams {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
 
+  /** q38: stream-stream interval join — every click paired with the
+    * same user's purchases in the hour after it. Both sides carry
+    * watermarks and the join predicate bounds purchase_ts to a window
+    * around click_ts, which is what lets Structured Streaming EVICT
+    * buffered rows: a click older than watermark−1h can never match a
+    * future purchase, so per-side state is (rate × (watermark + join
+    * window)), never unbounded. Exactly one shuffle on user_id per
+    * side. The same call on batch frames is the oracle-checked q38
+    * entry — the streaming run converges to it once watermarks pass. */
+  val JoinWindowMs: Long = 60 * 60 * 1000
+
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Batch-equivalent first-event-per-key (the oracle-checkable q32
     * shape): rank by (ts, event_id) within the key — the event_id
     * tiebreak makes the kept row deterministic under ts collisions —

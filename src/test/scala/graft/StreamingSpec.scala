@@ -134,6 +134,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == 3) // 3 distinct keys; 3 duplicate arrivals suppressed
   }
 
+  test("q38 stream-stream interval join matches the batch join once watermarks pass") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = Seq(
+      Event(1, ts(0), 1, "click", 0.0),
+      Event(2, ts(30), 1, "click", 0.0),
+      Event(3, ts(10), 2, "click", 0.0))
+    val purchases = Seq(
+      Event(11, ts(20), 1, "purchase", 5.0), // joins clicks 1 and 2? no — 20 < 30, joins click 1 only
+      Event(12, ts(45), 1, "purchase", 7.0), // joins clicks 1 (45m < 60m) and 2
+      Event(13, tsAt(12, 0), 2, "purchase", 9.0)) // 110min after click 3 — outside window
+    val cs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("q38_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cs.addData(clicks.take(2)); ps.addData(purchases.take(1)); q.processAllAvailable()
+      cs.addData(clicks.drop(2)); ps.addData(purchases.drop(1)); q.processAllAvailable()
+      // push both watermarks far forward so every joinable pair emits
+      cs.addData(Event(98, tsAt(23, 0), 9, "click", 0.0))
+      ps.addData(Event(99, tsAt(23, 30), 9, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("q38_out").filter(col("user_id") =!= 9)
+      .orderBy("click_id", "purchase_ts").collect().toSeq
+    val batch = EventStreams.clickPurchaseJoin(
+      clicks.toDF(), purchases.toDF())
+      .orderBy("click_id", "purchase_ts").collect().toSeq
+    assert(streamed == batch)
+    // click 1 pairs with purchases 11+12, click 2 with 12, click 3 with none
+    assert(streamed.map(_.getAs[Long]("click_id")) == Seq(1L, 1L, 2L))
+  }
+
   test("q36 stream-static enrichment matches the batch join, dimension broadcast") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
