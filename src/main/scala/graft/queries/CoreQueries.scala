@@ -294,6 +294,21 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // multiple DISTINCT aggregates in one pass: Catalyst rewrites them
+    // with a single Expand (one replica per distinct column) + two-level
+    // aggregation — one query-shaped scan instead of N self-joins, the
+    // multi-distinct plan every OLAP engine special-cases.
+    "q39_multi_distinct" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // explicit NULL ordering: the left join leaves customers without
     // orders at max_price = NULL; NULLS FIRST puts them at the head of
     // the limited result, so the LIMIT's row selection (not just its
@@ -549,6 +564,13 @@ object CoreQueries {
         |  f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q39_multi_distinct" ->
+      s"""SELECT l_returnflag,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q37_null_ordering" ->
       """SELECT c_custkey, MAX(o_totalprice) AS max_price

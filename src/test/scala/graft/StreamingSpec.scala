@@ -230,6 +230,35 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.nonEmpty)
   }
 
+  test("the text operators run unchanged on a stream (batch/stream unification)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    // the same column expressions used by t02/t05 applied to a readStream
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      piiRedact(col("text")).as("clean_text"),
+      wsTokenCount(col("text")).as("n_words"),
+      fingerprint(col("text")).as("fp"))
+    val docs = Seq(
+      (1L, "contact me at a@b.cd about the fox"),
+      (2L, "just plain words here"),
+      (3L, "call +1-555-0100 tomorrow"))
+    val stream = MemoryStream[(Long, String)]
+    val q = pipeline(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("text_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(docs.take(1)); q.processAllAvailable()
+      stream.addData(docs.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("text_stream_out").orderBy("doc_id").collect().toSeq
+    val batch = pipeline(docs.toDF("doc_id", "text")).orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_.getAs[String]("clean_text").contains("<EMAIL>")))
+    assert(streamed.exists(_.getAs[String]("clean_text").contains("<PHONE>")))
+  }
+
   test("sessionization state is one open session per user (bounded state)") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
