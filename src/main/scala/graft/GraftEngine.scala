@@ -79,6 +79,16 @@ final class GraftEngine(val spark: SparkSession) {
     * performs predicate/projection pushdown, filter merging, constant
     * folding and join planning (reference: optimizer.rs) natively. */
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Formatted physical plan of a SQL query without executing it — the
+    * introspection hook for checking pushdown/broadcast/codegen before
+    * burning cluster hours (see PLANS.md for the audited shapes). */
+  def explain(query: String): String = {
+    val df = spark.sql(query)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(buf)(df.explain("formatted"))
+    buf.toString
+  }
 }
 
 object GraftEngine {

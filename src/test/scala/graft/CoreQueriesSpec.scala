@@ -117,6 +117,15 @@ class CoreQueriesSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString().contains("TakeOrderedAndProject"))
   }
 
+  test("GraftEngine.explain returns the formatted plan without executing") {
+    val e = GraftEngine.forDir(spark, sfDir)
+    val plan = e.explain(
+      "SELECT l_returnflag, SUM(l_quantity) FROM lineitem WHERE l_discount > 0.05 GROUP BY 1")
+    assert(plan.contains("Scan parquet"))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("GraftEngine catalog registers and lists tables") {
     val e = new GraftEngine(spark)
     e.loadTable("nation_t", s"$sfDir/nation.parquet")
