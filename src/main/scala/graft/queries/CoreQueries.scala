@@ -294,6 +294,30 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (min / clamped difference of per-value counts),
+    // which Catalyst plans as one aggregation counting per side — no
+    // row-by-row matching. Complements q21's set-semantics pair.
+    "q40_bag_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def side(status: String) =
+        o.filter(col("o_orderstatus") === status).select("o_orderpriority")
+      side("F").intersectAll(side("O")).withColumn("side", lit("both"))
+        .unionAll(side("F").exceptAll(side("O")).withColumn("side", lit("only_f")))
+        .groupBy("side", "o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("side", "o_orderpriority")
+    }),
+
+    // pagination: ORDER BY ... LIMIT/OFFSET with a unique-key tiebreak
+    // (without it, page boundaries are nondeterministic across runs and
+    // engines). Spark still plans the limit+offset as a single
+    // TakeOrdered-style global top-(offset+limit), never a full sort.
+    "q41_pagination" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100).limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
     // multiple DISTINCT aggregates in one pass: Catalyst rewrites them
     // with a single Expand (one replica per distinct column) + two-level
     // aggregation — one query-shaped scan instead of N self-joins, the
@@ -564,6 +588,25 @@ object CoreQueries {
         |  f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q40_bag_setops" ->
+      """WITH f AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |     o2 AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+        |     tagged AS (
+        |       SELECT o_orderpriority, 'both' AS side
+        |       FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o2)
+        |       UNION ALL
+        |       SELECT o_orderpriority, 'only_f' AS side
+        |       FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o2))
+        |SELECT side, o_orderpriority, COUNT(*) AS cnt
+        |FROM tagged GROUP BY side, o_orderpriority
+        |ORDER BY side, o_orderpriority""".stripMargin,
+
+    "q41_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 100""".stripMargin,
 
     "q39_multi_distinct" ->
       s"""SELECT l_returnflag,
