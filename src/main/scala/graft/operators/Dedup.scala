@@ -149,6 +149,48 @@ object Dedup {
       when(col("cluster_rep") === col("doc_id"), 1).otherwise(0))
   }
 
+  // ---- d08: aligned-block overlap (partial-duplicate spans) ---------------
+
+  val BlockLen = 64
+  val MinSharedBlocks = 2
+  val MaxBlockDf = 50
+
+  /** Pairs of documents sharing ≥ [[MinSharedBlocks]] aligned
+    * [[BlockLen]]-char blocks of normalized content — the PARTIAL-dup
+    * signal (shared boilerplate paragraphs, quoted spans) that
+    * whole-document near-dup (d02/d03) misses when overall similarity
+    * is low. Blocks whose document frequency exceeds [[MaxBlockDf]]
+    * are dropped before pairing: they are corpus-wide boilerplate, not
+    * a duplication signal — and the cap simultaneously BOUNDS the
+    * within-block pair blowup, the same skew rule every bucket join
+    * here follows. Docs shorter than one block carry no signal and drop
+    * out. One shuffle on the block hash; no cross product. */
+  def blockOverlapPairs(docs: DataFrame): DataFrame = {
+    val norm = normText(col("text"))
+    val blocks = docs
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= BlockLen)
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(0), (length(col("norm")) / BlockLen).cast("int") - 1))
+          .as("bi"))
+      .select(col("doc_id"),
+        md5(substring_index_block(col("norm"), col("bi"))).as("bh"))
+      .distinct()
+    val rare = blocks.groupBy("bh").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= MaxBlockDf).select("bh")
+    val b = blocks.join(rare, "bh")
+    b.as("l").join(b.as("r"),
+        col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_blocks"))
+      .filter(col("shared_blocks") >= MinSharedBlocks)
+  }
+
+  /** `BlockLen`-char substring starting at block index `bi` (1-based
+    * substring arithmetic, identical in Spark and DuckDB). */
+  private def substring_index_block(norm: Column, bi: Column): Column =
+    norm.substr(bi * BlockLen + 1, lit(BlockLen))
+
   // ---- d07: benchmark decontamination -------------------------------------
 
   /** Flag corpus documents that share at least one word `ShingleK`-gram

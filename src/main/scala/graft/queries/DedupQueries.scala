@@ -97,6 +97,12 @@ object DedupQueries {
     "d05_dedup_embcos" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")),
 
+    // d08: aligned-block partial-duplicate pairs (shared verbatim
+    // spans; boilerplate-frequency blocks excluded, which also bounds
+    // the block-bucket skew)
+    "d08_block_overlap" -> ((s, dir) =>
+      Dedup.blockOverlapPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
     // d07: test-set decontamination — corpus docs sharing any word
     // 3-gram with the benchmark slice (docs 0-9 stand in for a held-out
     // eval suite; the benchmark shingle set is broadcast)
@@ -148,6 +154,23 @@ object DedupQueries {
          |WHERE CAST(len(list_filter(l.shingles, x -> list_contains(r.shingles, x))) AS DOUBLE)
          |    / (len(l.shingles) + len(r.shingles)
          |       - len(list_filter(l.shingles, x -> list_contains(r.shingles, x)))) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d08_block_overlap" ->
+      s"""WITH n AS (SELECT doc_id, ${sqlNormText("text")} AS norm FROM documents),
+         |b0 AS (SELECT doc_id, norm,
+         |    CAST(unnest(range(0, CAST(floor(length(norm) / ${Dedup.BlockLen}) AS INTEGER))) AS INTEGER) AS bi
+         |  FROM n WHERE length(norm) >= ${Dedup.BlockLen}),
+         |b AS (SELECT DISTINCT doc_id,
+         |    md5(substring(norm, bi * ${Dedup.BlockLen} + 1, ${Dedup.BlockLen})) AS bh
+         |  FROM b0),
+         |dfq AS (SELECT bh, COUNT(*) AS bdf FROM b GROUP BY bh),
+         |bf AS (SELECT b.doc_id, b.bh FROM b JOIN dfq USING (bh)
+         |  WHERE bdf <= ${Dedup.MaxBlockDf})
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  COUNT(*) AS shared_blocks
+         |FROM bf l JOIN bf r ON l.bh = r.bh AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= ${Dedup.MinSharedBlocks}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d07_decontam" ->

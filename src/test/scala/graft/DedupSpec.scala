@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
     assert(straddling == 0, "an edge connects two different clusters")
   }
 
+  test("d08 block overlap finds planted shared spans and respects the df cap") {
+    import spark.implicits._
+    val boiler = ("x" * 64) + ("y" * 64) // two aligned 64-char blocks
+    val planted = Seq(
+      (1L, boiler + "unique tail one  padded to keep lengths distinct"),
+      (2L, boiler + "a completely different continuation of the text"),
+      (3L, "no shared content here at all " * 5)).toDF("doc_id", "text")
+    val pairs = Dedup.blockOverlapPairs(planted).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Long]("shared_blocks") >= 2)
+    // ubiquitous blocks are boilerplate, not signal: a block present in
+    // EVERY doc of a corpus larger than MaxBlockDf must produce no pairs
+    val ubiquitous = (1L to (Dedup.MaxBlockDf + 5).toLong)
+      .map(i => (i, boiler + s" doc number $i")).toDF("doc_id", "text")
+    assert(Dedup.blockOverlapPairs(ubiquitous).count() == 0)
+  }
+
   test("d07 decontamination broadcasts the benchmark side and flags only corpus docs") {
     val bench = docs.filter(col("doc_id") < 10)
     val corpus = docs.filter(col("doc_id") >= 10)
