@@ -83,15 +83,19 @@ final class GraftEngine(val spark: SparkSession) {
   /** Formatted physical plan of a SQL query without executing it — the
     * introspection hook for checking pushdown/broadcast/codegen before
     * burning cluster hours (see PLANS.md for the audited shapes). */
-  def explain(query: String): String = {
-    val df = spark.sql(query)
+  def explain(query: String): String =
+    GraftEngine.explainPlan(spark.sql(query))
+}
+
+object GraftEngine {
+  /** The one place that captures `explain("formatted")` output (shared
+    * by [[GraftEngine.explain]] and [[PlanAudit]]). */
+  def explainPlan(df: DataFrame): String = {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(buf)(df.explain("formatted"))
     buf.toString
   }
-}
 
-object GraftEngine {
   /** Session from a [[GraftConfig]]. Settings transfer to a real cluster:
     * AQE on (runtime coalesce + skew-join handling), bounded shuffle
     * parallelism, UTC semantics. `nanosAsLong` is set here once (the

@@ -37,7 +37,7 @@ object Ops {
     * mismatch → NULL (never a plausible partial sum over the shorter
     * prefix), two empty lists → 0.0 (SQL SUM of zero rows is NULL). */
   def sqlListDot(a: String, b: String): String =
-    s"(CASE WHEN len($a) <> len($b) THEN NULL ELSE " +
+    s"(CASE WHEN $a IS NULL OR $b IS NULL OR len($a) <> len($b) THEN NULL ELSE " +
       s"coalesce(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), 0.0) END)"
 
   /** DuckDB twin of the per-vector L2 norm used by cosine scoring. */
