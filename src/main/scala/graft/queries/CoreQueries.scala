@@ -294,6 +294,22 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // mergeable-sketch rollup: per-day HLL sketches (the incrementally
+    // maintained pre-aggregate a 100 TB deployment stores) are UNIONED
+    // into the global distinct estimate without rescanning raw events —
+    // re-aggregability is the property that separates sketches from
+    // plain approx answers. Approximate output → no value oracle
+    // (driver rows-only check); SketchSpec bounds the union estimate
+    // against the exact distinct count instead.
+    "q42_sketch_union" -> ((s, dir) => {
+      val e = events(s, dir)
+      val daily = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users_total"),
+        sum(col("n")).as("n_events"))
+    }),
+
     // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
     // multiplicities (min / clamped difference of per-value counts),
     // which Catalyst plans as one aggregation counting per side — no

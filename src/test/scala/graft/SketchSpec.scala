@@ -27,6 +27,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q42 unioned per-day sketches estimate the global distinct within tolerance") {
+    val row = CoreQueries.defs("q42_sketch_union")(spark, sfDir).head()
+    val exact = Ops.events(spark, sfDir)
+      .agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    val approx = row.getAs[Long]("approx_users_total").toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"sketch union estimate $approx vs exact $exact")
+    assert(row.getAs[Long]("n_events") == Ops.events(spark, sfDir).count())
+  }
+
   test("sketch aggregation is a single partial-aggregated shuffle") {
     val df = CoreQueries.defs("q19_sketches")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString()
