@@ -48,6 +48,7 @@ object ScaleSmoke {
     time("d03_simhash_pairs")(operators.Dedup.simhashPairs(docs))
     time("d05_embcos_pairs")(operators.Dedup.embeddingCosinePairs(embs, signBits = 8))
     time("d06_clusters")(operators.Dedup.clusters(docs))
+    time("d08_block_overlap")(operators.Dedup.blockOverlapPairs(docs))
     time("s01_topk")(operators.Similarity.bruteForceTopK(embs, operators.Similarity.defaultQueries(embs)))
     time("s03_ivf_topk")(operators.Similarity.ivfTopK(embs, operators.Similarity.defaultQueries(embs)))
     spark.stop()
