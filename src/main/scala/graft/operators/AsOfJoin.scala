@@ -43,10 +43,18 @@ object AsOfJoin {
 
   /** @param payload right columns to attach, emitted as `prefix+name`
     *                (rename collisions with left columns are the
-    *                caller's responsibility via `prefix`). */
+    *                caller's responsibility via `prefix`).
+    * @param toleranceMs max lookback: a matched right row older than
+    *                    `leftTime - toleranceMs` is masked to NULL (the
+    *                    pandas `merge_asof(tolerance=...)` semantics —
+    *                    the nearest prior row either qualifies or the
+    *                    left row gets no match; there is no fallback to
+    *                    an even older row). The plan is unchanged: the
+    *                    window still carries the single most recent
+    *                    right row, and the mask is a map-side CASE. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_", toleranceMs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     val outPayload = payload.map(prefix + _)
     val l = left
@@ -59,12 +67,20 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_t"), col("_asof_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched right row's own time rides along so the tolerance
+    // mask can compare it against the left row's time after the carry
     val carried = when(col("_asof_left") === 0,
-      struct(outPayload.map(col): _*))
+      struct((outPayload.map(col) :+ col("_asof_t").as("_asof_rt")): _*))
+    val withinTol = toleranceMs match {
+      case Some(ms) =>
+        unix_micros(col("_asof_t")) -
+          unix_micros(col("_asof_row._asof_rt")) <= ms * 1000L
+      case None => lit(true)
+    }
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_asof_row", last(carried, ignoreNulls = true).over(w))
       .filter(col("_asof_left") === 1)
       .select(left.columns.map(col) ++
-        outPayload.map(p => col(s"_asof_row.$p").as(p)): _*)
+        outPayload.map(p => when(withinTol, col(s"_asof_row.$p")).as(p)): _*)
   }
 }

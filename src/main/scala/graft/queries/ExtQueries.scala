@@ -21,6 +21,9 @@ object ExtQueries {
   /** Salt fan-out for q33's two-phase aggregation. */
   val NSalts = 16
 
+  /** q43's attribution window (30 min). */
+  val AsOfToleranceMs: Long = 30 * 60 * 1000L
+
   val defs: Map[String, Q] = Map(
     // CUBE: all 2^k grouping-set subtotals in ONE pass (a single Expand
     // + shuffle — not 2^k separate aggregations). Subtotals are tagged
@@ -65,6 +68,22 @@ object ExtQueries {
       AsOfJoin.backward(clicks, purchases,
         keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
         payload = Seq("ts", "value"))
+        .orderBy("event_id")
+    }),
+
+    // as-of join with TOLERANCE: attribution expires after 30 minutes —
+    // the nearest prior purchase either qualifies or the click goes
+    // unattributed (no fallback to older purchases). Same one-shuffle
+    // plan as q26; the tolerance is a map-side mask.
+    "q43_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.backward(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("ts", "value"), toleranceMs = Some(AsOfToleranceMs))
         .orderBy("event_id")
     }),
 
@@ -150,6 +169,20 @@ object ExtQueries {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q43_asof_tolerance" ->
+      s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         |     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         |     j AS (SELECT c.event_id, c.user_id, c.ts,
+         |             p.ts AS p_ts, p.value AS p_value
+         |           FROM c ASOF LEFT JOIN p
+         |             ON c.user_id = p.user_id AND c.ts >= p.ts)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN ts - p_ts <= INTERVAL ${AsOfToleranceMs / 1000} SECOND
+         |       THEN p_ts END AS asof_ts,
+         |  CASE WHEN ts - p_ts <= INTERVAL ${AsOfToleranceMs / 1000} SECOND
+         |       THEN p_value END AS asof_value
+         |FROM j ORDER BY event_id""".stripMargin,
 
     "q27_range_join" ->
       s"""WITH bands AS (SELECT i AS band,

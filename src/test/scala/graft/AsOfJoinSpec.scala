@@ -42,6 +42,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_v")))
   }
 
+  test("tolerance masks a nearest-prior match outside the lookback — no fallback") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), // nearest right 09:45, within 30m
+      (2L, 1L, ts("2024-01-01 11:00:00"))  // nearest right 09:45, 75m → masked
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 9.0), // older than 09:45 — never a fallback
+      (1L, ts("2024-01-01 09:45:00"), 9.75)
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceMs = Some(30 * 60 * 1000L)).orderBy("id").collect()
+    assert(out(0).getDouble(3) == 9.75)
+    assert(out(1).isNullAt(3), "match outside tolerance must be NULL, not the older row")
+  }
+
   test("plan is a single window over one shuffle — no join operator") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00")))
