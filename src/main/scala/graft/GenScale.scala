@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generates the sf1-scale corpora for the round-4 scale proof
+  * (VERDICT r3 item 1): a 10× replication of the driver's sf0.1 tables
+  * (≈6M lineitem rows — true sf1 TPC-H scale) plus a SKEWED variant
+  * with engineered hot keys, so shuffle behavior and AQE skew-split can
+  * be measured where they actually bite.
+  *
+  * Replication keeps referential integrity: every foreign key is
+  * shifted by the same per-replica offset as its primary key, so join
+  * fan-outs match a natively-generated sf1 corpus. Dimension tables
+  * region/nation are NOT replicated (they are fixed-cardinality in
+  * TPC-H; nationkey references stay valid).
+  *
+  * The skewed variant rewrites two keys on the uniform sf1 data:
+  *  - events: 20 % of rows (event_id % 5 == 0) get user_id = 7 — one
+  *    user owns a fifth of the event stream (hot grouping key).
+  *  - lineitem: 20 % of rows get l_orderkey = HotOrder — one order key
+  *    carries ~1.2M lineitem rows, so the lineitem⋈orders shuffle join
+  *    has one partition ~5× the median (AQE skew-split territory).
+  * Only the skew-bench queries read the skewed variant; oracle-checked
+  * correctness always runs on driver-generated data.
+  *
+  * Output: `{outRoot}/sf1/` and `{outRoot}/sf1skew/` (one parquet dir
+  * per table), outRoot defaulting to /root/repo/testdata-sf1 (git-ignored — derived
+  * data, regenerable with `sbt "runMain graft.GenScale"`).
+  */
+object GenScale {
+  val Factor = 10
+  val HotUser = 7L
+  val HotOrder = 100L // a real replica-0 orderkey, so the hot rows survive an inner join
+
+  // per-replica key offsets, each far above the base table's key range
+  val OffOrder = 100000000L
+  val OffCust = 10000000L
+  val OffPart = 10000000L
+  val OffSupp = 1000000L
+  val OffDoc = 10000000L
+  val OffVec = 10000000L
+  val OffEvent = 100000000L
+  val OffUser = 1000000L
+
+  def replicate(df: DataFrame, shifts: Map[String, Long], factor: Int = Factor,
+      saltText: Boolean = false): DataFrame =
+    (0 until factor).map { i =>
+      val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
+        d.withColumn(c, col(c) + lit(i * off))
+      }
+      // half the replicas salted → unique docs; half verbatim → real
+      // (factor/2)-way duplicate groups, the crawled-corpus shape
+      if (saltText && i % 2 == 1)
+        shifted.withColumn("text", concat(lit(s"salt$i "), col("text")))
+      else shifted
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val spark = GraftEngine.session(GraftConfig(appName = "graft-genscale"))
+
+    def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, dir: String, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outRoot/$dir/$name.parquet")
+
+    val t0 = System.nanoTime()
+    // dimensions pass through unreplicated
+    Seq("region", "nation").foreach(n => write(src(n), "sf1", n))
+    write(replicate(src("customer"), Map("c_custkey" -> OffCust)), "sf1", "customer")
+    write(replicate(src("supplier"), Map("s_suppkey" -> OffSupp)), "sf1", "supplier")
+    write(replicate(src("part"), Map("p_partkey" -> OffPart)), "sf1", "part")
+    write(replicate(src("orders"),
+      Map("o_orderkey" -> OffOrder, "o_custkey" -> OffCust)), "sf1", "orders")
+    write(replicate(src("lineitem"),
+      Map("l_orderkey" -> OffOrder, "l_partkey" -> OffPart, "l_suppkey" -> OffSupp)),
+      "sf1", "lineitem")
+    write(replicate(src("events"),
+      Map("event_id" -> OffEvent, "user_id" -> OffUser)), "sf1", "events")
+    write(replicate(src("documents"), Map("doc_id" -> OffDoc), saltText = true),
+      "sf1", "documents")
+    write(replicate(src("embeddings"), Map("vec_id" -> OffVec)), "sf1", "embeddings")
+
+    def sf1(name: String) = spark.read.parquet(s"$outRoot/sf1/$name.parquet")
+    // skewed variant: same tables, two engineered hot keys
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "documents", "embeddings").foreach(n => write(sf1(n), "sf1skew", n))
+    write(sf1("events").withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) === 0, lit(HotUser)).otherwise(col("user_id"))),
+      "sf1skew", "events")
+    write(sf1("lineitem").withColumn("l_orderkey",
+      when(pmod(col("l_orderkey"), lit(5)) === 0, lit(HotOrder)).otherwise(col("l_orderkey"))),
+      "sf1skew", "lineitem")
+
+    val rows = spark.read.parquet(s"$outRoot/sf1/lineitem.parquet").count()
+    println(f"""{"gen":"done","lineitem_rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    spark.stop()
+  }
+}

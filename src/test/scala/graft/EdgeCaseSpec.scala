@@ -85,6 +85,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.ivfTopK(noVecs, q).count() == 0)
   }
 
+  test("resolveComponents converges on a path graph with diameter far above maxIters") {
+    import spark.implicits._
+    // a 120-vertex chain: diameter 119 >> maxIters=5, so plain
+    // propagation cannot finish — the doubling fallback must kick in
+    // (O(log d) rounds) and still produce exact component minima
+    val n = 120
+    val vertices = (0L until n.toLong).toDF("doc_id")
+    val pathEdges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // second component: an isolated pair, to prove labels don't bleed
+    val vertices2 = vertices.union(Seq(1000L, 1001L).toDF("doc_id"))
+    val edges2 = pathEdges.union(Seq((1000L, 1001L)).toDF("doc_a", "doc_b"))
+    val labels = Dedup.resolveComponents(vertices2, edges2, maxIters = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(labels.size == n + 2)
+    (0L until n.toLong).foreach(v => assert(labels(v) == 0L, s"vertex $v"))
+    assert(labels(1000L) == 1000L && labels(1001L) == 1000L)
+  }
+
   test("single-document corpus: no self-pairs, cluster keeps itself") {
     import spark.implicits._
     val one = Seq((42L, "only one document here")).toDF("doc_id", "text")
