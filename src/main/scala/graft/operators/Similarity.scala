@@ -115,16 +115,72 @@ object Similarity {
     * hyperplanes. Ties everywhere break to the lowest cent_id, matching
     * the oracle's ORDER BY ... cent_id ASC. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K,
-      nCentroids: Int = NCentroids, nProbe: Int = NProbe): DataFrame = {
-    val corpus = prepared(embeddings)
-    val cents = corpus.filter(col("vec_id") < nCentroids)
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe): DataFrame =
+    ivfTopKWith(prepared(embeddings), firstNCentroids(embeddings, nCentroids),
+      queries, k, nProbe)
+
+  /** The deterministic seed centroids (also k-means' fixed init): the
+    * first `nCentroids` corpus vectors by id. */
+  def firstNCentroids(embeddings: DataFrame, nCentroids: Int = NCentroids): DataFrame =
+    prepared(embeddings).filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+
+  val KmeansIters = 2
+
+  /** Lloyd-iteration k-means over the corpus (cosine assignment,
+    * element-wise mean update), expressed entirely as DataFrame
+    * aggregations — the trained replacement for [[firstNCentroids]]
+    * (round-3 verdict item 2: data-adaptive cells, measured recall).
+    *
+    * Scale shape per iteration: cell assignment is the same broadcast-
+    * centroid map-side fold as the search path (no corpus shuffle); the
+    * mean update explodes to (cell, dim) — a shuffle keyed on
+    * nCentroids × dim rows, independent of corpus size; lineage is
+    * truncated per round. Iteration count is a constant (default 2):
+    * at 100 TB each extra iteration is one corpus scan, and IVF recall
+    * saturates after a few rounds.
+    *
+    * Determinism (oracle-reproducible): fixed init (first-N by id),
+    * assignment on 6-dp-rounded cosine with ties to the lowest cent_id,
+    * and the mean computed as an EXACT decimal sum (order-independent)
+    * divided by the exact count — so DuckDB replays the identical
+    * iterations from the same parquet (see SimilarityQueries'
+    * generated oracle). Cells emptied by an iteration keep their
+    * previous centroid (standard Lloyd degeneracy handling, and the
+    * left-join + coalesce keeps the cell count stable). */
+  def kmeansCentroids(embeddings: DataFrame, nCentroids: Int = NCentroids,
+      iters: Int = KmeansIters): DataFrame = {
+    val corpus = prepared(embeddings)
+    var cents = firstNCentroids(embeddings, nCentroids)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, cents)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+      val means = sums.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("new_cv"))
+      cents = cents.join(means, cents("cent_id") === means("cell"), "left")
+        .select(col("cent_id"), coalesce(col("new_cv"), col("cv")).as("cv"))
+        .withColumn("cnorm", sqrt(Dedup.dot(col("cv"), col("cv"))))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Map-side nearest-centroid assignment: all centroids collapse to ONE
+    * broadcast row, and each corpus vector folds over them (argmax on
+    * 6-dp cosine, ties to the lowest cent_id) inside its scan task — the
+    * corpus is never shuffled. */
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
     def cellCos(vec: Column, norm: Column, c: Column) =
       round(Dedup.dot(vec, c.getField("cv")) / (norm * c.getField("cnorm")), 6)
     // all centroids as ONE broadcast row (sorted for a deterministic fold)
     val centArr = cents.agg(sort_array(collect_list(
       struct(col("cent_id"), col("cv"), col("cnorm")))).as("cents"))
-    val assigned = corpus.crossJoin(broadcast(centArr))
+    corpus.crossJoin(broadcast(centArr))
       .withColumn("best", aggregate(col("cents"),
         struct(lit(-3.0).as("ccos"), lit(-1L).as("cell")),
         (acc, c) => {
@@ -139,6 +195,13 @@ object Similarity {
             .otherwise(acc)
         }))
       .select(col("vec_id"), col("v"), col("norm"), col("best.cell").as("cell"))
+  }
+
+  /** IVF search against an explicit centroid table ([[firstNCentroids]]
+    * or [[kmeansCentroids]]). `corpus` must be in [[prepared]] form. */
+  def ivfTopKWith(corpus: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int = K, nProbe: Int = NProbe): DataFrame = {
+    val assigned = assignCells(corpus, cents)
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("pcos").desc, col("cent_id").asc)
     val probes = queries.crossJoin(broadcast(cents))
@@ -154,6 +217,14 @@ object Similarity {
       .withColumn("rank", topk)
       .filter(col("rank") <= k)
   }
+
+  /** s04: IVF ANN over [[kmeansCentroids]]-trained cells — same search
+    * plan as [[ivfTopK]], data-adaptive regions. */
+  def kmeansTopK(embeddings: DataFrame, queries: DataFrame, k: Int = K,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe,
+      iters: Int = KmeansIters): DataFrame =
+    ivfTopKWith(prepared(embeddings),
+      kmeansCentroids(embeddings, nCentroids, iters), queries, k, nProbe)
 
   /** The driver-contract query set: the first `n` vectors by id act as
     * queries against the full corpus. */

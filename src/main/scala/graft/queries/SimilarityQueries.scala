@@ -42,6 +42,15 @@ object SimilarityQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, Similarity.defaultQueries(e, NQueries))
         .orderBy("query_id", "rank")
+    }),
+
+    // s04 IVF ANN with k-means-TRAINED centroids (Lloyd iterations as
+    // DataFrame aggregations; deterministic init + decimal-exact means
+    // make even the training loop oracle-reproducible)
+    "s04_ann_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeansTopK(e, Similarity.defaultQueries(e, NQueries))
+        .orderBy("query_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +94,66 @@ object SimilarityQueries {
          |  SELECT q.query_id, a.vec_id,
          |    round($dotAC / ($qNorm * $aNorm), 6) AS cos
          |  FROM assigned a JOIN probes q
+         |    ON a.cell = q.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cos, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= ${Similarity.K}
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "s04_ann_kmeans" -> {
+      // DuckDB replay of graft.operators.Similarity.kmeansCentroids:
+      // cents0 = first-N init; each Lloyd iteration is (assign via
+      // ROW_NUMBER on 6-dp cosine, ties to lowest cent_id; element-wise
+      // mean as exact decimal sum / count; emptied cells keep their
+      // previous centroid) — generated for KmeansIters iterations from
+      // the same constants the Spark operator uses.
+      def norm(e: String) = Ops.sqlListNorm(e)
+      def dotc(a: String, b: String) = Ops.sqlListDot(a, b)
+      val iterCtes = (1 to Similarity.KmeansIters).map { i =>
+        val prev = s"cents${i - 1}"
+        s"""assign$i AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(${dotc("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
+           |          c.cent_id ASC) AS rn
+           |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+           |sums$i AS (
+           |  SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM assign$i)
+           |  GROUP BY cell, pos),
+           |means$i AS (SELECT cell, list(m ORDER BY pos) AS new_cv FROM sums$i GROUP BY cell),
+           |cents$i AS (
+           |  SELECT c.cent_id, coalesce(m.new_cv, c.cv) AS cv
+           |  FROM cents${i - 1} c LEFT JOIN means$i m ON c.cent_id = m.cell)""".stripMargin
+      }.mkString(",\n")
+      val cf = s"cents${Similarity.KmeansIters}"
+      val dotQC = dotc("q.qv", "c.cv")
+      val dotAC = dotc("q.qv", "a.v")
+      s"""WITH $sqlPrep,
+         |cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |  WHERE vec_id < ${Similarity.NCentroids}),
+         |$iterCtes,
+         |assignF AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${dotc("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
+         |          c.cent_id ASC) AS rn
+         |    FROM e CROSS JOIN $cf c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY round($dotQC / (${norm("q.qv")} * ${norm("c.cv")}), 6) DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN $cf c) WHERE rn <= ${Similarity.NProbe}),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id,
+         |    round($dotAC / (${norm("q.qv")} * ${norm("a.v")}), 6) AS cos
+         |  FROM assignF a JOIN probes q
          |    ON a.cell = q.cell AND a.vec_id <> q.query_id)
          |SELECT query_id, vec_id, cos, rank FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER
