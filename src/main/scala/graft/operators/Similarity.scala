@@ -34,6 +34,10 @@ object Similarity {
       sqrt(Dedup.dot(v, v)).as("norm"))
   }
 
+  /** The (vec_id, v, norm) corpus form [[ivfTopKWith]] expects — for
+    * callers that reuse one trained centroid table across searches. */
+  def preparedCorpus(embeddings: DataFrame): DataFrame = prepared(embeddings)
+
   private def scored(candidates: DataFrame): DataFrame =
     candidates.select(
       col("query_id"), col("vec_id"),
@@ -225,6 +229,21 @@ object Similarity {
       iters: Int = KmeansIters): DataFrame =
     ivfTopKWith(prepared(embeddings),
       kmeansCentroids(embeddings, nCentroids, iters), queries, k, nProbe)
+
+  /** recall@k of an approximate result against the exact one: the mean
+    * over queries of |approx ∩ exact| / |exact|. Pure DataFrame compare
+    * (semi-join on (query_id, vec_id)); the driver sees ONE double —
+    * usable as a quality gate at any corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val a = approx.select(col("query_id"), col("vec_id"))
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val hits = e.join(a, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val truth = e.groupBy("query_id").agg(count(lit(1)).as("n"))
+    truth.join(hits, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("hits"), lit(0L)) / col("n")))
+      .first().getDouble(0)
+  }
 
   /** The driver-contract query set: the first `n` vectors by id act as
     * queries against the full corpus. */

@@ -3,10 +3,12 @@ package graft.queries
 import graft.operators.Multimodal
 import Ops._
 
-/** Driver-contract wiring for the multimodal pipeline m01 (SURVEY.md §2
-  * #29). The decode stub's pseudo-features are plain byte arithmetic, so
-  * even this operator gets a full DuckDB value oracle — the oracle
-  * recomputes the same features in SQL over the same payload bytes.
+/** Driver-contract wiring for the multimodal pipeline m01–m03 (SURVEY.md
+  * §2 #29). Image rows carry REAL synthetic PNG payloads decoded by
+  * javax.imageio; their dimensions/pixels are pure functions of doc_id,
+  * so the DuckDB oracle predicts what a correct decoder must report
+  * without decoding PNG itself. Audio/video stay on the declared stub
+  * (byte arithmetic), which the oracle recomputes in SQL.
   */
 object MultimodalQueries {
 
@@ -26,6 +28,16 @@ object MultimodalQueries {
         Multimodal.extractFeatures(
           Multimodal.asMediaTable(t(s, dir, "documents"))).toDF())
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // m03: pixel-level image decode — center-pixel RGB can only match
+    // the oracle's doc_id arithmetic if the PNG was truly rasterized
+    "m03_image_decode" -> ((s, dir) => {
+      implicit val spark = s
+      Multimodal.decodeImages(
+        Multimodal.withSyntheticImages(
+          Multimodal.asMediaTable(t(s, dir, "documents"))))
+        .toDF().orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -35,8 +47,10 @@ object MultimodalQueries {
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 16
+        |       ELSE octet_length(encode(text)) % 640 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 16
+        |       ELSE octet_length(encode(text)) % 480 + 1 END AS INTEGER) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 30 + 1
         |       ELSE 1 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -52,5 +66,14 @@ object MultimodalQueries {
          |  FROM feats)
          |SELECT doc_id, frame_idx,
          |  md5(content_md5 || '|' || CAST(frame_idx AS VARCHAR)) AS frame_md5
-         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin)
+         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "m03_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS INTEGER) AS red,
+        |  CAST(doc_id * 7 % 256 AS INTEGER) AS green,
+        |  CAST(doc_id * 13 % 256 AS INTEGER) AS blue
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin)
 }

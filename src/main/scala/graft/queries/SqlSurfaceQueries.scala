@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.GraftEngine
+
+/** SQL access to the pipeline operators (round-3 verdict item 4). The
+  * reference engine is SQL-first (/root/reference/gpu-olap-core/src/
+  * lib.rs execute_query); these queries prove graft's dedup/similarity
+  * suite is reachable PURELY through `GraftEngine.sql` — the DataFrame
+  * operators are registered as lazy temp views
+  * ([[GraftEngine.registerPipelineViews]]) and everything below is one
+  * SQL string composing them with ordinary relational SQL.
+  *
+  * The oracles wrap the operator family's existing generated oracle SQL
+  * as a derived table, so both sides stay pinned to the same constants.
+  */
+object SqlSurfaceQueries {
+
+  private def engine(s: org.apache.spark.sql.SparkSession, dir: String): GraftEngine = {
+    val e = GraftEngine.forDir(s, dir)
+    e.registerPipelineViews()
+    e
+  }
+
+  val defs: Map[String, Q] = Map(
+    // exact-dedup keep set joined back to the corpus — the "which docs
+    // survive, what do they look like" query a curation user writes
+    // first, in plain SQL over the operator view (the keep_id % 5
+    // filter proves predicates prune THROUGH the view into the
+    // operator's own plan; the base corpus has no exact duplicates, so
+    // an n_copies filter would make the check vacuous)
+    "x01_sql_dedup_keep" -> ((s, dir) => engine(s, dir).sql(
+      """SELECT k.keep_id, k.n_copies, d.lang, length(d.text) AS n_chars
+        |FROM graft_dedup_exact k JOIN documents d ON d.doc_id = k.keep_id
+        |WHERE k.keep_id % 5 = 0
+        |ORDER BY k.keep_id""".stripMargin)),
+
+    // near-dup candidate DEGREE per doc from the MinHash-LSH pair view:
+    // GROUP BY over a union of both pair directions, pure SQL
+    "x02_sql_dup_degree" -> ((s, dir) => engine(s, dir).sql(
+      """SELECT doc_id, COUNT(*) AS n_candidates FROM (
+        |  SELECT doc_a AS doc_id FROM graft_minhash_pairs
+        |  UNION ALL
+        |  SELECT doc_b AS doc_id FROM graft_minhash_pairs)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // similarity search from SQL: filter/reshape the brute-force top-k
+    // view like any table (the WHERE prunes to the top-3 per query)
+    "x03_sql_ann_topk" -> ((s, dir) => engine(s, dir).sql(
+      """SELECT query_id, vec_id, cos, rank
+        |FROM graft_topk_cosine
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin)))
+
+  val oracles: Map[String, String] = Map(
+    "x01_sql_dedup_keep" ->
+      s"""SELECT k.keep_id, k.n_copies, d.lang, length(d.text) AS n_chars
+         |FROM (${DedupQueries.oracles("d01_dedup_exact")}) k
+         |JOIN documents d ON d.doc_id = k.keep_id
+         |WHERE k.keep_id % 5 = 0
+         |ORDER BY k.keep_id""".stripMargin,
+
+    "x02_sql_dup_degree" ->
+      s"""SELECT doc_id, COUNT(*) AS n_candidates FROM (
+         |  SELECT doc_a AS doc_id FROM (${DedupQueries.oracles("d02_dedup_minhash")})
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id FROM (${DedupQueries.oracles("d02_dedup_minhash")}))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x03_sql_ann_topk" ->
+      s"""SELECT query_id, vec_id, cos, rank
+         |FROM (${SimilarityQueries.oracles("s01_topk_cosine")})
+         |WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin)
+}

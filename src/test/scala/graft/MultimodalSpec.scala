@@ -49,6 +49,29 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"expected generator fan-out:\n$plan")
   }
 
+  test("image rows are decoded by a REAL codec: ImageIO reports the synthetic PNG's true shape") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("modality") === "image")
+    val wrong = feats.filter(
+      col("width") =!= (col("doc_id") % 64 + 16).cast("int") ||
+        col("height") =!= (col("doc_id") % 48 + 16).cast("int")).count()
+    assert(wrong == 0, "ImageIO-decoded dimensions disagree with the payload generator")
+    assert(feats.count() > 0)
+  }
+
+  test("m03 pixel decode recovers the exact fill color, shuffle-free") {
+    implicit val s = spark
+    val imgs = Multimodal.decodeImages(Multimodal.withSyntheticImages(media))
+    val wrong = imgs.filter(
+      col("red") =!= (col("doc_id") % 256).cast("int") ||
+        col("green") =!= (col("doc_id") * 7 % 256).cast("int") ||
+        col("blue") =!= (col("doc_id") * 13 % 256).cast("int")).count()
+    assert(wrong == 0, "decoded center pixel disagrees with the painted fill color")
+    val plan = imgs.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"image decode pipeline shuffles:\n$plan")
+  }
+
   test("decoder stub is deterministic across invocations") {
     val r = MediaRecord(7L, "video", "payload-bytes".getBytes("UTF-8"))
     val d1 = new Multimodal.StubMediaDecoder().decode(r)

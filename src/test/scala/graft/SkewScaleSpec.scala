@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** AQE skew-split assertions on the engineered-hot-key corpus (round-3
+  * verdict item 1). The sf1skew corpus (one orderkey carrying ~20 % of
+  * lineitem) is DERIVED data — regenerate with
+  * `sbt "runMain graft.GenScale"`; the specs cancel (not fail) when it
+  * is absent so `sbt test` stays hermetic on a fresh clone. */
+class SkewScaleSpec extends SparkSpec {
+
+  private val skewDir = "/root/repo/testdata-sf1/sf1skew"
+  private def present = new java.io.File(s"$skewDir/lineitem.parquet").exists()
+
+  /** Runtime confs scaled to the local corpus (the hot shuffle partition
+    * is ~100 MB here; at the default 256 MB gate the very skew handling
+    * we rely on at 100 TB would sit idle). Restored after each test. */
+  private def withSkewConfs[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the engineered hot-orderkey partition (skew=true in the executed join)") {
+    assume(present, s"$skewDir not generated (sbt 'runMain graft.GenScale')")
+    withSkewConfs {
+      val li = spark.read.parquet(s"$skewDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$skewDir/orders.parquet")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      j.write.format("noop").mode("overwrite").save()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not skew-split the hot join partition:\n$plan")
+    }
+  }
+
+  test("salted distinct aggregation is exact on the hot-user corpus") {
+    assume(present, s"$skewDir not generated (sbt 'runMain graft.GenScale')")
+    withSkewConfs {
+      // correctness of the skew defense on REAL skewed data (the
+      // timing delta is measured in SkewProbe → SCALE.md): equal
+      // values share a salt bucket, so per-bucket distinct counts sum
+      // to the exact per-user distinct count
+      val ev = spark.read.parquet(s"$skewDir/events.parquet")
+        .filter(col("event_id") % 100 === 0) // spec-sized slice, keeps the hot user hot
+      val mismatches = SkewProbe.saltedDistinctPerUser(ev).as("s")
+        .join(SkewProbe.naiveDistinctPerUser(ev).as("n"), Seq("user_id"))
+        .filter(col("s.n_distinct") =!= col("n.n_distinct")).count()
+      assert(mismatches == 0)
+    }
+  }
+}
