@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -41,16 +41,24 @@ object SkewProbe {
     val dir = args.headOption.getOrElse("/root/repo/testdata-sf1/sf1skew")
     val spark = GraftEngine.session(GraftConfig(master = "local[32]", appName = "graft-skew"))
     // local-scale AQE skew gates (see scaladoc); production uses defaults
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // neither fact side broadcasts at 100 TB; locally the pruned orders
+    // projection would fit under the default threshold and dissolve the
+    // shuffle join being measured
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
 
     def time(name: String, extra: String = "")(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
+      // min of two timed runs, matching Bench's methodology (damps
+      // JIT/GC noise so ON-vs-OFF deltas track the plan, not luck)
+      val sec = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       println(f"""{"op":"$name","sec":$sec%.2f$extra}""")
     }
 
@@ -60,10 +68,11 @@ object SkewProbe {
         .groupBy("o_orderstatus")
         .agg(sum(col("l_quantity").cast(DecimalType(28, 4))).cast("double").as("sum_qty"),
           count(lit(1)).as("cnt"))
+        // (same join + thresholds as SkewScaleSpec, measured instead of asserted)
 
     hotJoin().write.format("noop").mode("overwrite").save() // warmup
     val planned = hotJoin()
-    planned.write.format("noop").mode("overwrite").save()
+    planned.collect() // finalizes THIS plan's AQE stages (3 rows)
     val skewApplied = planned.queryExecution.executedPlan.toString().contains("skew=true")
     println(s"""{"op":"join_skew_plan","skew_split_applied":$skewApplied}""")
     time("join_skew_aqe_on")(hotJoin())
@@ -75,6 +84,18 @@ object SkewProbe {
     naiveDistinctPerUser(ev).write.format("noop").mode("overwrite").save() // warmup
     time("distinct_naive")(naiveDistinctPerUser(ev))
     time("distinct_salted")(saltedDistinctPerUser(ev))
+    // the quantity that kills the naive plan at 100 TB is the hot
+    // REDUCER's load (every hot-user row converges on one task, and its
+    // distinct-set must fit that task's memory); measure max rows per
+    // reducer under both shuffle keys
+    def maxReducerRows(keys: Column*): Long =
+      ev.repartition(32, keys: _*)
+        .mapPartitions(it => Iterator.single(it.size))(
+          org.apache.spark.sql.Encoders.scalaInt)
+        .toDF("n").agg(max(col("n"))).first().getInt(0).toLong
+    val naiveMax = maxReducerRows(col("user_id"))
+    val saltedMax = maxReducerRows(col("user_id"), pmod(hash(col("value")), lit(NSalts)))
+    println(s"""{"op":"distinct_reducer_rows","naive_max":$naiveMax,"salted_max":$saltedMax}""")
     // exactness: the salted plan must agree with the naive one
     val diff = saltedDistinctPerUser(ev).as("s")
       .join(naiveDistinctPerUser(ev).as("n"), Seq("user_id"))

@@ -1,0 +1,241 @@
+package graft.queries
+
+/** TPC-H-style SQL suite (round-3 verdict item 7): the standard
+  * workload's plan shapes — deep multi-joins, EXISTS / NOT EXISTS,
+  * correlated scalar subqueries, IN over grouped HAVING, CASE
+  * aggregation, CTE + scalar-max subquery — expressed as plain SQL
+  * strings over the TPC-H-ish corpus and run through Catalyst via
+  * [[graft.GraftEngine.sql]]. The SAME string is the DuckDB oracle, so
+  * the two engines must agree value-for-value.
+  *
+  * Adaptations to the trimmed test schema (no partsupp table, no
+  * l_commitdate / l_receiptdate / l_shipmode, no o_shippriority /
+  * o_comment, no c_phone / c_address), noted per query:
+  *  - h02/h11/h20 are omitted (they are partsupp queries; no faithful
+  *    adaptation exists without supply-cost data).
+  *  - h04/h21 use shipped-after-order-date as the lateness predicate
+  *    (l_commitdate / l_receiptdate are absent).
+  *  - h09 profit omits the ps_supplycost term; h12 classifies by
+  *    o_orderpriority (no l_shipmode); h13 filters URGENT priority (no
+  *    o_comment); h16 counts lineitem suppliers (no partsupp); h22
+  *    derives the "country code" from c_custkey and anti-joins on
+  *    URGENT orders (no c_phone; every customer here has orders).
+  *
+  * Double aggregates use the exact-decimal-sum pattern (Ops.sqlDsum) so
+  * results are order-independent and engine-identical; LIMIT queries
+  * carry a unique ORDER BY tiebreak.
+  */
+object TpchQueries {
+
+  /** Shared ANSI SQL — one string per query, runnable verbatim by BOTH
+    * Spark (defs below) and DuckDB (the oracle side). */
+  val sql: Map[String, String] = Map(
+    "h01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h03_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue, o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "h04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "h05_local_supplier" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "h06_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "h07_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    extract(year FROM l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "h08_market_share" ->
+      """SELECT o_year,
+        |  round(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE), 6) AS mkt_share
+        |FROM (SELECT extract(year FROM o_orderdate) AS o_year, l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "h09_product_profit" ->
+      """SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS amount
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+
+    "h10_returned_items" ->
+      """SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "h12_priority_lines" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "h13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "h14_promo_effect" ->
+      """SELECT round(100.00 *
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "h15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "h16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "h17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "h18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice, CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(28,4))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "h19_discounted_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "h21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_4'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "h22_global_sales" ->
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS totacctbal
+        |FROM (SELECT CAST(c_custkey % 10 AS INTEGER) AS cntrycode, c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)
+        |    AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) FROM customer
+        |      WHERE c_acctbal > 0.0 AND c_custkey % 10 IN (1, 3, 5, 7, 9))
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) custsale
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+
+  val defs: Map[String, Q] = sql.map { case (name, q) =>
+    name -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.GraftEngine.forDir(s, dir).sql(q))
+  }
+
+  val oracles: Map[String, String] = sql
+}

@@ -12,15 +12,21 @@ class SkewScaleSpec extends SparkSpec {
   private val skewDir = "/root/repo/testdata-sf1/sf1skew"
   private def present = new java.io.File(s"$skewDir/lineitem.parquet").exists()
 
-  /** Runtime confs scaled to the local corpus (the hot shuffle partition
-    * is ~100 MB here; at the default 256 MB gate the very skew handling
-    * we rely on at 100 TB would sit idle). Restored after each test. */
+  /** Runtime confs scaled to the local corpus (after column pruning +
+    * shuffle compression the hot partition is single-digit MB; at the
+    * default 256 MB gate the very skew handling we rely on at 100 TB
+    * would sit idle). Restored after each test. */
   private def withSkewConfs[A](body: => A): A = {
     val keys = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.shuffle.partitions" -> "32")
+      "spark.sql.shuffle.partitions" -> "32",
+      // at 100 TB neither fact table broadcasts; locally the pruned
+      // orders projection fits under the 10 MB threshold and Catalyst
+      // would (correctly) broadcast it, dissolving the very shuffle
+      // join whose skew handling this spec asserts
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
@@ -36,8 +42,12 @@ class SkewScaleSpec extends SparkSpec {
       val li = spark.read.parquet(s"$skewDir/lineitem.parquet")
       val ord = spark.read.parquet(s"$skewDir/orders.parquet")
       val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
-      j.write.format("noop").mode("overwrite").save()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+      // collect() (3 aggregated rows) finalizes THIS DataFrame's AQE
+      // plan; a noop write executes a separate QueryExecution and would
+      // leave j's own plan isFinalPlan=false
+      j.collect()
       val plan = j.queryExecution.executedPlan.toString()
       assert(plan.contains("skew=true"),
         s"AQE did not skew-split the hot join partition:\n$plan")
