@@ -65,6 +65,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(Similarity.NProbe) <= recall(Similarity.NCentroids))
   }
 
+  test("recall@10 floors hold at realistic probe counts (vs s01 ground truth)") {
+    // the corpus and every operator are deterministic, so these recalls
+    // are exact reproducible numbers (measured in RecallProbe, floors
+    // set just below them; SCALE.md has the sf0.1/20x sweep):
+    //   s02 sign-LSH probes=4: 0.44   s03 IVF nProbe=4: 0.88
+    //   s04 k-means IVF nProbe=4: 0.84 (trained centroids overtake
+    //   first-N on the larger sf0.1 corpus: 1.00 vs 1.00 at nProbe=4,
+    //   1.00 vs 0.98 at nProbe=1)
+    val truth = Similarity.bruteForceTopK(embs, queries)
+    def recall(df: org.apache.spark.sql.DataFrame) = Similarity.recallAtK(df, truth)
+    assert(recall(Similarity.annTopK(embs, queries, probes = 4)) >= 0.40)
+    assert(recall(Similarity.ivfTopK(embs, queries, nProbe = 4)) >= 0.85)
+    assert(recall(Similarity.kmeansTopK(embs, queries, nProbe = 4)) >= 0.80)
+  }
+
   test("s03 corpus cell assignment is map-side — no corpus-keyed window shuffle") {
     val plan = Similarity.ivfTopK(embs, queries)
       .queryExecution.executedPlan.toString()
