@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Absolute single-node baseline (round-3 verdict item 6): time the
+DuckDB oracle suite on the same parquet tables the Spark bench reads,
+so BENCH totals have a computable cross-engine bar.
+
+Methodology mirrors graft.Bench: per query, one untimed warmup, two
+timed runs, keep the min. Queries without an oracle (rows-only) are
+skipped. Results merge into BASELINE.json under "duckdb_baseline"
+(existing driver metadata preserved).
+
+Usage: python3 scripts/baseline_duckdb.py <sfDir> <verifyOutDir>
+           [--write] [--skip name1,name2] [--key duckdb_baseline]
+       (<verifyOutDir> must contain oracle_sql.json from graft.Verify)
+"""
+import sys, json, time, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, vout = sys.argv[1], sys.argv[2]
+    write = "--write" in sys.argv
+    key = sys.argv[sys.argv.index("--key") + 1] if "--key" in sys.argv else "duckdb_baseline"
+    skip = set()
+    if "--skip" in sys.argv:
+        skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
+    oracles = json.load(open(os.path.join(vout, "oracle_sql.json")))
+    oracles = {k: v for k, v in oracles.items() if k not in skip}
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        # Spark-written tables are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    results = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            con.execute(sql).fetchall()  # warmup
+            times = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                con.execute(sql).fetchall()
+                times.append(time.monotonic() - t0)
+            results[name] = round(min(times), 4)
+        except Exception as e:
+            print(f"[baseline] {name} FAILED: {e}", file=sys.stderr)
+            results[name] = -1.0
+        print(f"{name}: {results[name]}", flush=True)
+
+    ok = {k: v for k, v in results.items() if v >= 0}
+    total = round(sum(ok.values()), 2)
+    summary = {
+        "engine": f"duckdb {duckdb.__version__}",
+        "sf": sf_dir,
+        "total_sec": total,
+        "n_queries": len(ok),
+        "failed": len(results) - len(ok),
+        "skipped": sorted(skip),
+        "queries": results,
+    }
+    print(json.dumps({"metric": "duckdb_total", "value": total,
+                      "unit": "sec", "n": len(ok)}))
+    if write:
+        base = json.load(open("BASELINE.json"))
+        base[key] = summary
+        json.dump(base, open("BASELINE.json", "w"), indent=2)
+        print("[baseline] merged into BASELINE.json")
+
+
+if __name__ == "__main__":
+    main()

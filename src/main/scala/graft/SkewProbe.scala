@@ -80,6 +80,19 @@ object SkewProbe {
     time("join_skew_aqe_off")(hotJoin())
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
+    // q38 vs q44 on the hot-user corpus: the uncapped interval join's
+    // output grows quadratically in the hot key's rate; the capped
+    // variant bounds it at AttributionCap × clicks
+    // nanos-as-long parquet → microsecond timestamp (same as Ops.events)
+    val evJ = tbl("events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val clicks = evJ.filter(col("event_type") === "click")
+    val purchases = evJ.filter(col("event_type") === "purchase")
+    val uncapped = streaming.EventStreams
+      .clickPurchaseJoin(clicks, purchases).count()
+    val capped = streaming.EventStreams
+      .clickPurchaseJoinCapped(clicks, purchases).count()
+    println(s"""{"op":"attribution_join_rows","uncapped":$uncapped,"capped":$capped}""")
+
     val ev = tbl("events")
     naiveDistinctPerUser(ev).write.format("noop").mode("overwrite").save() // warmup
     time("distinct_naive")(naiveDistinctPerUser(ev))

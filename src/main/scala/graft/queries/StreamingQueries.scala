@@ -42,6 +42,17 @@ object StreamingQueries {
         .orderBy("click_id", "purchase_ts")
     }),
 
+    // q44 capped attribution join — the hot-key defense for q38's
+    // interval join (WindowGroupLimit bounds output to k rows/click;
+    // see SCALE.md round 4 for the measured 583x amplification it caps)
+    "q44_join_capped" -> ((s, dir) => {
+      val e = events(s, dir)
+      EventStreams.clickPurchaseJoinCapped(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "attr_rank")
+    }),
+
     // q36 stream-static enrichment join (batch-equivalent entry; the
     // streaming twin joins each micro-batch against the broadcast
     // dimension — see EventStreams.enrichedCounts + StreamingSpec)
@@ -94,6 +105,23 @@ object StreamingQueries {
          |  AND purchase_ts >= click_ts
          |  AND purchase_ts <= click_ts + INTERVAL ${EventStreams.JoinWindowMs / 1000} SECOND
          |ORDER BY click_id, purchase_ts""".stripMargin,
+
+    "q44_join_capped" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+         |    ts AS purchase_ts, value AS purchase_value
+         |  FROM events WHERE event_type = 'purchase'),
+         |ranked AS (
+         |  SELECT click_id, user_id, click_ts, purchase_id, purchase_ts,
+         |    purchase_value,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY click_id
+         |      ORDER BY purchase_ts, purchase_id) AS INTEGER) AS attr_rank
+         |  FROM c JOIN p ON user_id = p_user
+         |    AND purchase_ts >= click_ts
+         |    AND purchase_ts <= click_ts + INTERVAL ${EventStreams.JoinWindowMs / 1000} SECOND)
+         |SELECT * FROM ranked WHERE attr_rank <= ${EventStreams.AttributionCap}
+         |ORDER BY click_id, attr_rank""".stripMargin,
 
     "q36_stream_enrich" ->
       s"""SELECT c_mktsegment, event_type, COUNT(*) AS cnt,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.queries.Ops.dsum
@@ -185,6 +186,43 @@ object EventStreams {
           col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"))
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
+  }
+
+  val AttributionCap = 3
+
+  /** q44: the hot-key defense for [[clickPurchaseJoin]], motivated by a
+    * measured failure mode (SCALE.md round 4): on the sf1skew corpus —
+    * one user owning 20 % of both clicks and purchases — the uncapped
+    * interval join's OUTPUT grows quadratically in the hot key's rate
+    * (3,710 → 2,161,730 rows, 583×). Attribution semantics rarely need
+    * every pair; this variant keeps only the FIRST `k` purchases after
+    * each click (rank by (purchase_ts, purchase_id) — the id tiebreak
+    * makes the kept set deterministic under ts collisions).
+    *
+    * Scale shape: `row_number <= k` plans as WindowGroupLimit, so the
+    * cap applies in the map task BEFORE the rank exchange — the hot
+    * user's quadratic pair fan-out is generated streaming inside the
+    * join stage and immediately truncated; the shuffle after it
+    * carries at most k rows per click. Output is bounded by
+    * k × clicks regardless of key skew. */
+  def clickPurchaseJoinCapped(clicks: DataFrame, purchases: DataFrame,
+      k: Int = AttributionCap): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    val w = Window.partitionBy("click_id")
+      .orderBy(col("purchase_ts").asc, col("purchase_id").asc)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"))
+      .withColumn("attr_rank", row_number().over(w))
+      .filter(col("attr_rank") <= k)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"),
+        col("attr_rank"))
   }
 
   /** Batch-equivalent first-event-per-key (the oracle-checkable q32

@@ -168,6 +168,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getAs[Long]("click_id")) == Seq(1L, 1L, 2L))
   }
 
+  test("q44 capped attribution join bounds output to k per click, WindowGroupLimit in plan") {
+    import spark.implicits._
+    val clicks = Seq(Event(1, ts(0), 1, "click", 0.0))
+    // five purchases inside click 1's window — only the first
+    // AttributionCap survive, ranked by (ts, event_id)
+    val purchases = (11 to 15).map(i => Event(i, ts(i - 9), 1, "purchase", i.toDouble))
+    val capped = EventStreams.clickPurchaseJoinCapped(clicks.toDF(), purchases.toDF())
+    val rows = capped.orderBy("attr_rank").collect()
+    assert(rows.length == EventStreams.AttributionCap)
+    assert(rows.map(_.getAs[Long]("purchase_id")).toSeq == Seq(11L, 12L, 13L))
+    val plan = capped.queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap must prune map-side before the rank exchange:\n$plan")
+  }
+
   test("q36 stream-static enrichment matches the batch join, dimension broadcast") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
