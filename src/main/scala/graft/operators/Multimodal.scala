@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,25 +13,39 @@ import org.apache.spark.sql.functions._
   * schema with content in object storage + offsets works identically).
   *
   * `content` is the source payload bytes; `media` is the encoded media
-  * object for modalities with a real codec (PNG bytes for images; null
-  * for audio/video, which stay stub-decoded — see [[Multimodal]]). */
+  * object — PNG bytes for images, WAV (16-bit PCM) for audio, multi-page
+  * TIFF for video. All three are decoded by REAL JDK codecs (see
+  * [[Multimodal.JdkMediaDecoder]]). */
 final case class MediaRecord(doc_id: Long, modality: String,
     content: Array[Byte], media: Array[Byte] = null)
 
-/** Decoded per-item features. Width/height come from the REAL codec for
-  * images ([[Multimodal.ImageIoMediaDecoder]]) and from the declared
-  * stub for audio/video; bytes + digest are computed on the raw source
-  * payload. */
+/** Decoded per-item features from the real codecs. Fields that don't
+  * apply to a modality are None/NULL: images have width/height and one
+  * frame; audio has PCM frames (samples) but no raster dims; video has
+  * per-frame dims and the container's frame count. */
 final case class MediaFeatures(
     doc_id: Long, modality: String, n_bytes: Long, content_md5: String,
-    width: Int, height: Int, n_frames: Int)
+    width: Option[Int], height: Option[Int], n_frames: Option[Int])
 
 /** Pixel-level image features (m03): dimensions plus the center-pixel
   * channels — values that only a true pixel decode can produce. */
 final case class ImageFeatures(
     doc_id: Long, width: Int, height: Int, red: Int, green: Int, blue: Int)
 
-/** Multimodal pipeline plumbing m01/m02/m03 (SURVEY.md §2 #29).
+/** Decoded audio stream properties (m04): true format fields read from
+  * the WAV header plus the peak amplitude, which only a real PCM decode
+  * of the sample data can produce. */
+final case class AudioFeatures(
+    doc_id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+    duration_ms: Long, peak: Int)
+
+/** One decoded, sampled video frame (m05): container-reported index plus
+  * raster dims and the center pixel of the actually-rasterized frame. */
+final case class VideoFrame(
+    doc_id: Long, frame_idx: Int, width: Int, height: Int,
+    red: Int, green: Int, blue: Int)
+
+/** Multimodal pipeline m01–m05 (SURVEY.md §2 #29).
   *
   * Spark-side design: media decode is imperative library code that can't
   * be a Catalyst expression, so it runs via `Dataset.mapPartitions` — the
@@ -36,12 +54,19 @@ final case class ImageFeatures(
   * streaming iterator out, no collect, partitioning preserved (zero
   * shuffle in the whole pipeline).
   *
-  * The IMAGE path is a real codec: `javax.imageio` (JDK-built-in,
-  * headless-safe) decodes PNG payloads and reports true dimensions and
-  * pixels. Audio/video decode remains A DECLARED STUB (this container
-  * has no audio/video codecs): [[StubMediaDecoder]] derives
-  * deterministic pseudo-features from the payload bytes, behind the
-  * same [[MediaDecoder]] interface a JCodec/FFmpeg wrapper would use.
+  * All three modalities use REAL codecs, all JDK-built-in (headless-safe,
+  * no new dependency):
+  *   - image: PNG via `javax.imageio` (true dimensions + pixels),
+  *   - audio: WAV/PCM via `javax.sound.sampled` (true sample rate,
+  *     channel count, frame length, decoded sample values),
+  *   - video: multi-page TIFF via the JDK's TIFF `ImageReader` (true
+  *     frame count + per-frame rasters; a production FFmpeg/JCodec
+  *     wrapper slots behind the same [[MediaDecoder]] interface).
+  *
+  * The synthetic payloads are pure functions of doc_id, so the DuckDB
+  * oracle predicts what a CORRECT decoder must report without being able
+  * to decode PNG/WAV/TIFF itself — if a codec misread a payload, the
+  * compare fails. (Real deployments read actual media bytes instead.)
   */
 object Multimodal {
 
@@ -53,49 +78,49 @@ object Multimodal {
     def close(): Unit
   }
 
-  /** Deterministic stand-in for the audio/video codecs this container
-    * lacks. STUB: fixed arithmetic on the byte length, chosen to be
-    * reproducible in plain SQL for the oracle. */
-  final class StubMediaDecoder extends MediaDecoder {
+  /** Real decode for all three modalities via JDK codecs. The TIFF
+    * reader is stateful (native-style plugin instance) and reused across
+    * the partition's rows; `close()` disposes it. */
+  final class JdkMediaDecoder extends MediaDecoder {
     private val md = java.security.MessageDigest.getInstance("MD5")
+    private var tiffReader: javax.imageio.ImageReader = null
 
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.content.length.toLong
       val hex = md.digest(r.content).map("%02x".format(_)).mkString
       md.reset()
-      MediaFeatures(
-        doc_id = r.doc_id, modality = r.modality, n_bytes = n,
-        content_md5 = hex,
-        width = (n % 640).toInt + 1,
-        height = (n % 480).toInt + 1,
-        n_frames = if (r.modality == "video") (n % 30).toInt + 1 else 1)
+      val base = MediaFeatures(r.doc_id, r.modality, n, hex, None, None, None)
+      require(r.media != null, s"missing media payload for doc ${r.doc_id}")
+      r.modality match {
+        case "image" =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.media))
+          require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+          base.copy(width = Some(img.getWidth), height = Some(img.getHeight),
+            n_frames = Some(1))
+        case "audio" =>
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+          try base.copy(n_frames = Some(ais.getFrameLength.toInt))
+          finally ais.close()
+        case _ =>
+          if (tiffReader == null)
+            tiffReader = ImageIO.getImageReadersByFormatName("tiff").next()
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+          try {
+            tiffReader.setInput(iis)
+            val frames = tiffReader.getNumImages(true)
+            val f0 = tiffReader.read(0)
+            base.copy(width = Some(f0.getWidth), height = Some(f0.getHeight),
+              n_frames = Some(frames))
+          } finally iis.close()
+      }
     }
 
-    def close(): Unit = ()
+    def close(): Unit = if (tiffReader != null) { tiffReader.dispose(); tiffReader = null }
   }
 
-  /** REAL image decode via javax.imageio: image rows get their true
-    * decoded dimensions (the PNG is actually parsed); other modalities
-    * fall through to the declared stub. Raises on an undecodable image
-    * payload rather than inventing features. */
-  final class ImageIoMediaDecoder extends MediaDecoder {
-    private val stub = new StubMediaDecoder
-
-    def decode(r: MediaRecord): MediaFeatures =
-      if (r.modality == "image" && r.media != null) {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-        stub.decode(r).copy(width = img.getWidth, height = img.getHeight)
-      } else stub.decode(r)
-
-    def close(): Unit = stub.close()
-  }
-
-  /** Deterministic synthetic PNGs for the test corpus: dimensions and
-    * fill color are pure functions of doc_id, so the DuckDB oracle can
-    * predict what a CORRECT decoder must report without being able to
-    * decode PNG itself — if ImageIO misread the payload, the compare
-    * fails. (Real deployments read actual image bytes here instead.) */
+  /** Deterministic synthetic PNGs: dimensions and fill color are pure
+    * functions of doc_id (reference anchor for the multimodal surface:
+    * gpu-olap-engine PROJECT_SUMMARY.md's Arrow binary-column support). */
   object ImageSynth {
     def width(docId: Long): Int = (docId % 64 + 16).toInt
     def height(docId: Long): Int = (docId % 48 + 16).toInt
@@ -114,8 +139,83 @@ object Multimodal {
         while (x < w) { img.setRGB(x, y, rgb); x += 1 }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic synthetic WAV clips: 16-bit little-endian PCM mono.
+    * Rate, length and peak amplitude are pure functions of doc_id; the
+    * first sample carries the peak (every later sample is strictly
+    * smaller), so a correct PCM decode must report exactly `peak`. */
+  object AudioSynth {
+    def rate(docId: Long): Int = (8000 + (docId % 5) * 2000).toInt
+    def nSamples(docId: Long): Int = (docId % 400 + 100).toInt
+    def peak(docId: Long): Int = (docId % 900 + 100).toInt
+
+    def sample(docId: Long, i: Int): Short =
+      if (i == 0) peak(docId).toShort
+      else (peak(docId) * (i % 10) / 10).toShort
+
+    def wav(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate(docId).toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic synthetic videos: a multi-page TIFF whose frame
+    * count, dims, and per-frame fill color are pure functions of
+    * (doc_id, frame_idx). TIFF-as-container keeps the codec JDK-only
+    * while exercising the real many-frames-per-row decode shape. */
+  object VideoSynth {
+    def nFrames(docId: Long): Int = (docId % 12 + 2).toInt
+    def width(docId: Long): Int = (docId % 32 + 8).toInt
+    def height(docId: Long): Int = (docId % 24 + 8).toInt
+    def red(docId: Long, f: Int): Int = ((docId + 17L * f) % 256).toInt
+    def green(docId: Long, f: Int): Int = ((docId * 3 + 7L * f) % 256).toInt
+    def blue(docId: Long, f: Int): Int = ((docId * 5 + 11L * f) % 256).toInt
+
+    def tiff(docId: Long): Array[Byte] = {
+      val (w, h) = (width(docId), height(docId))
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        val n = nFrames(docId)
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (red(docId, f) << 16) | (green(docId, f) << 8) | blue(docId, f)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        ios.close()
+        writer.dispose()
+      }
       bos.toByteArray
     }
   }
@@ -131,26 +231,28 @@ object Multimodal {
         .otherwise("video").as("modality"),
       col("text").cast("binary").as("content"))
 
-  /** Fill the `media` column for image rows with synthetic PNG bytes
-    * (encode is imperative codec code → mapPartitions, same stage as the
-    * downstream decode: no shuffle, nothing materialized). */
-  def withSyntheticImages(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+  /** Fill the `media` column with synthetic PNG/WAV/TIFF bytes per
+    * modality (encode is imperative codec code → mapPartitions, same
+    * stage as the downstream decode: no shuffle, nothing materialized). */
+  def withSyntheticMedia(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     media.withColumn("media", lit(null).cast("binary")).as[MediaRecord]
       .mapPartitions(_.map { r =>
-        if (r.modality == "image") r.copy(media = ImageSynth.png(r.doc_id)) else r
+        r.modality match {
+          case "image" => r.copy(media = ImageSynth.png(r.doc_id))
+          case "audio" => r.copy(media = AudioSynth.wav(r.doc_id))
+          case _       => r.copy(media = VideoSynth.tiff(r.doc_id))
+        }
       })
   }
 
   /** m02: frame sampling — every `step`-th frame of each video, one
-    * output row per sampled frame. This is the one-row→many-rows shape
-    * real frame extraction has; the per-frame decode is the same stub
-    * (a deterministic digest of payload-digest + frame index) so the
-    * whole pipeline stays oracle-checkable. `explode(sequence(...))` is
-    * a generator inside the scan stage: no shuffle, output rows are
-    * produced streaming in the same task that read the input split —
-    * exactly how a 100 TB video corpus must fan out (never materialize
-    * all frames of a partition at once, never collect). */
+    * output row per sampled frame, driven by the REAL container frame
+    * count from m01's decode. `explode(sequence(...))` is a generator
+    * inside the scan stage: no shuffle, output rows are produced
+    * streaming in the same task that read the input split — exactly how
+    * a 100 TB video corpus must fan out (never materialize all frames of
+    * a partition at once, never collect). Per-frame pixel decode is m05. */
   def sampleFrames(features: DataFrame, step: Int = FrameStep): DataFrame =
     features.filter(col("modality") === "video")
       .select(col("doc_id"), col("content_md5"),
@@ -172,16 +274,16 @@ object Multimodal {
       // close on TASK COMPLETION, not iterator exhaustion: a limit/take
       // or a downstream failure abandons the iterator mid-partition,
       // and a real native decoder would leak its handle per task
-      Option(org.apache.spark.TaskContext.get())
+      Option(TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
       it.map(decoder.decode)
     }
   }
 
-  /** The m01 pipeline on a raw media table: real ImageIO decode for
-    * images (payloads synthesized when absent), stub for audio/video. */
+  /** The m01 pipeline on a raw media table: real JDK decode for every
+    * modality (payloads synthesized when absent). */
   def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] =
-    extractFeatures(withSyntheticImages(media), () => new ImageIoMediaDecoder)
+    extractFeatures(withSyntheticMedia(media), () => new JdkMediaDecoder)
 
   /** m03: pixel-level image decode — true dimensions AND center-pixel
     * channel values, provable against the oracle's arithmetic only if
@@ -189,11 +291,66 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.filter(col("modality") === "image").mapPartitions(_.map { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      val img = ImageIO.read(new ByteArrayInputStream(r.media))
       require(img != null, s"undecodable image payload for doc ${r.doc_id}")
       val c = new java.awt.Color(img.getRGB(img.getWidth / 2, img.getHeight / 2))
       ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
         c.getRed, c.getGreen, c.getBlue)
     })
+  }
+
+  /** m04: real WAV decode — format fields from the parsed header plus
+    * the peak amplitude scanned from the decoded 16-bit PCM samples.
+    * The peak can only match the generator's arithmetic if the sample
+    * data was genuinely decoded (a header-only read can't produce it). */
+  def decodeAudio(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.filter(col("modality") === "audio").mapPartitions(_.map { r =>
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val pcm = ais.readAllBytes()
+        var peak = 0
+        var i = 0
+        while (i + 1 < pcm.length) {
+          val s = (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort.toInt
+          val a = if (s < 0) -s else s
+          if (a > peak) peak = a
+          i += 2
+        }
+        val rate = fmt.getSampleRate.toInt
+        AudioFeatures(r.doc_id, rate, fmt.getChannels, frames,
+          frames * 1000L / rate, peak)
+      } finally ais.close()
+    })
+  }
+
+  /** m05: real per-frame video decode — every `step`-th frame of each
+    * TIFF container rasterized, center pixel reported. One stateful
+    * reader per partition (disposed on task completion); frames of one
+    * row are decoded eagerly (bounded by the container's frame count)
+    * but rows stream through the partition one at a time. */
+  def decodeVideoFrames(media: Dataset[MediaRecord], step: Int = FrameStep)(
+      implicit spark: SparkSession): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.filter(col("modality") === "video").mapPartitions { it =>
+      val reader = ImageIO.getImageReadersByFormatName("tiff").next()
+      Option(TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      it.flatMap { r =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by step).map { f =>
+            val img = reader.read(f)
+            val c = new java.awt.Color(img.getRGB(img.getWidth / 2, img.getHeight / 2))
+            VideoFrame(r.doc_id, f, img.getWidth, img.getHeight,
+              c.getRed, c.getGreen, c.getBlue)
+          }.toVector
+        } finally iis.close()
+      }
+    }
   }
 }

@@ -3,12 +3,12 @@ package graft.queries
 import graft.operators.Multimodal
 import Ops._
 
-/** Driver-contract wiring for the multimodal pipeline m01–m03 (SURVEY.md
-  * §2 #29). Image rows carry REAL synthetic PNG payloads decoded by
-  * javax.imageio; their dimensions/pixels are pure functions of doc_id,
-  * so the DuckDB oracle predicts what a correct decoder must report
-  * without decoding PNG itself. Audio/video stay on the declared stub
-  * (byte arithmetic), which the oracle recomputes in SQL.
+/** Driver-contract wiring for the multimodal pipeline m01–m05 (SURVEY.md
+  * §2 #29). Every modality carries a REAL synthetic payload (PNG / WAV /
+  * multi-page TIFF) decoded by JDK codecs; payload properties are pure
+  * functions of doc_id, so the DuckDB oracle predicts what a correct
+  * decoder must report without decoding the formats itself — a misread
+  * payload fails the compare.
   */
 object MultimodalQueries {
 
@@ -21,7 +21,8 @@ object MultimodalQueries {
     }),
 
     // m02: per-video frame sampling (one row per sampled frame — the
-    // generator fan-out shape of real frame extraction)
+    // generator fan-out shape of real frame extraction), driven by the
+    // REAL TIFF container frame count
     "m02_frame_sample" -> ((s, dir) => {
       implicit val spark = s
       Multimodal.sampleFrames(
@@ -35,12 +36,34 @@ object MultimodalQueries {
     "m03_image_decode" -> ((s, dir) => {
       implicit val spark = s
       Multimodal.decodeImages(
-        Multimodal.withSyntheticImages(
+        Multimodal.withSyntheticMedia(
           Multimodal.asMediaTable(t(s, dir, "documents"))))
         .toDF().orderBy("doc_id")
+    }),
+
+    // m04: real WAV decode — header fields plus the peak amplitude
+    // scanned from the decoded PCM samples
+    "m04_audio_decode" -> ((s, dir) => {
+      implicit val spark = s
+      Multimodal.decodeAudio(
+        Multimodal.withSyntheticMedia(
+          Multimodal.asMediaTable(t(s, dir, "documents"))))
+        .toDF().orderBy("doc_id")
+    }),
+
+    // m05: real per-frame video decode — sampled frames rasterized from
+    // the TIFF container, center pixel vs the generator's arithmetic
+    "m05_video_decode" -> ((s, dir) => {
+      implicit val spark = s
+      Multimodal.decodeVideoFrames(
+        Multimodal.withSyntheticMedia(
+          Multimodal.asMediaTable(t(s, dir, "documents"))))
+        .toDF().orderBy("doc_id", "frame_idx")
     }))
 
   val oracles: Map[String, String] = Map(
+    // audio rows: no raster dims (NULL width/height); n_frames = PCM
+    // sample frames. video rows: per-frame dims + container frame count.
     "m01_multimodal" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -48,17 +71,18 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 16
-        |       ELSE octet_length(encode(text)) % 640 + 1 END AS INTEGER) AS width,
+        |       WHEN doc_id % 3 = 2 THEN doc_id % 32 + 8 END AS INTEGER) AS width,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 16
-        |       ELSE octet_length(encode(text)) % 480 + 1 END AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 30 + 1
-        |       ELSE 1 END AS INTEGER) AS n_frames
+        |       WHEN doc_id % 3 = 2 THEN doc_id % 24 + 8 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |       WHEN doc_id % 3 = 1 THEN doc_id % 400 + 100
+        |       ELSE doc_id % 12 + 2 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m02_frame_sample" ->
       s"""WITH feats AS (
          |  SELECT doc_id, md5(text) AS content_md5,
-         |    CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+         |    CAST(doc_id % 12 + 2 AS INTEGER) AS n_frames
          |  FROM documents WHERE doc_id % 3 = 2),
          |idx AS (
          |  SELECT doc_id, content_md5,
@@ -75,5 +99,30 @@ object MultimodalQueries {
         |  CAST(doc_id % 256 AS INTEGER) AS red,
         |  CAST(doc_id * 7 % 256 AS INTEGER) AS green,
         |  CAST(doc_id * 13 % 256 AS INTEGER) AS blue
-        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    "m04_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 400 + 100) * 1000 // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 900 + 100 AS INTEGER) AS peak
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
+
+    "m05_video_decode" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, CAST(doc_id % 12 + 2 AS INTEGER) AS n_frames
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(0, n_frames, ${Multimodal.FrameStep})) AS INTEGER) AS frame_idx
+         |  FROM v)
+         |SELECT doc_id, frame_idx,
+         |  CAST(doc_id % 32 + 8 AS INTEGER) AS width,
+         |  CAST(doc_id % 24 + 8 AS INTEGER) AS height,
+         |  CAST((doc_id + 17 * frame_idx) % 256 AS INTEGER) AS red,
+         |  CAST((doc_id * 3 + 7 * frame_idx) % 256 AS INTEGER) AS green,
+         |  CAST((doc_id * 5 + 11 * frame_idx) % 256 AS INTEGER) AS blue
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

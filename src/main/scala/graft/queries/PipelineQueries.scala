@@ -57,6 +57,25 @@ object PipelineQueries {
           sum(col("n_words")).as("total_words"),
           sum(bpeTokenCount(col("clean_text"))).as("total_tokens"))
         .orderBy("lang")
+    }),
+
+    // p03: deterministic hash-split — stable train/val/test assignment
+    // (≈80/10/10) that survives reruns, backfills and repartitioning;
+    // pure map-side, no shuffle (see operators.Splits)
+    "p03_split" -> ((s, dir) => {
+      graft.operators.Splits.assignSplit(
+        t(s, dir, "documents"), col("doc_id"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+
+    // p04: domain-mixture rebalance — every language downsampled (in
+    // expectation) to the smallest language's size via deterministic
+    // hash thresholds; corpus scanned once, broadcast threshold join
+    "p04_mixture" -> ((s, dir) => {
+      graft.operators.Splits.rebalanceDomains(
+        t(s, dir, "documents"), col("lang"), col("doc_id"))
+        .select("doc_id", "lang").orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +111,27 @@ object PipelineQueries {
          |  CAST(SUM(n_words) AS BIGINT) AS total_words,
          |  CAST(SUM(${sqlBpeTokenCount("clean_text")}) AS BIGINT) AS total_tokens
          |FROM enriched WHERE n_words >= 10 AND punct_ratio <= 0.3
-         |GROUP BY lang ORDER BY lang""".stripMargin)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p03_split" ->
+      """WITH assigned AS (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |           THEN 'train'
+        |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_docs
+        |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "p04_mixture" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS domain_n FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(domain_n) AS min_n FROM n),
+        |t AS (SELECT lang, (256 * min_n) // domain_n AS thr FROM n, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE '0' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+        |  < printf('%03x', thr)
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, MediaRecord}
+import graft.operators.{MediaRecord, Multimodal}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -21,10 +21,15 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() == media.count())
     val bad = feats.filter(col("n_bytes") <= 0 || length(col("content_md5")) =!= 32 ||
-      col("width") < 1 || col("width") > 640 || col("n_frames") < 1).count()
+      col("n_frames").isNull || col("n_frames") < 1).count()
     assert(bad == 0)
-    // audio/image payloads always report a single frame
-    assert(feats.filter(col("modality") =!= "video" && col("n_frames") =!= 1).count() == 0)
+    // raster dims exist exactly for raster modalities
+    assert(feats.filter(col("modality") === "audio" && col("width").isNotNull).count() == 0)
+    assert(feats.filter(col("modality") =!= "audio" && col("width").isNull).count() == 0)
+    // images are single-frame; videos report the real container count
+    assert(feats.filter(col("modality") === "image" && col("n_frames") =!= 1).count() == 0)
+    assert(feats.filter(col("modality") === "video" &&
+      (col("n_frames") < 2 || col("n_frames") > 13)).count() == 0)
   }
 
   test("decode pipeline is shuffle-free (mapPartitions preserves partitioning)") {
@@ -62,7 +67,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("m03 pixel decode recovers the exact fill color, shuffle-free") {
     implicit val s = spark
-    val imgs = Multimodal.decodeImages(Multimodal.withSyntheticImages(media))
+    val imgs = Multimodal.decodeImages(Multimodal.withSyntheticMedia(media))
     val wrong = imgs.filter(
       col("red") =!= (col("doc_id") % 256).cast("int") ||
         col("green") =!= (col("doc_id") * 7 % 256).cast("int") ||
@@ -72,11 +77,49 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"image decode pipeline shuffles:\n$plan")
   }
 
-  test("decoder stub is deterministic across invocations") {
-    val r = MediaRecord(7L, "video", "payload-bytes".getBytes("UTF-8"))
-    val d1 = new Multimodal.StubMediaDecoder().decode(r)
-    val d2 = new Multimodal.StubMediaDecoder().decode(r)
-    assert(d1 == d2)
-    assert(d1.content_md5.matches("[0-9a-f]{32}"))
+  test("m04 WAV decode recovers format, sample count and PCM peak, shuffle-free") {
+    implicit val s = spark
+    val audio = Multimodal.decodeAudio(Multimodal.withSyntheticMedia(media))
+    val wrong = audio.filter(
+      col("sample_rate") =!= (lit(8000) + col("doc_id") % 5 * 2000).cast("int") ||
+        col("channels") =!= 1 ||
+        col("n_samples") =!= (col("doc_id") % 400 + 100) ||
+        col("peak") =!= (col("doc_id") % 900 + 100).cast("int")).count()
+    assert(wrong == 0, "decoded WAV disagrees with the payload generator")
+    assert(audio.count() > 0)
+    val plan = audio.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"audio decode pipeline shuffles:\n$plan")
+  }
+
+  test("m05 video frame decode rasterizes the sampled TIFF pages, shuffle-free") {
+    implicit val s = spark
+    val frames = Multimodal.decodeVideoFrames(Multimodal.withSyntheticMedia(media))
+    val wrong = frames.filter(
+      col("width") =!= (col("doc_id") % 32 + 8).cast("int") ||
+        col("height") =!= (col("doc_id") % 24 + 8).cast("int") ||
+        col("red") =!= ((col("doc_id") + col("frame_idx") * 17) % 256).cast("int") ||
+        col("green") =!= ((col("doc_id") * 3 + col("frame_idx") * 7) % 256).cast("int") ||
+        col("blue") =!= ((col("doc_id") * 5 + col("frame_idx") * 11) % 256).cast("int")).count()
+    assert(wrong == 0, "decoded frame pixel disagrees with the painted fill color")
+    // frame sampling stride holds and frame 0 always present
+    assert(frames.filter(col("frame_idx") % Multimodal.FrameStep =!= 0).count() == 0)
+    assert(frames.filter(col("frame_idx") === 0).count() ==
+      media.filter(col("modality") === "video").count())
+    val plan = frames.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"video decode pipeline shuffles:\n$plan")
+  }
+
+  test("decoder is deterministic across instances (same payload, same features)") {
+    val wav = Multimodal.AudioSynth.wav(7L)
+    val r = MediaRecord(7L, "audio", "payload-bytes".getBytes("UTF-8"), wav)
+    val d1 = new Multimodal.JdkMediaDecoder
+    val d2 = new Multimodal.JdkMediaDecoder
+    try {
+      val f1 = d1.decode(r)
+      val f2 = d2.decode(r)
+      assert(f1 == f2)
+      assert(f1.content_md5.matches("[0-9a-f]{32}"))
+      assert(f1.n_frames.contains(Multimodal.AudioSynth.nSamples(7L)))
+    } finally { d1.close(); d2.close() }
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Splits
+import org.apache.spark.sql.functions._
+
+class SplitsSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("p03 split proportions land near 80/10/10 and cover every row") {
+    val n = docs.count()
+    val bySplit = Splits.assignSplit(docs, col("doc_id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == n)
+    // binomial tolerance: ±6 pp at 500 rows is > 4 sigma
+    assert(math.abs(bySplit("train").toDouble / n - 0.80) < 0.06, bySplit.toString)
+    assert(math.abs(bySplit("val").toDouble / n - 0.098) < 0.06, bySplit.toString)
+    assert(math.abs(bySplit("test").toDouble / n - 0.102) < 0.06, bySplit.toString)
+  }
+
+  test("split assignment is stable: a subset's rows keep their assignment in the full corpus") {
+    val full = Splits.assignSplit(docs, col("doc_id")).select("doc_id", "split")
+    val subset = Splits.assignSplit(docs.filter(col("doc_id") % 7 === 0), col("doc_id"))
+      .select(col("doc_id"), col("split").as("subset_split"))
+    val moved = full.join(subset, "doc_id")
+      .filter(col("split") =!= col("subset_split")).count()
+    assert(moved == 0, "hash-split must not reassign rows when the corpus changes")
+  }
+
+  test("split assignment is independent of partition layout") {
+    val a = Splits.assignSplit(docs.repartition(1), col("doc_id"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Splits.assignSplit(docs.repartition(17, col("lang")), col("doc_id"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("split is map-side only: no shuffle in the assignment plan") {
+    val plan = Splits.assignSplit(docs, col("doc_id"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"hash-split must not shuffle:\n$plan")
+  }
+
+  test("seed changes the assignment (bucket namespaces are independent)") {
+    val a = Splits.assignSplit(docs, col("doc_id"), seed = "split")
+    val b = Splits.assignSplit(docs, col("doc_id"), seed = "other")
+      .withColumnRenamed("split", "split_b")
+    val differing = a.select("doc_id", "split")
+      .join(b.select("doc_id", "split_b"), "doc_id")
+      .filter(col("split") =!= col("split_b")).count()
+    assert(differing > 0)
+  }
+
+  test("p04 rebalance levels the language mixture near the smallest language") {
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = perLang.values.min
+    val kept = Splits.rebalanceDomains(docs, col("lang"), col("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == perLang.keySet)
+    // the smallest language keeps everything (threshold 0x100)
+    val smallest = perLang.minBy(_._2)._1
+    assert(kept(smallest) == minN)
+    kept.foreach { case (lang, k) =>
+      assert(k <= perLang(lang), s"$lang grew")
+      // expectation is ~minN per language; allow binomial spread
+      assert(math.abs(k - minN.toDouble) < math.max(12.0, 4 * math.sqrt(minN.toDouble)),
+        s"$lang kept $k, expected ≈$minN of ${perLang(lang)}")
+    }
+  }
+
+  test("p04 keep decision broadcasts the threshold table; the corpus is not shuffled") {
+    val plan = Splits.rebalanceDomains(docs, col("lang"), col("doc_id"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast threshold join:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the keep decision:\n$plan")
+  }
+
+  test("rebalance is deterministic across reruns and partitionings") {
+    val a = Splits.rebalanceDomains(docs.repartition(3), col("lang"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Splits.rebalanceDomains(docs.repartition(23, col("doc_id")), col("lang"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+}
