@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus partitioning for training pipelines: stable
@@ -65,5 +66,45 @@ object Splits {
     df.join(broadcast(thresholds), domainCol === col("__domain"))
       .filter(bucket3 < format_string("%03x", col("__thr")))
       .drop("__domain", "__thr")
+  }
+
+  /** Greedy shard packing: assign rows (in `idCol` order) to consecutive
+    * training shards of ≈`budget` tokens each — the "write the corpus as
+    * N bounded files/sequences" step of a training-data pipeline. A row
+    * goes to shard `prefix_tokens div budget` where `prefix_tokens` is
+    * the token count of all EARLIER rows: shards fill to the budget and
+    * a document is never split (the last doc of a shard may overflow it,
+    * classic greedy semantics).
+    *
+    * Scale shape — a global running sum without a global window: the
+    * corpus is blocked by `idCol div blockSize`; per-block totals are one
+    * partial-aggregated shuffle on n/blockSize keys; the block-offset
+    * prefix sum runs on that TINY aggregate only (the single-partition
+    * window touches n/blockSize rows, never the corpus — same bounded-
+    * driver-state discipline as d06's convergence check); offsets join
+    * back small, and the corpus-side running sum is a window PARTITIONED
+    * BY block (≤ blockSize rows per window partition, fully parallel).
+    * One corpus shuffle total, on the block key. */
+  def packShards(df: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Long, blockSize: Long = 10000): DataFrame = {
+    require(budget > 0 && blockSize > 0)
+    val blocked = df
+      .withColumn("__tokens", tokensCol.cast("long"))
+      .withColumn("__id", idCol.cast("long"))
+      .withColumn("__block", expr(s"__id div $blockSize"))
+    val totals = blocked.groupBy("__block").agg(sum("__tokens").as("__block_sum"))
+    val offsets = totals
+      .withColumn("__offset", coalesce(
+        sum("__block_sum").over(
+          Window.orderBy("__block").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__block", "__offset")
+    val inBlock = Window.partitionBy("__block").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocked.join(offsets, "__block")
+      .withColumn("__cum", sum("__tokens").over(inBlock) + col("__offset"))
+      .withColumn("shard", expr(s"(__cum - __tokens) div $budget"))
+      .withColumn("n_tokens", col("__tokens"))
+      .drop("__block", "__id", "__tokens", "__offset", "__cum")
   }
 }

@@ -76,6 +76,18 @@ object PipelineQueries {
       graft.operators.Splits.rebalanceDomains(
         t(s, dir, "documents"), col("lang"), col("doc_id"))
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // p05: greedy shard packing — rows assigned in id order to
+    // consecutive ≈1000-token shards via the blocked distributed
+    // prefix sum (no global window over the corpus; blockSize=100 so
+    // the blocked path is exercised even at sf0.01)
+    "p05_pack_shards" -> ((s, dir) => {
+      graft.operators.Splits.packShards(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), wsTokenCount(col("text")),
+        budget = 1000L, blockSize = 100L)
+        .select("doc_id", "n_tokens", "shard").orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -133,5 +145,17 @@ object PipelineQueries {
         |FROM documents d JOIN t ON d.lang = t.lang
         |WHERE '0' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
         |  < printf('%03x', thr)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "p05_pack_shards" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${sqlWsTokenCount("text")} AS n_tokens FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST((c - n_tokens) // 1000 AS BIGINT) AS shard
+         |FROM cum ORDER BY doc_id""".stripMargin)
 }

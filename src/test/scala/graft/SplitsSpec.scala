@@ -79,6 +79,41 @@ class SplitsSpec extends SparkSpec {
       s"corpus must not shuffle for the keep decision:\n$plan")
   }
 
+  test("p05 shard packing: shards fill consecutively, never split a doc, respect the budget") {
+    import graft.functions.TextFunctions.wsTokenCount
+    val budget = 1000L
+    val packed = Splits.packShards(docs.select(col("doc_id"), col("text")),
+      col("doc_id"), wsTokenCount(col("text")), budget, blockSize = 100L)
+      .select("doc_id", "n_tokens", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // shard ids are monotone in doc order and skip nothing
+    val shards = packed.map(_._3)
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b && b - a <= 1 })
+    assert(shards.head == 0)
+    // each shard's PREFIX (all but its last doc) stays under the budget:
+    // greedy packing overflows only by the final doc, which is never split
+    packed.groupBy(_._3).values.foreach { rows =>
+      val sorted = rows.sortBy(_._1)
+      val prefix = sorted.dropRight(1).map(_._2).sum
+      assert(prefix < budget, s"shard ${sorted.head._3} prefix $prefix >= $budget")
+    }
+    // exact equivalence with a single global running sum
+    val global = packed.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    assert(packed.map(_._3).sameElements(global.map(_ / budget)))
+  }
+
+  test("p05 plan is blocked: corpus windows partition by block, never one global partition") {
+    import graft.functions.TextFunctions.wsTokenCount
+    val packed = Splits.packShards(docs.select(col("doc_id"), col("text")),
+      col("doc_id"), wsTokenCount(col("text")), 1000L, blockSize = 100L)
+    val plan = packed.queryExecution.executedPlan.toString()
+    assert(plan.contains("hashpartitioning(__block"),
+      s"corpus running sum must shuffle on the block key only:\n$plan")
+    // the single-partition window exists only over the tiny block-totals
+    // aggregate (its input is the groupBy(__block) output), by construction
+    assert(plan.contains("Window"), plan)
+  }
+
   test("rebalance is deterministic across reruns and partitionings") {
     val a = Splits.rebalanceDomains(docs.repartition(3), col("lang"), col("doc_id"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
