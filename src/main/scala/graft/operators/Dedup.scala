@@ -89,6 +89,32 @@ object Dedup {
       .distinct()
   }
 
+  /** d09: incremental ingest dedup — admit only new-batch docs that are
+    * near-dup of NEITHER the existing corpus NOR an earlier (smaller-id)
+    * doc of the same batch, by the d02 band-collision criterion.
+    *
+    * This is the 100 TB ingest path: `historyBuckets` is the stored LSH
+    * index of the corpus ([[bandedBuckets]] persisted as a table
+    * bucketed by (band_idx, bh)), so admitting a batch costs
+    * O(|batch|) signature work plus equi-joins against the index — the
+    * history corpus is never rescanned, re-shingled, or re-clustered.
+    * Both checks are semi-joins on the band key and the final keep is an
+    * anti-join on doc_id; no pair set is ever materialized. */
+  def incrementalKeep(historyBuckets: DataFrame, batch: DataFrame): DataFrame = {
+    val bb = bandedBuckets(batch)
+    val dupVsHistory = bb.as("n").join(historyBuckets.as("h"),
+        col("n.band_idx") === col("h.band_idx") && col("n.bh") === col("h.bh"),
+        "left_semi")
+      .select("doc_id")
+    val dupInBatch = bb.as("l").join(bb.as("r"),
+        col("l.band_idx") === col("r.band_idx") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") > col("r.doc_id"),
+        "left_semi")
+      .select("doc_id")
+    batch.select("doc_id")
+      .join(dupVsHistory.union(dupInBatch), Seq("doc_id"), "left_anti")
+  }
+
   // ---- d06: cluster resolution (connected components) ---------------------
 
   /** Resolve near-dup candidate pairs into duplicate CLUSTERS — the step

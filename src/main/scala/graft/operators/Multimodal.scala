@@ -70,6 +70,31 @@ final case class VideoFrame(
   */
 object Multimodal {
 
+  /** Solid-fill raster via a bulk data-buffer fill (the per-pixel setRGB
+    * loop was ~10× slower and dominated the synthetic-fixture encode). */
+  private[operators] def solidImage(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pixels = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    java.util.Arrays.fill(pixels, rgb)
+    img
+  }
+
+  /** Hex digest without per-byte format() calls (hot path: once per row). */
+  private val HexChars = "0123456789abcdef".toCharArray
+  private[operators] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = HexChars(b >> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** The per-partition decoder lifecycle every codec integration needs:
     * opened once per partition, rows streamed through, closed on task
     * completion (a native decoder holds handles that must not leak). */
@@ -87,9 +112,9 @@ object Multimodal {
 
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.content.length.toLong
-      val hex = md.digest(r.content).map("%02x".format(_)).mkString
+      val digest = Multimodal.hex(md.digest(r.content))
       md.reset()
-      val base = MediaFeatures(r.doc_id, r.modality, n, hex, None, None, None)
+      val base = MediaFeatures(r.doc_id, r.modality, n, digest, None, None, None)
       require(r.media != null, s"missing media payload for doc ${r.doc_id}")
       r.modality match {
         case "image" =>
@@ -129,16 +154,8 @@ object Multimodal {
     def blue(docId: Long): Int = (docId * 13 % 256).toInt
 
     def png(docId: Long): Array[Byte] = {
-      val (w, h) = (width(docId), height(docId))
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (red(docId) << 16) | (green(docId) << 8) | blue(docId)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
+      val img = Multimodal.solidImage(width(docId), height(docId), rgb)
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
       bos.toByteArray
@@ -199,16 +216,9 @@ object Multimodal {
         var f = 0
         val n = nFrames(docId)
         while (f < n) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val rgb = (red(docId, f) << 16) | (green(docId, f) << 8) | blue(docId, f)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(Multimodal.solidImage(w, h, rgb), null, null), null)
           f += 1
         }
         writer.endWriteSequence()

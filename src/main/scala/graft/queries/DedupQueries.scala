@@ -37,10 +37,15 @@ object DedupQueries {
     s"SELECT doc_id, $b AS band_idx, md5($cat) AS bh FROM sig"
   }.mkString(" UNION ALL ")
 
-  private val sqlCandidateCtes =
+  /** CTE chain through the per-doc band buckets (shared by the pairwise
+    * candidates below and d09's incremental form). */
+  private val sqlCandidateBaseCtes =
     s"""WITH $sqlShingleCte,
        |sig AS (SELECT doc_id, [$sqlSigEntries] AS sig FROM sh),
-       |bands AS ($sqlBandArms),
+       |bands AS ($sqlBandArms)""".stripMargin
+
+  private val sqlCandidateCtes =
+    s"""$sqlCandidateBaseCtes,
        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |  ON l.band_idx = r.band_idx AND l.bh = r.bh AND l.doc_id < r.doc_id)""".stripMargin
@@ -111,6 +116,18 @@ object DedupQueries {
       Dedup.decontaminate(
         corpus = docs.filter(col("doc_id") >= BenchmarkDocs),
         benchmark = docs.filter(col("doc_id") < BenchmarkDocs))
+        .orderBy("doc_id")
+    }),
+
+    // d09: incremental ingest — even doc_ids act as the existing corpus
+    // (its LSH band index would be a stored table at scale), odd doc_ids
+    // as the incoming batch; admitted = near-dup of neither corpus nor
+    // an earlier batch doc
+    "d09_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalKeep(
+        Dedup.bandedBuckets(docs.filter(col("doc_id") % 2 === 0)),
+        docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
 
@@ -198,5 +215,22 @@ object DedupQueries {
          |    round($sqlDot / (${sqlNorm("l")} * ${sqlNorm("r")}), 6) AS cos
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          |WHERE cos >= $CosineThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // signatures are per-doc independent, so banding all documents once
+    // and filtering by parity afterward is equivalent to banding the
+    // two subsets separately
+    "d09_dedup_incremental" ->
+      s"""$sqlCandidateBaseCtes,
+         |hist AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+         |newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+         |dup AS (
+         |  SELECT DISTINCT n.doc_id FROM newb n JOIN hist h
+         |    ON n.band_idx = h.band_idx AND n.bh = h.bh
+         |  UNION
+         |  SELECT DISTINCT l.doc_id FROM newb l JOIN newb r
+         |    ON l.band_idx = r.band_idx AND l.bh = r.bh AND l.doc_id > r.doc_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.Multimodal
+import org.apache.spark.sql.functions.col
 import Ops._
 
 /** Driver-contract wiring for the multimodal pipeline m01–m05 (SURVEY.md
@@ -27,17 +28,22 @@ object MultimodalQueries {
       implicit val spark = s
       Multimodal.sampleFrames(
         Multimodal.extractFeatures(
-          Multimodal.asMediaTable(t(s, dir, "documents"))).toDF())
+          Multimodal.asMediaTable(t(s, dir, "documents"))
+            .filter(col("modality") === "video")).toDF())
         .orderBy("doc_id", "frame_idx")
     }),
 
     // m03: pixel-level image decode — center-pixel RGB can only match
-    // the oracle's doc_id arithmetic if the PNG was truly rasterized
+    // the oracle's doc_id arithmetic if the PNG was truly rasterized.
+    // The modality filter runs BEFORE synthesis (pushed to the scan), so
+    // only the needed rows pay the encode — same shape as a real corpus
+    // where the filter prunes object-store reads.
     "m03_image_decode" -> ((s, dir) => {
       implicit val spark = s
       Multimodal.decodeImages(
         Multimodal.withSyntheticMedia(
-          Multimodal.asMediaTable(t(s, dir, "documents"))))
+          Multimodal.asMediaTable(t(s, dir, "documents"))
+            .filter(col("modality") === "image")))
         .toDF().orderBy("doc_id")
     }),
 
@@ -47,7 +53,8 @@ object MultimodalQueries {
       implicit val spark = s
       Multimodal.decodeAudio(
         Multimodal.withSyntheticMedia(
-          Multimodal.asMediaTable(t(s, dir, "documents"))))
+          Multimodal.asMediaTable(t(s, dir, "documents"))
+            .filter(col("modality") === "audio")))
         .toDF().orderBy("doc_id")
     }),
 
@@ -57,7 +64,8 @@ object MultimodalQueries {
       implicit val spark = s
       Multimodal.decodeVideoFrames(
         Multimodal.withSyntheticMedia(
-          Multimodal.asMediaTable(t(s, dir, "documents"))))
+          Multimodal.asMediaTable(t(s, dir, "documents"))
+            .filter(col("modality") === "video")))
         .toDF().orderBy("doc_id", "frame_idx")
     }))
 

@@ -30,12 +30,19 @@ object TpchQueries {
   /** Shared ANSI SQL — one string per query, runnable verbatim by BOTH
     * Spark (defs below) and DuckDB (the oracle side). */
   val sql: Map[String, String] = Map(
+    // sum_charge multiplies exact DECIMAL factors instead of casting the
+    // double triple-product: price*(1-disc)*(1+tax) has 6 true decimal
+    // digits, so rounding the double to 4 decimals lands on .xx50 ties
+    // whose direction differs between Spark (exact BigDecimal expansion)
+    // and DuckDB (FP-scaled round) — ~700 one-ulp row diffs at sf0.1.
+    // Two-factor products (4 true decimals) never hit a tie and stay on
+    // the cheaper cast-the-product form.
     "h01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,

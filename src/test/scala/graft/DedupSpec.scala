@@ -118,6 +118,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(two).count() == 1)
   }
 
+  test("d09 incremental keep: drops batch docs colliding with history or earlier batch docs") {
+    import spark.implicits._
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "completely unrelated corpus content about databases and queries")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog every single day"), // dup of history 0
+      (13L, "a genuinely fresh document with brand new content and words"),
+      (15L, "a genuinely fresh document with brand new content and words"), // dup of batch 13
+      (17L, "another novel text that matches nothing else in any corpus")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalKeep(Dedup.bandedBuckets(history), batch)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(13L, 17L))
+    // and the keep decision is join-based, never a cartesian product
+    val plan = Dedup.incrementalKeep(Dedup.bandedBuckets(history), batch)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair-free plan expected:\n$plan")
+  }
+
   test("wider sign-LSH buckets (scale setting) yield a subset of the default pairs") {
     val narrow = Dedup.embeddingCosinePairs(embs, signBits = 4)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
