@@ -66,25 +66,33 @@ object Dedup {
     shingleRows(docs).groupBy("doc_id")
       .agg(graft.functions.MinhashAgg.minhashAgg(col("sh"), NumHashes).as("sig"))
 
-  /** One row per (doc, band): band hash = md5 of the band's signature
-    * rows. Near-dups (est. Jaccard ≳ (1/Bands)^(1/RowsPerBand) ≈ 0.7)
-    * collide in ≥1 band with high probability. */
+  /** One row per (doc, band): band hash = md5 of the band INDEX plus
+    * the band's signature rows. Near-dups (est. Jaccard ≳
+    * (1/Bands)^(1/RowsPerBand) ≈ 0.7) collide in ≥1 band with high
+    * probability.
+    *
+    * The band index is FOLDED INTO the hash (rather than carried as a
+    * second join column) so every band join is a single-key equi-join —
+    * which is what lets a stored LSH index bucketed by `bh` join with
+    * zero exchange on the index side (Spark's bucketed-scan planning
+    * engages only when the join keys equal the bucket key; a
+    * two-column join disables it — see TableLayoutSpec). `band_idx`
+    * stays in the output for introspection only. */
   def bandedBuckets(docs: DataFrame): DataFrame =
     minhashSignatures(docs)
       .select(col("doc_id"), explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band_idx"),
-          md5(concat((0 until RowsPerBand).map(j =>
-            element_at(col("sig"), b * RowsPerBand + j + 1)): _*)).as("bh"))
+          md5(concat((lit(s"$b|") +: (0 until RowsPerBand).map(j =>
+            element_at(col("sig"), b * RowsPerBand + j + 1))): _*)).as("bh"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.bh"))
 
-  /** Candidate near-dup pairs: equi-join on (band, bucket) — the
+  /** Candidate near-dup pairs: equi-join on the band-bucket key — the
     * scale-safe path; pair generation happens within buckets only. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val b = bandedBuckets(docs)
     b.as("l").join(b.as("r"),
-        col("l.band_idx") === col("r.band_idx") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") < col("r.doc_id"))
+        col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
   }
@@ -95,20 +103,20 @@ object Dedup {
     *
     * This is the 100 TB ingest path: `historyBuckets` is the stored LSH
     * index of the corpus ([[bandedBuckets]] persisted as a table
-    * bucketed by (band_idx, bh)), so admitting a batch costs
-    * O(|batch|) signature work plus equi-joins against the index — the
-    * history corpus is never rescanned, re-shingled, or re-clustered.
-    * Both checks are semi-joins on the band key and the final keep is an
-    * anti-join on doc_id; no pair set is ever materialized. */
+    * bucketed by `bh` — the single-key layout TableLayoutSpec proves
+    * joins with zero exchange on the index side), so admitting a batch
+    * costs O(|batch|) signature work plus equi-joins against the index —
+    * the history corpus is never rescanned, re-shingled, or
+    * re-clustered. Both checks are semi-joins on the band key and the
+    * final keep is an anti-join on doc_id; no pair set is ever
+    * materialized. */
   def incrementalKeep(historyBuckets: DataFrame, batch: DataFrame): DataFrame = {
     val bb = bandedBuckets(batch)
     val dupVsHistory = bb.as("n").join(historyBuckets.as("h"),
-        col("n.band_idx") === col("h.band_idx") && col("n.bh") === col("h.bh"),
-        "left_semi")
+        col("n.bh") === col("h.bh"), "left_semi")
       .select("doc_id")
     val dupInBatch = bb.as("l").join(bb.as("r"),
-        col("l.band_idx") === col("r.band_idx") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") > col("r.doc_id"),
+        col("l.bh") === col("r.bh") && col("l.doc_id") > col("r.doc_id"),
         "left_semi")
       .select("doc_id")
     batch.select("doc_id")

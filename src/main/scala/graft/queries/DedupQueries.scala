@@ -32,9 +32,11 @@ object DedupQueries {
     s"""sh AS (SELECT doc_id, $sqlShingleSet AS shingles
        |  FROM (SELECT doc_id, $sqlWordsE AS words FROM documents))""".stripMargin
 
+  // the band index is folded into the hash (single join key — matches
+  // Dedup.bandedBuckets' bucketed-index layout)
   private val sqlBandArms = (0 until Bands).map { b =>
     val cat = (0 until RowsPerBand).map(j => s"sig[${b * RowsPerBand + j + 1}]").mkString(" || ")
-    s"SELECT doc_id, $b AS band_idx, md5($cat) AS bh FROM sig"
+    s"SELECT doc_id, $b AS band_idx, md5('$b|' || $cat) AS bh FROM sig"
   }.mkString(" UNION ALL ")
 
   /** CTE chain through the per-doc band buckets (shared by the pairwise
@@ -48,7 +50,7 @@ object DedupQueries {
     s"""$sqlCandidateBaseCtes,
        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
-       |  ON l.band_idx = r.band_idx AND l.bh = r.bh AND l.doc_id < r.doc_id)""".stripMargin
+       |  ON l.bh = r.bh AND l.doc_id < r.doc_id)""".stripMargin
 
   /** Recursive connected-components CTE chain over the minhash candidate
     * edges (d06's oracle; also the dedup stage of p02's pipeline
@@ -225,11 +227,10 @@ object DedupQueries {
          |hist AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
          |newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
          |dup AS (
-         |  SELECT DISTINCT n.doc_id FROM newb n JOIN hist h
-         |    ON n.band_idx = h.band_idx AND n.bh = h.bh
+         |  SELECT DISTINCT n.doc_id FROM newb n JOIN hist h ON n.bh = h.bh
          |  UNION
          |  SELECT DISTINCT l.doc_id FROM newb l JOIN newb r
-         |    ON l.band_idx = r.band_idx AND l.bh = r.bh AND l.doc_id > r.doc_id)
+         |    ON l.bh = r.bh AND l.doc_id > r.doc_id)
          |SELECT doc_id FROM documents
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
          |ORDER BY doc_id""".stripMargin)

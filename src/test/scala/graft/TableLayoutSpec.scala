@@ -60,6 +60,57 @@ class TableLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == o.count())
   }
 
+  test("d09's stored LSH index: bucketed by bh, the ingest semi-join never shuffles the index") {
+    import graft.operators.Dedup
+    spark.sql("DROP TABLE IF EXISTS lsh_index_b")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "lsh_index_b")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    TableLayout.writeBucketed(Dedup.bandedBuckets(history), "lsh_index_b", "bh", 4)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at corpus scale the index outgrows broadcast; force that regime
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val kept = Dedup.incrementalKeep(spark.table("lsh_index_b"), batch)
+      val plan = kept.queryExecution.executedPlan.toString()
+      // the index scan reports its bucket layout and feeds the semi-join
+      // without an Exchange above it (single-key join = bucket key)
+      assert(plan.contains("Bucketed: true"), s"index not read as bucketed:\n$plan")
+      // walk the ASCII plan tree from the index scan up to its enclosing
+      // join: no Exchange may sit on that path
+      val lines = plan.linesIterator.toVector
+      def indent(s: String) = s.indexWhere(c => !" :+-".contains(c))
+      var i = lines.indexWhere(_.contains("lsh_index_b["))
+      assert(i >= 0, s"no index scan in plan:\n$plan")
+      var ind = indent(lines(i))
+      var hitJoin = false
+      var sawExchange = false
+      while (i > 0 && !hitJoin) {
+        i -= 1
+        val li = indent(lines(i))
+        if (li >= 0 && li < ind) {
+          ind = li
+          if (lines(i).contains("Join")) hitJoin = true
+          else if (lines(i).contains("Exchange")) sawExchange = true
+        }
+      }
+      assert(hitJoin && !sawExchange, s"index side shuffled before the join:\n$plan")
+      // same admissions as the unbucketed path
+      val plain = Dedup.incrementalKeep(Dedup.bandedBuckets(history), batch)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.collect().map(_.getLong(0)).toSet == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("partition-pruned scan reads only the predicate's directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val e = graft.queries.Ops.events(spark, sfDir)
