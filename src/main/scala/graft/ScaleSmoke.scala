@@ -51,6 +51,16 @@ object ScaleSmoke {
     time("d08_block_overlap")(operators.Dedup.blockOverlapPairs(docs))
     time("s01_topk")(operators.Similarity.bruteForceTopK(embs, operators.Similarity.defaultQueries(embs)))
     time("s03_ivf_topk")(operators.Similarity.ivfTopK(embs, operators.Similarity.defaultQueries(embs)))
+    // d09: admit the odd half as a new batch against the even half's
+    // stored band index — the continuous-ingest shape
+    time("d09_incremental_keep")(operators.Dedup.incrementalKeep(
+      operators.Dedup.bandedBuckets(docs.filter(col("doc_id") % 2 === 0)),
+      docs.filter(col("doc_id") % 2 === 1)))
+    // p05: shard packing via the blocked prefix sum
+    time("p05_pack_shards")(operators.Splits.packShards(
+      docs.select(col("doc_id"), col("text")), col("doc_id"),
+      graft.functions.TextFunctions.wsTokenCount(col("text")),
+      budget = 5000L, blockSize = 10000L))
     spark.stop()
   }
 }
