@@ -94,6 +94,34 @@ object TextQueries {
     // top-3 plans as WindowGroupLimit. The df join is left unhinted —
     // vocabulary size varies wildly across corpora, so AQE picks
     // broadcast vs shuffle at runtime.
+    // t09 per-language repetition-median gate: keep docs whose t06
+    // duplicate-word mass is at or BELOW their LANGUAGE's median — the
+    // per-domain adaptive threshold a mixed-language corpus needs (a
+    // fixed global cutoff over- or under-prunes whichever language
+    // structurally repeats more, e.g. analytic vs synthetic languages).
+    // Scale shape: the median is found on the (lang, ratio) HISTOGRAM
+    // (cardinality = distinct ratios per language, not docs — the q29
+    // discipline), the lower-median pick is a discrete MIN over existing
+    // values (no FP interpolation to diverge between engines), and the
+    // 5-row threshold table broadcasts back onto a single corpus scan.
+    "t09_quality_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = words(col("text"))
+      val rep = lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
+      val scored = d.select(col("doc_id"), col("lang"), rep.as("q"))
+      val wCum = Window.partitionBy("lang").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = scored.groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+      val med = hist.filter(col("cum") >= ceil(col("n") / 2.0))
+        .groupBy("lang").agg(min("q").as("med"))
+      scored.join(broadcast(med), "lang")
+        .filter(col("q") <= col("med"))
+        .select(col("doc_id"), col("lang"), round(col("q"), 6).as("word_rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "t08_tfidf" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val total = d.select(count(lit(1)).as("n_docs"))
@@ -177,6 +205,24 @@ object TextQueries {
          |  (CASE WHEN ${sqlWsTokenCount("text")} BETWEEN 10 AND 500 THEN 1.0 ELSE 0.5 END
          |    * (1.0 - ${sqlPunctRatio("text")})) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t09_quality_gate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    (1.0 - CAST(len(list_distinct(${sqlWords("text")})) AS DOUBLE)
+         |      / len(${sqlWords("text")})) AS q
+         |  FROM documents),
+         |hist AS (SELECT lang, q, COUNT(*) AS cnt FROM scored GROUP BY lang, q),
+         |c AS (SELECT lang, q,
+         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM hist),
+         |med AS (SELECT lang, MIN(q) AS med FROM c
+         |  WHERE cum >= CEIL(n / 2.0) GROUP BY lang)
+         |SELECT s.doc_id, s.lang, round(s.q, 6) AS word_rep_ratio
+         |FROM scored s JOIN med USING (lang) WHERE s.q <= med.med
+         |ORDER BY s.doc_id""".stripMargin,
 
     "t03_tokens" ->
       s"""SELECT doc_id,

@@ -8,7 +8,8 @@ class TextQueriesSpec extends SparkSpec {
 
   test("every per-doc text query runs and returns one row per document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    (TextQueries.defs - "t07_vocab" - "t08_tfidf").foreach { case (name, fn) =>
+    // t07/t08 aggregate across docs; t09 is a filter by design
+    (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
   }
@@ -67,6 +68,26 @@ class TextQueriesSpec extends SparkSpec {
     assert(unredacted == 0, "every augmented doc should report >=1 email and phone")
     assert(df.filter(col("clean_text").contains("<EMAIL>") &&
       col("clean_text").contains("<PHONE>")).count() == df.count())
+  }
+
+  test("t09 gate keeps at least half of every language, never below its own median") {
+    val kept = TextQueries.defs("t09_quality_gate")(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val perLangTotal = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLangKept = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLangKept.keySet == perLangTotal.keySet)
+    perLangKept.foreach { case (lang, k) =>
+      // >= half by construction (median included); < all (the gate
+      // actually discriminates on this corpus)
+      assert(k * 2 >= perLangTotal(lang), s"$lang kept $k of ${perLangTotal(lang)}")
+      assert(k < perLangTotal(lang), s"$lang gate kept everything")
+    }
+    // the threshold table is broadcast onto the corpus scan
+    val plan = TextQueries.defs("t09_quality_gate")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast threshold join:\n$plan")
   }
 
   test("text ops are single-scan map-side pipelines (no shuffle before the final sort)") {
