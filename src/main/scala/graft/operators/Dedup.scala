@@ -269,6 +269,69 @@ object Dedup {
   private def substring_index_block(norm: Column, bi: Column): Column =
     norm.substr(bi * BlockLen + 1, lit(BlockLen))
 
+  // ---- d10: exact substring-span dedup (sliding token windows) ------------
+
+  val WindowTokens = 10
+  val MaxWindowDf = 50
+
+  /** One row per (doc, window position): the md5 of each sliding
+    * [[WindowTokens]]-token window of the lowercased word sequence.
+    * Unlike d08's ALIGNED char blocks, windows slide one token at a
+    * time, so a shared span is caught at ANY offset in either doc —
+    * the exact-substring criterion of span-level training-data dedup
+    * (the hash-per-window formulation of it; a suffix array finds the
+    * same spans but has no distributed one-shuffle shape). Window
+    * generation is a single codegen'd transform+explode in the scan
+    * stage — no shuffle until the window-hash groupBy. */
+  def tokenWindows(docs: DataFrame, w: Int = WindowTokens): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= w)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("w")) - w),
+          i => struct(i.cast("int").as("pos"),
+            md5(array_join(slice(col("w"), i + 1, lit(w)), " ")).as("wh"))))
+        .as("win"))
+      .select(col("doc_id"), col("win.pos"), col("win.wh"))
+
+  /** Pairs of documents sharing at least one exact [[WindowTokens]]-token
+    * span, with the count of shared window positions and the longest
+    * contiguous shared span (in tokens). Windows whose document
+    * frequency exceeds [[MaxWindowDf]] are dropped before pairing —
+    * corpus-wide boilerplate is not a duplication signal, and the cap
+    * bounds the within-bucket pair blowup exactly as in d08/d02.
+    *
+    * Span length from window runs: k consecutive shared window
+    * positions = one shared span of k + W - 1 tokens. Runs are found
+    * with the classic gaps-and-islands trick (pos − row_number is
+    * constant within a run) — one window pass over the pair rows,
+    * partitioned by the pair key, never by a global key. Shuffles:
+    * window-hash groupBy (df cap), window-hash equi-join (pair
+    * generation), pair-key groupBy — all on controllable-cardinality
+    * keys; no cross product anywhere. */
+  def substringSpanPairs(docs: DataFrame, w: Int = WindowTokens,
+      maxWindowDf: Int = MaxWindowDf): DataFrame = {
+    val wins = tokenWindows(docs, w)
+    val rare = wins.select(col("doc_id"), col("wh")).distinct()
+      .groupBy("wh").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") <= maxWindowDf).select("wh")
+    val fw = wins.join(rare, "wh")
+    // one row per (pair, position-in-a) at which SOME shared window starts
+    val hits = fw.as("l").join(fw.as("r"),
+        col("l.wh") === col("r.wh") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.pos").as("pos_a"))
+      .distinct()
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b")).orderBy(col("pos_a"))
+    hits
+      .withColumn("island", col("pos_a") - row_number().over(byPair))
+      .groupBy(col("doc_a"), col("doc_b"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("run")).as("shared_windows"),
+        (max(col("run")) + w - 1).as("longest_span"))
+  }
+
   // ---- d07: benchmark decontamination -------------------------------------
 
   /** Flag corpus documents that share at least one word `ShingleK`-gram

@@ -133,6 +133,13 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // d10: exact substring-span dedup — sliding token-window hashes
+    // catch verbatim spans at ANY offset (d08's aligned blocks miss
+    // unaligned overlap); runs of consecutive shared windows recover
+    // the span length
+    "d10_dedup_substring" -> ((s, dir) =>
+      Dedup.substringSpanPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
     // d06: candidate pairs → connected-component clusters → one kept
     // canonical doc per cluster (iterative min-label propagation; the
     // DuckDB twin is a recursive reachability CTE over the same edges)
@@ -218,6 +225,32 @@ object DedupQueries {
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          |WHERE cos >= $CosineThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "d10_dedup_substring" -> {
+      val w = Dedup.WindowTokens
+      s"""WITH w AS (SELECT doc_id, $sqlWordsE AS w FROM documents),
+         |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    md5(array_to_string(w[i+1:i+$w], ' ')) AS wh
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - $w + 1)) AS i
+         |        FROM w WHERE len(w) >= $w)),
+         |rare AS (SELECT wh FROM (
+         |    SELECT wh, COUNT(*) AS wdf
+         |    FROM (SELECT DISTINCT doc_id, wh FROM wins) GROUP BY wh)
+         |  WHERE wdf <= ${Dedup.MaxWindowDf}),
+         |fw AS (SELECT wins.* FROM wins JOIN rare USING (wh)),
+         |hits AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |    l.pos AS pos_a
+         |  FROM fw l JOIN fw r ON l.wh = r.wh AND l.doc_id < r.doc_id),
+         |runs AS (SELECT doc_a, doc_b,
+         |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a)
+         |      AS island
+         |  FROM hits),
+         |agg AS (SELECT doc_a, doc_b, island, COUNT(*) AS run
+         |  FROM runs GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS shared_windows,
+         |  CAST(MAX(run) + $w - 1 AS BIGINT) AS longest_span
+         |FROM agg GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // signatures are per-doc independent, so banding all documents once
     // and filtering by parity afterward is equivalent to banding the

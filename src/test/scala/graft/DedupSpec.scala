@@ -82,6 +82,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.blockOverlapPairs(ubiquitous).count() == 0)
   }
 
+  test("d10 substring spans: unaligned verbatim spans are found with exact lengths") {
+    import spark.implicits._
+    val span = (1 to 14).map(i => s"tok$i").mkString(" ") // 14 shared tokens
+    val planted = Seq(
+      (1L, s"alpha beta gamma $span delta"),           // span at offset 3
+      (2L, s"$span omega psi chi phi upsilon zeta"),   // span at offset 0
+      (3L, "entirely unrelated words that never overlap with anything else here"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringSpanPairs(planted).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // 14 shared tokens → 5 consecutive 10-token windows → longest span 14
+    assert(rows.head.getAs[Long]("shared_windows") == 5)
+    assert(rows.head.getAs[Long]("longest_span") == 14)
+    // d08's aligned 64-char blocks cannot see this overlap (docs are
+    // shorter than one block) — the two operators are complementary
+    assert(Dedup.blockOverlapPairs(planted).count() == 0)
+    // boilerplate cap: a window in > MaxWindowDf docs is not a signal
+    val ubiquitous = (1L to (Dedup.MaxWindowDf + 5).toLong)
+      .map(i => (i, s"$span unique tail token number $i")).toDF("doc_id", "text")
+    assert(Dedup.substringSpanPairs(ubiquitous).count() == 0)
+  }
+
   test("d07 decontamination broadcasts the benchmark side and flags only corpus docs") {
     val bench = docs.filter(col("doc_id") < 10)
     val corpus = docs.filter(col("doc_id") >= 10)
