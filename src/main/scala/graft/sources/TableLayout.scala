@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout helpers — the two table layouts a 100 TB deployment
   * leans on, surfaced as an explicit API so pipelines declare them
@@ -51,4 +52,69 @@ object TableLayout {
     df.repartitionByRange(partitions, df(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  // ---- Z-ORDER layout: multi-dimensional clustering ----------------------
+
+  /** Morton (Z-order) interleaving of `keys`, each first normalized to a
+    * `bits`-bit rank via its global [min, max]. Sorting by the z-value
+    * clusters rows so that parquet min/max footer stats become tight on
+    * EVERY key simultaneously — a predicate on any single key (or a
+    * multi-key box) skips ~n^((d-1)/d) of the files, where a linear sort
+    * prunes only its leading key. This is the layout decision that turns
+    * a 100 TB two-dimensional scan (e.g. time × tenant) into a handful
+    * of file reads; the interleave is a pure codegen'd bit expression
+    * (2·bits shift/mask/or terms per key), evaluated once per row at
+    * write time and never at read time.
+    *
+    * Normalization is linear over [min, max] — monotone, so z-order of
+    * normalized values tiles the original key space. `bits`=16 per key
+    * keeps the z-value within a long for up to 4 keys. */
+  def zValue(keys: Seq[Column], mins: Seq[Long], maxs: Seq[Long],
+      bits: Int = 16): Column = {
+    require(keys.size * bits <= 63, s"${keys.size} keys x $bits bits exceeds a long")
+    val d = keys.size
+    val scaled = keys.zipWithIndex.map { case (k, j) =>
+      val lo = mins(j)
+      val span = math.max(maxs(j) - lo, 1L)
+      // (k - lo) * maxRank / span: integer arithmetic, monotone in k
+      ((k.cast("long") - lo) * ((1L << bits) - 1) / span).cast("long")
+    }
+    val terms = for {
+      i <- 0 until bits
+      (s, j) <- scaled.zipWithIndex
+    } yield shiftleft(shiftright(s, i).bitwiseAND(1L), i * d + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ordered by `keys` into `files` parquet files: one
+    * tiny min/max aggregate per key (a scalar driver fetch, like any
+    * CBO stat collection), then `repartitionByRange` on the z-value —
+    * each output file covers a contiguous z-range, i.e. a rectangular
+    * tile of the key space, which is exactly what makes its per-key
+    * footer stats tight. The z column itself is dropped from the files. */
+  def writeZOrdered(df: DataFrame, path: String, keys: Seq[String],
+      files: Int, bits: Int = 16): Unit = {
+    val stats = df.select(
+      keys.flatMap(k => Seq(min(col(k).cast("long")), max(col(k).cast("long")))): _*)
+      .first()
+    val mins = keys.indices.map(j => stats.getLong(2 * j))
+    val maxs = keys.indices.map(j => stats.getLong(2 * j + 1))
+    df.withColumn("__z", zValue(keys.map(col), mins, maxs, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** How many parquet files of `path` COULD contain rows with
+    * `key ∈ [lo, hi]`, judged by per-file min/max — the same decision
+    * parquet's footer-stats skipping makes. The audit tool for layout
+    * specs: fewer overlapping files = more reads skipped. */
+  def filesOverlapping(spark: SparkSession, path: String, key: String,
+      lo: Long, hi: Long): Long =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key).cast("long")).as("mn"), max(col(key).cast("long")).as("mx"))
+      .filter(col("mn") <= hi && col("mx") >= lo)
+      .count()
 }

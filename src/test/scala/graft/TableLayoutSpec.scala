@@ -111,6 +111,45 @@ class TableLayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("z-value interleaves bits in Morton order") {
+    import spark.implicits._
+    // with span 2^16-1 the scaling is the identity, so small inputs map
+    // to the textbook Morton codes: z(x,y) interleaves x into even bits,
+    // y into odd bits
+    val full = (1L << 16) - 1
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("x", "y")
+      .select(TableLayout.zValue(Seq(col("x"), col("y")),
+        Seq(0L, 0L), Seq(full, full)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // z(3,5) = interleave(011, 101) = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert(rows == Seq(0L, 1L, 2L, 3L, 12L, 39L))
+  }
+
+  test("z-ordered layout prunes files on BOTH keys; linear sort only on its own") {
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    val files = 16
+    TableLayout.writeZOrdered(l, zDir, Seq("l_orderkey", "l_partkey"), files)
+    TableLayout.writeGlobalSorted(l, sDir, "l_orderkey", files)
+    // the layout moves rows, never changes them
+    assert(spark.read.parquet(zDir).count() == l.count())
+    // a 10%-selective band on the NON-sort key: the linear layout cannot
+    // prune at all (every file spans the full l_partkey range); the
+    // z-ordered tiles confine it to a strip of the key space
+    val pkLinear = TableLayout.filesOverlapping(spark, sDir, "l_partkey", 80L, 99L)
+    val pkZorder = TableLayout.filesOverlapping(spark, zDir, "l_partkey", 80L, 99L)
+    assert(pkLinear == files, s"linear layout unexpectedly pruned: $pkLinear")
+    assert(pkZorder <= files / 2,
+      s"z-order should skip at least half the files on the secondary key, read $pkZorder")
+    // on the primary key the linear sort prunes best (contiguous ranges),
+    // but z-order must still prune substantially — that is the trade
+    val okZorder = TableLayout.filesOverlapping(spark, zDir, "l_orderkey", 300L, 449L)
+    assert(okZorder <= files / 2,
+      s"z-order should still prune on the leading key, read $okZorder")
+  }
+
   test("partition-pruned scan reads only the predicate's directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val e = graft.queries.Ops.events(spark, sfDir)
