@@ -105,6 +105,55 @@ class StreamingSpec extends SparkSpec {
     assert(sess.head.n_events == 2)
   }
 
+  test("sessionization under the RocksDB state store matches the batch form") {
+    // at 100 TB the sessionization state (one open session per active
+    // user) outgrows executor heap; RocksDBStateStoreProvider spills it
+    // to local disk with changelog checkpointing. The operator code is
+    // UNCHANGED — only the provider conf — and results must be
+    // bit-identical to the default in-memory provider / the batch form.
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val history = Seq(
+        Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
+        Event(3, ts(55), 1, "a", 3.0),
+        Event(4, ts(5), 2, "b", 4.0), Event(5, ts(20), 2, "b", 5.0))
+      val stream = MemoryStream[Event]
+      val q = EventStreams.sessionize(stream.toDS())
+        .writeStream.format("memory").queryName("q31_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream.addData(history); q.processAllAvailable()
+        stream.addData(Event(6, Timestamp.valueOf("2024-01-02 09:00:00"), 9, "t", 0.0))
+        q.processAllAvailable()
+        stream.addData(Event(7, Timestamp.valueOf("2024-01-02 11:00:00"), 9, "t", 0.0))
+        q.processAllAvailable()
+        // RocksDB really is the store backing the stateful operator:
+        // its custom metrics only exist under that provider
+        val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(metrics.toString.contains("rocksdb"),
+          s"expected rocksdb state metrics, got $metrics")
+      } finally q.stop()
+      val streamed = spark.table("q31_rocks").as[Session].collect()
+        .filter(_.user_id != 9)
+        .sortBy(x => (x.user_id, x.session_start.getTime))
+      val batch = EventStreams.sessionizeBatch(history.toDF())
+        .orderBy("user_id", "session_seq")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .map(t => Session(t._1, t._2, t._3, t._4, t._5))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally before match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("q32 streaming dedup (within-watermark) matches batch first-event-per-key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
