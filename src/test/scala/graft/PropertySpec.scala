@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, Splits}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+/** Randomized differential properties: each operator is replayed
+  * against a brute-force in-memory oracle on ScalaCheck-generated
+  * inputs. The fixed-case specs pin known answers; these pin the
+  * operator SEMANTICS across the input space (ties, empty groups,
+  * singleton docs, disconnected graphs, degenerate tolerances) where
+  * hand-picked cases can silently miss a branch.
+  *
+  * Seeded (`withInitialSeed`) so a failure reproduces exactly; case
+  * counts are small because every case runs real Spark jobs.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(name: String, cases: Int, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(cases)
+        .withInitialSeed(Seed(0xC0FFEE)), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // ---- as-of join vs brute force -----------------------------------------
+
+  test("property: as-of join equals the brute-force nearest-prior scan") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val genRows = Gen.listOfN(14,
+      for {
+        k <- Gen.choose(1, 3)
+        t <- Gen.choose(0L, 50L)
+        v <- Gen.choose(0, 999)
+      } yield (k, t, v))
+    val genTol = Gen.option(Gen.choose(1L, 20L))
+    val prop = Prop.forAll(genRows, genRows, genTol) { (lRows, rRows, tol) =>
+      // de-dup right rows on (key, time): with several right rows at the
+      // SAME key+time the window carry picks the last by its internal
+      // order — the operator documents nearest-prior by TIME only, so
+      // the differential contract is defined on time-unique right rows
+      val r = rRows.distinctBy(x => (x._1, x._2))
+      val lds = lRows.map(x => (x._1, ts(x._2), x._3)).toDF("k", "t", "lv")
+      val rds = r.map(x => (x._1, ts(x._2), x._3)).toDF("k", "t", "rv")
+      val got = AsOfJoin.backward(
+          lds, rds, Seq("k"), "t", "t", Seq("rv"), toleranceMs = tol.map(_ * 1000L))
+        .collect()
+        .map(x => (x.getInt(0), x.getTimestamp(1).getTime / 1000L, x.getInt(2),
+          Option(x.get(3)).map(_.asInstanceOf[Int])))
+        .sorted.toSeq
+      val want = lRows.map { case (k, t, lv) =>
+        val prior = r.filter(x => x._1 == k && x._2 <= t)
+        val m = if (prior.isEmpty) None else Some(prior.maxBy(_._2))
+        val masked = m.filter(x => tol.forall(ms => t - x._2 <= ms))
+        (k, t, lv, masked.map(_._3))
+      }.sorted
+      got == want
+    }
+    check("asof", 10, prop)
+  }
+
+  // ---- shard packing vs the single-window oracle -------------------------
+
+  test("property: blocked shard packing equals the global running-sum oracle") {
+    import spark.implicits._
+    val genDocs = Gen.listOfN(40, Gen.choose(1L, 30L)).map(_.zipWithIndex
+      .map { case (tok, i) => (i.toLong, tok) })
+    val gen = for {
+      docs <- genDocs
+      budget <- Gen.choose(10L, 120L)
+      block <- Gen.oneOf(1L, 3L, 7L, 10000L) // block size must never matter
+    } yield (docs, budget, block)
+    val prop = Prop.forAll(gen) { case (docs, budget, block) =>
+      val got = Splits.packShards(
+          docs.toDF("doc_id", "n_tokens"), col("doc_id"), col("n_tokens"),
+          budget, blockSize = block)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var cum = 0L
+      val want = docs.sortBy(_._1).map { case (id, tok) =>
+        val shard = cum / budget; cum += tok; id -> shard
+      }.toMap
+      got == want
+    }
+    check("packShards", 10, prop)
+  }
+
+  // ---- substring-span dedup vs brute force -------------------------------
+
+  test("property: substring spans equal the brute-force window intersection") {
+    import spark.implicits._
+    val w = 3
+    val genDoc = Gen.choose(6, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val gen = for {
+      n <- Gen.choose(2, 5)
+      docs <- Gen.listOfN(n, genDoc)
+      maxDf <- Gen.oneOf(2, 3, 50)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, maxDf)
+    val prop = Prop.forAll(gen) { case (docs, maxDf) =>
+      val got = Dedup.substringSpanPairs(docs.toDF("doc_id", "text"), w, maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // brute force: windows per doc, df cap, per-pair shared positions,
+      // runs of consecutive positions
+      val wins = docs.map { case (id, t) =>
+        id -> t.split(" ").sliding(w).map(_.mkString(" ")).toVector
+      }.toMap
+      val df = wins.values.flatMap(_.distinct).groupBy(identity).map {
+        case (win, occ) => win -> occ.size
+      }
+      val want = (for {
+        (a, wa) <- wins; (b, wb) <- wins if a < b
+        bSet = wb.filter(df(_) <= maxDf).toSet
+        hits = wa.zipWithIndex.collect {
+          case (win, p) if df(win) <= maxDf && bSet(win) => p
+        }
+        if hits.nonEmpty
+      } yield {
+        val runs = hits.foldLeft(List.empty[Long]) {
+          case (acc, p) if acc.nonEmpty && hits.contains(p - 1) =>
+            (acc.head + 1) :: acc.tail
+          case (acc, _) => 1L :: acc
+        }
+        (a, b) -> (hits.size.toLong, runs.max + w - 1)
+      }).toMap
+      got == want
+    }
+    check("substringSpans", 10, prop)
+  }
+
+  // ---- connected components vs union-find --------------------------------
+
+  test("property: cluster resolution equals union-find on random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 16)
+      m <- Gen.choose(0, 12)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges.distinct)
+    val prop = Prop.forAll(gen) { case (n, edges) =>
+      val vertices = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.resolveComponents(vertices, pairs, maxIters = 4)
+        .select("doc_id", "cluster_rep").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+      got == want
+    }
+    check("components", 8, prop)
+  }
+}
