@@ -13,11 +13,21 @@ import Ops._
   */
 object MultimodalQueries {
 
+  /** Ingest-once media store per sf dir (see
+    * [[Multimodal.materializeMedia]]): payloads are encoded ONE time
+    * into a parquet media table; the m-queries below decode STORED
+    * bytes — the read-many shape of a real media corpus. */
+  private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    implicit val spark = s
+    Multimodal.materializeMedia(
+      t(s, dir, "documents"),
+      s"${sys.props("java.io.tmpdir")}/graft_media/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+  }
+
   val defs: Map[String, Q] = Map(
     "m01_multimodal" -> ((s, dir) => {
       implicit val spark = s
-      Multimodal.extractFeatures(
-        Multimodal.asMediaTable(t(s, dir, "documents")))
+      Multimodal.extractFeatures(media(s, dir), () => new Multimodal.JdkMediaDecoder)
         .toDF().orderBy("doc_id")
     }),
 
@@ -28,22 +38,20 @@ object MultimodalQueries {
       implicit val spark = s
       Multimodal.sampleFrames(
         Multimodal.extractFeatures(
-          Multimodal.asMediaTable(t(s, dir, "documents"))
-            .filter(col("modality") === "video")).toDF())
+          media(s, dir).filter(col("modality") === "video"),
+          () => new Multimodal.JdkMediaDecoder).toDF())
         .orderBy("doc_id", "frame_idx")
     }),
 
     // m03: pixel-level image decode — center-pixel RGB can only match
     // the oracle's doc_id arithmetic if the PNG was truly rasterized.
-    // The modality filter runs BEFORE synthesis (pushed to the scan), so
-    // only the needed rows pay the encode — same shape as a real corpus
-    // where the filter prunes object-store reads.
+    // The modality filter is pushed to the media-table scan, so only
+    // image rows are read — same shape as a real corpus where the
+    // filter prunes object-store reads.
     "m03_image_decode" -> ((s, dir) => {
       implicit val spark = s
       Multimodal.decodeImages(
-        Multimodal.withSyntheticMedia(
-          Multimodal.asMediaTable(t(s, dir, "documents"))
-            .filter(col("modality") === "image")))
+        media(s, dir).filter(col("modality") === "image"))
         .toDF().orderBy("doc_id")
     }),
 
@@ -52,9 +60,7 @@ object MultimodalQueries {
     "m04_audio_decode" -> ((s, dir) => {
       implicit val spark = s
       Multimodal.decodeAudio(
-        Multimodal.withSyntheticMedia(
-          Multimodal.asMediaTable(t(s, dir, "documents"))
-            .filter(col("modality") === "audio")))
+        media(s, dir).filter(col("modality") === "audio"))
         .toDF().orderBy("doc_id")
     }),
 
@@ -63,9 +69,7 @@ object MultimodalQueries {
     "m05_video_decode" -> ((s, dir) => {
       implicit val spark = s
       Multimodal.decodeVideoFrames(
-        Multimodal.withSyntheticMedia(
-          Multimodal.asMediaTable(t(s, dir, "documents"))
-            .filter(col("modality") === "video")))
+        media(s, dir).filter(col("modality") === "video"))
         .toDF().orderBy("doc_id", "frame_idx")
     }))
 

@@ -8,6 +8,28 @@ class MultimodalSpec extends SparkSpec {
   private def media = Multimodal.asMediaTable(
     spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  test("ingest-once media store: encoded once, decode of stored bytes matches in-line synthesis") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_store").toString + "/t"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stored = Multimodal.materializeMedia(docs, dir)
+    // the store is real parquet with a commit marker, one row per doc
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(stored.count() == docs.count())
+    // second call must REUSE the files, not re-encode (write-once):
+    // mtimes unchanged across the call
+    def mtimes = new java.io.File(dir).listFiles().map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    Multimodal.materializeMedia(docs, dir)
+    assert(mtimes == before, "second materialize rewrote the store")
+    // decoding STORED bytes yields exactly the features of fresh synthesis
+    val fromStore = Multimodal.extractFeatures(stored, () => new Multimodal.JdkMediaDecoder)
+      .toDF().orderBy("doc_id").collect().toSeq
+    val inline = Multimodal.extractFeatures(media).toDF()
+      .orderBy("doc_id").collect().toSeq
+    assert(fromStore == inline)
+  }
+
   test("media table carries an opaque binary payload with typed metadata") {
     val schema = media.schema
     assert(schema("content").dataType.typeName == "binary")
