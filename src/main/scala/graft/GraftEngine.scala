@@ -97,6 +97,8 @@ final class GraftEngine(val spark: SparkSession) {
       .createOrReplaceTempView("graft_minhash_pairs")
     operators.Dedup.simhashPairs(docs)
       .createOrReplaceTempView("graft_simhash_pairs")
+    operators.Dedup.substringSpanPairs(docs)
+      .createOrReplaceTempView("graft_substring_pairs")
     operators.Similarity.bruteForceTopK(embs,
       operators.Similarity.defaultQueries(embs))
       .createOrReplaceTempView("graft_topk_cosine")

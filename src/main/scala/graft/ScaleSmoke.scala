@@ -49,6 +49,7 @@ object ScaleSmoke {
     time("d05_embcos_pairs")(operators.Dedup.embeddingCosinePairs(embs, signBits = 8))
     time("d06_clusters")(operators.Dedup.clusters(docs))
     time("d08_block_overlap")(operators.Dedup.blockOverlapPairs(docs))
+    time("d10_substring_pairs")(operators.Dedup.substringSpanPairs(docs))
     time("s01_topk")(operators.Similarity.bruteForceTopK(embs, operators.Similarity.defaultQueries(embs)))
     time("s03_ivf_topk")(operators.Similarity.ivfTopK(embs, operators.Similarity.defaultQueries(embs)))
     // d09: admit the odd half as a new batch against the even half's

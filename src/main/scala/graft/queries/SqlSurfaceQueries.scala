@@ -49,7 +49,19 @@ object SqlSurfaceQueries {
       """SELECT query_id, vec_id, cos, rank
         |FROM graft_topk_cosine
         |WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin)))
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // span-level duplication report from SQL: the d10 substring-span
+    // view joined back to the corpus for the worst verbatim overlaps —
+    // the "show me what's actually copied" audit a curation user runs
+    "x04_sql_span_report" -> ((s, dir) => engine(s, dir).sql(
+      """SELECT p.doc_a, p.doc_b, p.longest_span, p.shared_windows,
+        |  a.lang AS lang_a, b.lang AS lang_b
+        |FROM graft_substring_pairs p
+        |JOIN documents a ON a.doc_id = p.doc_a
+        |JOIN documents b ON b.doc_id = p.doc_b
+        |WHERE p.longest_span >= 12
+        |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin)))
 
   val oracles: Map[String, String] = Map(
     "x01_sql_dedup_keep" ->
@@ -70,5 +82,14 @@ object SqlSurfaceQueries {
       s"""SELECT query_id, vec_id, cos, rank
          |FROM (${SimilarityQueries.oracles("s01_topk_cosine")})
          |WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "x04_sql_span_report" ->
+      s"""SELECT p.doc_a, p.doc_b, p.longest_span, p.shared_windows,
+         |  a.lang AS lang_a, b.lang AS lang_b
+         |FROM (${DedupQueries.oracles("d10_dedup_substring")}) p
+         |JOIN documents a ON a.doc_id = p.doc_a
+         |JOIN documents b ON b.doc_id = p.doc_b
+         |WHERE p.longest_span >= 12
+         |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin)
 }
