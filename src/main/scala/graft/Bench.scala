@@ -32,7 +32,11 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args narrow the run to named queries (dev iteration);
+    // the driver invokes with no args → full suite, unchanged
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup, untimed
     // two timed passes, keep the min: damps JIT/GC run-to-run noise so
     // cross-round comparisons track plan changes, not scheduler luck

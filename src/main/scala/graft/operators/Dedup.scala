@@ -310,7 +310,12 @@ object Dedup {
     * keys; no cross product anywhere. */
   def substringSpanPairs(docs: DataFrame, w: Int = WindowTokens,
       maxWindowDf: Int = MaxWindowDf): DataFrame = {
-    val wins = tokenWindows(docs, w)
+    // checkpoint the generated windows once (d06's lineage discipline):
+    // the df-cap aggregate AND both sides of the pair self-join consume
+    // them, and without materialization Spark re-runs the scan + window
+    // md5 generation four times (no common-subplan sharing across a
+    // broadcast join's sides)
+    val wins = tokenWindows(docs, w).localCheckpoint()
     val rare = wins.select(col("doc_id"), col("wh")).distinct()
       .groupBy("wh").agg(count(lit(1)).as("wdf"))
       .filter(col("wdf") <= maxWindowDf).select("wh")
