@@ -88,6 +88,18 @@ object PipelineQueries {
         col("doc_id"), wsTokenCount(col("text")),
         budget = 1000L, blockSize = 100L)
         .select("doc_id", "n_tokens", "shard").orderBy("doc_id")
+    }),
+
+    // p06: leakage-safe split — hash-split by the near-dup CLUSTER
+    // representative, not the doc id, so every member of a duplicate
+    // cluster lands in the SAME split (near-dups straddling train/test
+    // are the classic eval-contamination failure of naive per-doc
+    // splitting). Pure composition: d06's cluster labels + p03's
+    // deterministic hash split, keyed on cluster_rep.
+    "p06_leakage_safe_split" -> ((s, dir) => {
+      val labels = graft.operators.Dedup.clusters(t(s, dir, "documents"))
+      graft.operators.Splits.assignSplit(labels, col("cluster_rep"))
+        .select("doc_id", "cluster_rep", "split").orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -157,5 +169,19 @@ object PipelineQueries {
          |  FROM toks)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST((c - n_tokens) // 1000 AS BIGINT) AS shard
-         |FROM cum ORDER BY doc_id""".stripMargin)
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // d06's recursive-CTE clustering, then p03's hash thresholds keyed
+    // on the cluster representative (205=0xcd, 230=0xe6)
+    "p06_leakage_safe_split" ->
+      s"""${DedupQueries.sqlClusterCtes},
+         |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep
+         |  FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_rep,
+         |  CASE WHEN substr(md5('split|' || CAST(cluster_rep AS VARCHAR)), 1, 2) < 'cd'
+         |         THEN 'train'
+         |       WHEN substr(md5('split|' || CAST(cluster_rep AS VARCHAR)), 1, 2) < 'e6'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM labels ORDER BY doc_id""".stripMargin)
 }

@@ -53,6 +53,32 @@ object TableLayout {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  // ---- small-file compaction ---------------------------------------------
+
+  /** Rewrite a directory of many small parquet files into
+    * ceil(totalBytes / targetBytes) files at `outPath` — the
+    * small-files defense: a 100 TB table accreted by streaming or
+    * per-batch ingest degrades into millions of KB-sized files whose
+    * per-file open/footer cost dominates scans, and compaction is the
+    * standing maintenance job that fixes it. Sizing reads the actual
+    * on-disk bytes (not row counts), so the output respects the row
+    * groups a scan wants. Writes to a NEW directory: an atomic swap of
+    * the live table is a table-format/metastore concern (Delta/Iceberg
+    * commit protocols); a bare-directory in-place rewrite would let a
+    * concurrent reader see half a table. Returns the file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val bytes = new java.io.File(inPath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // coalesce, not repartition: merging files needs no shuffle
+    spark.read.parquet(inPath).coalesce(files)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    files
+  }
+
   // ---- Z-ORDER layout: multi-dimensional clustering ----------------------
 
   /** Morton (Z-order) interleaving of `keys`, each first normalized to a

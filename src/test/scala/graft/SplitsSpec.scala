@@ -19,6 +19,29 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(bySplit("test").toDouble / n - 0.102) < 0.06, bySplit.toString)
   }
 
+  test("p06 leakage-safe split: every near-dup cluster lands in ONE split") {
+    import spark.implicits._
+    // two near-dup pairs + a singleton; a naive per-doc split could
+    // strand twins across train/test, the cluster-keyed split cannot
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different content about databases and storage engines"),
+      (4L, "completely different content about databases and storage engines"),
+      (5L, "a singleton document matching nothing else in this corpus")).toDF("doc_id", "text")
+    val split = Splits.assignSplit(
+      graft.operators.Dedup.clusters(planted), col("cluster_rep"))
+    val perCluster = split.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("n_splits")).collect()
+    assert(perCluster.forall(_.getAs[Long]("n_splits") == 1L))
+    // and on the real corpus: no cluster straddles two splits
+    val real = Splits.assignSplit(
+      graft.operators.Dedup.clusters(docs), col("cluster_rep"))
+      .groupBy("cluster_rep").agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(real == 0)
+  }
+
   test("split assignment is stable: a subset's rows keep their assignment in the full corpus") {
     val full = Splits.assignSplit(docs, col("doc_id")).select("doc_id", "split")
     val subset = Splits.assignSplit(docs.filter(col("doc_id") % 7 === 0), col("doc_id"))

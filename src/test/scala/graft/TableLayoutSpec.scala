@@ -111,6 +111,44 @@ class TableLayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("compaction folds a many-small-files table into size-targeted files, data intact") {
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate streaming accretion: 64 tiny files
+    l.repartition(64).write.mode("overwrite").parquet(smallDir)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles(smallDir).length == 64)
+    val totalBytes = parquetFiles(smallDir).map(_.length()).sum
+    val target = totalBytes / 4 + 1
+    val expected = TableLayout.compact(spark, smallDir, outDir, target)
+    assert(parquetFiles(outDir).length == expected && expected <= 5,
+      s"expected ~4 compacted files, got ${parquetFiles(outDir).length}")
+    // compaction moves bytes, never rows
+    assert(spark.read.parquet(outDir).count() == l.count())
+    // the shuffle-free path: coalesce plans no Exchange
+    val plan = spark.read.parquet(smallDir).coalesce(4)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"coalesce must not shuffle:\n$plan")
+  }
+
+  test("schema evolution: a mergeSchema read unions file schemas; missing columns read NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // v1 files lack the column a later ingest adds
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    Seq((3L, "c", "en"), (4L, "d", "fr")).toDF("id", "payload", "lang")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "payload", "lang", "batch"))
+    assert(merged.count() == 4)
+    // old files surface the new column as NULL, new files keep values
+    assert(merged.filter(col("lang").isNull).count() == 2)
+    assert(merged.filter(col("lang") === "en").select("id").head().getLong(0) == 3L)
+  }
+
   test("z-value interleaves bits in Morton order") {
     import spark.implicits._
     // with span 2^16-1 the scaling is the identity, so small inputs map
