@@ -294,6 +294,65 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.nonEmpty)
   }
 
+  test("restart from the same checkpoint is exactly-once across the stop/start boundary") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val batch1 = Seq(
+      Event(1, tsAt(10, 5), 1, "click", 1.0), Event(2, tsAt(10, 40), 1, "click", 2.0),
+      Event(3, tsAt(10, 55), 2, "view", 3.0))
+    val batch2 = Seq(
+      Event(4, tsAt(11, 10), 2, "click", 4.0),
+      Event(5, tsAt(23, 0), 9, "tick", 0.0))
+    def start() = {
+      val stream = spark.readStream.schema(batch1.toDF().schema).parquet(srcDir)
+      EventStreams.windowedCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    }
+    // first incarnation processes batch1, then DIES (stop simulates it)
+    batch1.toDF().write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // second incarnation resumes from the checkpoint: watermark state
+    // and source offsets carry over; batch1 must NOT be re-emitted
+    batch2.toDF().write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sunk = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "tick")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batchEq = EventStreams.windowedCounts((batch1 ++ batch2).toDF())
+      .filter(col("event_type") =!= "tick")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(sunk == batchEq, "restart duplicated or dropped window output")
+    assert(sunk.nonEmpty)
+  }
+
+  test("idempotent foreachBatch sink: replaying a batch id leaves the table unchanged") {
+    import spark.implicits._
+    // the exactly-once recipe for arbitrary sinks: key the write on
+    // batchId and make it a dynamic partition OVERWRITE — a replayed
+    // batch (crash between sink write and checkpoint commit) rewrites
+    // its own partition instead of appending duplicates
+    val dir = java.nio.file.Files.createTempDirectory("graft_febatch").toString + "/t"
+    def sink(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    sink(b0, 0); sink(b1, 1)
+    sink(b1, 1) // replay after a simulated crash
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 3, "replayed batch appended duplicates")
+    assert(rows.filter(col("batch_id") === 1).count() == 1)
+    // and batch 0's partition was untouched by batch 1's overwrite
+    assert(rows.filter(col("batch_id") === 0).count() == 2)
+  }
+
   test("the text operators run unchanged on a stream (batch/stream unification)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
