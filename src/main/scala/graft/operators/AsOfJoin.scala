@@ -80,7 +80,7 @@ object AsOfJoin {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_asof_row", last(carried, ignoreNulls = true).over(w))
       .filter(col("_asof_left") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         outPayload.map(p => when(withinTol, col(s"_asof_row.$p")).as(p)): _*)
   }
 }
