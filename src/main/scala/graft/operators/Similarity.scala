@@ -230,6 +230,30 @@ object Similarity {
     ivfTopKWith(prepared(embeddings),
       kmeansCentroids(embeddings, nCentroids, iters), queries, k, nProbe)
 
+  /** s05: per-cluster corpus statistics over the k-means cells — size
+    * and mean cosine-to-centroid (cohesion) per cluster. This is the
+    * corpus-cartography step a curation pipeline runs after clustering:
+    * cluster sizes drive cluster-balanced sampling, low-cohesion cells
+    * flag incoherent regions worth re-clustering or dropping.
+    *
+    * Scale shape: assignment is the same map-side broadcast-centroid
+    * fold as IVF (the corpus is never shuffled by vector); the stats
+    * are ONE partial-aggregated groupBy on nCentroids keys. Cohesion
+    * sums in exact decimal over the 6-dp rounded cosines, so the mean
+    * is order-independent and oracle-identical. */
+  def clusterStats(embeddings: DataFrame, nCentroids: Int = NCentroids,
+      iters: Int = KmeansIters): DataFrame = {
+    val cents = kmeansCentroids(embeddings, nCentroids, iters)
+    assignCells(prepared(embeddings), cents)
+      .join(broadcast(cents), col("cell") === cents("cent_id"))
+      .withColumn("ccos",
+        round(Dedup.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("ccos").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double") / count(col("ccos"))).as("mean_cos"))
+  }
+
   /** recall@k of an approximate result against the exact one: the mean
     * over queries of |approx ∩ exact| / |exact|. Pure DataFrame compare
     * (semi-join on (query_id, vec_id)); the driver sees ONE double —

@@ -21,6 +21,48 @@ object SimilarityQueries {
        |  FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries)""".stripMargin
 
+  // ---- shared k-means CTE chain (s04 search + s05 cluster stats) ---------
+  // DuckDB replay of graft.operators.Similarity.kmeansCentroids: cents0 =
+  // first-N init; each Lloyd iteration is (assign via ROW_NUMBER on 6-dp
+  // cosine, ties to lowest cent_id; element-wise mean as exact decimal
+  // sum / count; emptied cells keep their previous centroid) — generated
+  // for KmeansIters iterations from the same constants the Spark
+  // operator uses. Ends with `$cf` (final centroids) and `assignF`
+  // (per-vector cell assignment).
+  private def norm(e: String) = Ops.sqlListNorm(e)
+  private def sqlKmDot(a: String, b: String) = Ops.sqlListDot(a, b)
+  private val cf = s"cents${Similarity.KmeansIters}"
+  private val sqlKmeansChain: String = {
+    val iterCtes = (1 to Similarity.KmeansIters).map { i =>
+      val prev = s"cents${i - 1}"
+      s"""assign$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${sqlKmDot("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
+         |          c.cent_id ASC) AS rn
+         |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+         |sums$i AS (
+         |  SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM assign$i)
+         |  GROUP BY cell, pos),
+         |means$i AS (SELECT cell, list(m ORDER BY pos) AS new_cv FROM sums$i GROUP BY cell),
+         |cents$i AS (
+         |  SELECT c.cent_id, coalesce(m.new_cv, c.cv) AS cv
+         |  FROM cents${i - 1} c LEFT JOIN means$i m ON c.cent_id = m.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |  WHERE vec_id < ${Similarity.NCentroids}),
+       |$iterCtes,
+       |assignF AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${sqlKmDot("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
+       |          c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN $cf c) WHERE rn = 1)""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     // #23 exact brute-force cosine top-k (query side broadcast)
     "s01_topk_cosine" -> ((s, dir) => {
@@ -51,7 +93,13 @@ object SimilarityQueries {
       val e = t(s, dir, "embeddings")
       Similarity.kmeansTopK(e, Similarity.defaultQueries(e, NQueries))
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    // s05: corpus cartography over the trained k-means cells — cluster
+    // sizes (the input to cluster-balanced sampling) and mean
+    // cosine-to-centroid cohesion (flags incoherent regions)
+    "s05_cluster_stats" -> ((s, dir) =>
+      Similarity.clusterStats(t(s, dir, "embeddings")).orderBy("cell")))
 
   val oracles: Map[String, String] = Map(
     "s01_topk_cosine" ->
@@ -104,46 +152,10 @@ object SimilarityQueries {
     },
 
     "s04_ann_kmeans" -> {
-      // DuckDB replay of graft.operators.Similarity.kmeansCentroids:
-      // cents0 = first-N init; each Lloyd iteration is (assign via
-      // ROW_NUMBER on 6-dp cosine, ties to lowest cent_id; element-wise
-      // mean as exact decimal sum / count; emptied cells keep their
-      // previous centroid) — generated for KmeansIters iterations from
-      // the same constants the Spark operator uses.
-      def norm(e: String) = Ops.sqlListNorm(e)
-      def dotc(a: String, b: String) = Ops.sqlListDot(a, b)
-      val iterCtes = (1 to Similarity.KmeansIters).map { i =>
-        val prev = s"cents${i - 1}"
-        s"""assign$i AS (
-           |  SELECT vec_id, v, cell FROM (
-           |    SELECT e.vec_id, e.v, c.cent_id AS cell,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY round(${dotc("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
-           |          c.cent_id ASC) AS rn
-           |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
-           |sums$i AS (
-           |  SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
-           |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM assign$i)
-           |  GROUP BY cell, pos),
-           |means$i AS (SELECT cell, list(m ORDER BY pos) AS new_cv FROM sums$i GROUP BY cell),
-           |cents$i AS (
-           |  SELECT c.cent_id, coalesce(m.new_cv, c.cv) AS cv
-           |  FROM cents${i - 1} c LEFT JOIN means$i m ON c.cent_id = m.cell)""".stripMargin
-      }.mkString(",\n")
-      val cf = s"cents${Similarity.KmeansIters}"
-      val dotQC = dotc("q.qv", "c.cv")
-      val dotAC = dotc("q.qv", "a.v")
+      val dotQC = sqlKmDot("q.qv", "c.cv")
+      val dotAC = sqlKmDot("q.qv", "a.v")
       s"""WITH $sqlPrep,
-         |cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
-         |  WHERE vec_id < ${Similarity.NCentroids}),
-         |$iterCtes,
-         |assignF AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT e.vec_id, e.v, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${dotc("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
-         |          c.cent_id ASC) AS rn
-         |    FROM e CROSS JOIN $cf c) WHERE rn = 1),
+         |$sqlKmeansChain,
          |probes AS (
          |  SELECT query_id, qv, cell FROM (
          |    SELECT q.query_id, q.qv, c.cent_id AS cell,
@@ -162,6 +174,17 @@ object SimilarityQueries {
          |WHERE rank <= ${Similarity.K}
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "s05_cluster_stats" ->
+      s"""WITH $sqlPrep,
+         |$sqlKmeansChain,
+         |coh AS (
+         |  SELECT a.cell,
+         |    round(${sqlKmDot("a.v", "c.cv")} / (${norm("a.v")} * ${norm("c.cv")}), 6) AS ccos
+         |  FROM assignF a JOIN $cf c ON a.cell = c.cent_id)
+         |SELECT cell, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CAST(ccos AS DECIMAL(28,6))) AS DOUBLE) / COUNT(ccos) AS mean_cos
+         |FROM coh GROUP BY cell ORDER BY cell""".stripMargin,
 
     "s02_ann_lsh" ->
       s"""WITH $sqlPrep,

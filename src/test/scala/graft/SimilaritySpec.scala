@@ -80,6 +80,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(Similarity.kmeansTopK(embs, queries, nProbe = 4)) >= 0.80)
   }
 
+  test("s05 cluster stats: sizes cover the corpus, cohesion is a valid cosine mean") {
+    val stats = Similarity.clusterStats(embs).collect()
+    assert(stats.length <= Similarity.NCentroids)
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == embs.count(),
+      "every vector belongs to exactly one cluster")
+    assert(stats.forall { r =>
+      val m = r.getAs[Double]("mean_cos"); m >= -1.0 && m <= 1.0
+    })
+    // cohesion must beat the corpus-wide mean pairwise baseline in
+    // aggregate: members are closer to their OWN centroid than a random
+    // vector is to a random centroid (weak but distribution-free)
+    val sized = stats.map(r => (r.getAs[Long]("n_vectors"), r.getAs[Double]("mean_cos")))
+    val weighted = sized.map { case (n, m) => n * m }.sum / sized.map(_._1).sum
+    assert(weighted > 0.0, s"weighted cohesion $weighted should be positive")
+  }
+
   test("s03 corpus cell assignment is map-side — no corpus-keyed window shuffle") {
     val plan = Similarity.ivfTopK(embs, queries)
       .queryExecution.executedPlan.toString()
