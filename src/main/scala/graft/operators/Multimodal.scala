@@ -45,6 +45,13 @@ final case class VideoFrame(
     doc_id: Long, frame_idx: Int, width: Int, height: Int,
     red: Int, green: Int, blue: Int)
 
+/** A resized image (m06): source dims read from the decode, thumbnail
+  * dims from the resize, and the thumbnail's center pixel — which only
+  * a real decode→rescale→rasterize chain can produce. */
+final case class ThumbFeatures(
+    doc_id: Long, src_width: Int, src_height: Int,
+    thumb_width: Int, thumb_height: Int, red: Int, green: Int, blue: Int)
+
 /** Multimodal pipeline m01–m05 (SURVEY.md §2 #29).
   *
   * Spark-side design: media decode is imperative library code that can't
@@ -330,6 +337,35 @@ object Multimodal {
         c.getRed, c.getGreen, c.getBlue)
     })
   }
+
+  /** m06: image resize — decode the stored PNG and rasterize a
+    * `w`×`h` RGB thumbnail through a Graphics2D scaled draw (the JDK's
+    * software rescale path; a production pipeline swaps in libvips or
+    * GPU resize behind the same mapPartitions shape). Resize is the
+    * normalization step every vision-training corpus runs between
+    * decode and feature extraction; per-row output is a fixed few
+    * bytes, so the stage is pure map-side fan-in: no shuffle, output
+    * far smaller than input. For the solid-fill corpus every thumbnail
+    * pixel equals the source fill color, so the oracle can predict the
+    * center pixel without rasterizing — a resize that skipped the real
+    * pixel path could not match it. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int = ThumbSize,
+      h: Int = ThumbSize)(implicit spark: SparkSession): Dataset[ThumbFeatures] = {
+    import spark.implicits._
+    media.filter(col("modality") === "image").mapPartitions(_.map { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.media))
+      require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+      val thumb = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val c = new java.awt.Color(thumb.getRGB(w / 2, h / 2))
+      ThumbFeatures(r.doc_id, img.getWidth, img.getHeight, w, h,
+        c.getRed, c.getGreen, c.getBlue)
+    })
+  }
+
+  val ThumbSize = 8
 
   /** m04: real WAV decode — format fields from the parsed header plus
     * the peak amplitude scanned from the decoded 16-bit PCM samples.

@@ -71,6 +71,16 @@ object MultimodalQueries {
       Multimodal.decodeVideoFrames(
         media(s, dir).filter(col("modality") === "video"))
         .toDF().orderBy("doc_id", "frame_idx")
+    }),
+
+    // m06: image resize — decode → 8×8 thumbnail rasterize; the
+    // normalization step between decode and vision feature extraction,
+    // pure map-side (tiny fixed-size output per row)
+    "m06_image_resize" -> ((s, dir) => {
+      implicit val spark = s
+      Multimodal.resizeImages(
+        media(s, dir).filter(col("modality") === "image"))
+        .toDF().orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -121,6 +131,20 @@ object MultimodalQueries {
         |  CAST((doc_id % 400 + 100) * 1000 // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms,
         |  CAST(doc_id % 900 + 100 AS INTEGER) AS peak
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
+
+    // solid-fill sources resize to solid-fill thumbnails: center pixel
+    // must equal the generator's fill arithmetic, dims are the fixed
+    // thumbnail size — only a true decode→rescale chain reports this
+    "m06_image_resize" ->
+      s"""SELECT doc_id,
+         |  CAST(doc_id % 64 + 16 AS INTEGER) AS src_width,
+         |  CAST(doc_id % 48 + 16 AS INTEGER) AS src_height,
+         |  CAST(${Multimodal.ThumbSize} AS INTEGER) AS thumb_width,
+         |  CAST(${Multimodal.ThumbSize} AS INTEGER) AS thumb_height,
+         |  CAST(doc_id % 256 AS INTEGER) AS red,
+         |  CAST(doc_id * 7 % 256 AS INTEGER) AS green,
+         |  CAST(doc_id * 13 % 256 AS INTEGER) AS blue
+         |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     "m05_video_decode" ->
       s"""WITH v AS (

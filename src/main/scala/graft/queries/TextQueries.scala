@@ -141,6 +141,31 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // t10: unigram LM surprisal — mean negative log-likelihood of each
+    // doc's words under the corpus's own unigram distribution, the
+    // exact-arithmetic core of a CCNet-style perplexity filter (high
+    // surprisal = text unlike the corpus: gibberish, boilerplate
+    // explosions, wrong-language fragments). Scale shape: the
+    // vocabulary table is Zipf-bounded, so the word join shuffles
+    // vocabulary-sized keys, and the per-doc mean is one groupBy on
+    // doc_id; per-word ln terms round to 6dp then sum in exact decimal
+    // so the mean is order-independent and engine-identical.
+    "t10_lm_surprise" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val freq = toks.groupBy("word").agg(count(lit(1)).as("wf"))
+      val total = toks.select(count(lit(1)).as("n_total"))
+      toks.join(freq, "word")
+        .crossJoin(broadcast(total))
+        .withColumn("nll",
+          round(-log(col("wf").cast("double") / col("n_total").cast("double")), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double") / count(lit(1))).as("mean_nll"))
+        .orderBy("doc_id")
+    }),
+
     // t06 repetition / composition signals (the Gopher-style filters a
     // crawl-cleaning pipeline gates on): duplicate-word mass, mean word
     // length, symbols-per-word. Pure map-side projection, one scan.
@@ -251,6 +276,19 @@ object TextQueries {
          |    (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t10_lm_surprise" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents),
+         |freq AS (SELECT word, COUNT(*) AS wf FROM toks GROUP BY word),
+         |tot AS (SELECT COUNT(*) AS n_total FROM toks),
+         |nlls AS (
+         |  SELECT doc_id,
+         |    round(-ln(CAST(wf AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS nll
+         |  FROM toks JOIN freq USING (word) CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_nll
+         |FROM nlls GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t07_vocab" ->
       s"""SELECT word, COUNT(*) AS freq,

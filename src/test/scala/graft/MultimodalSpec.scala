@@ -131,6 +131,27 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"video decode pipeline shuffles:\n$plan")
   }
 
+  test("m06 resize rasterizes real thumbnails: fixed dims, fill color preserved, shuffle-free") {
+    implicit val s = spark
+    val thumbs = Multimodal.resizeImages(Multimodal.withSyntheticMedia(media))
+    val rows = thumbs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(t => t.thumb_width == Multimodal.ThumbSize &&
+      t.thumb_height == Multimodal.ThumbSize))
+    // a solid source resizes to a solid thumbnail: center pixel must be
+    // the generator's fill color, src dims the decoded originals
+    assert(rows.forall { t =>
+      t.red == Multimodal.ImageSynth.red(t.doc_id) &&
+        t.green == Multimodal.ImageSynth.green(t.doc_id) &&
+        t.blue == Multimodal.ImageSynth.blue(t.doc_id) &&
+        t.src_width == Multimodal.ImageSynth.width(t.doc_id)
+    })
+    // one row per image, none for other modalities
+    assert(rows.length == media.filter(col("modality") === "image").count())
+    val plan = thumbs.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"resize must be map-side:\n$plan")
+  }
+
   test("decoder is deterministic across instances (same payload, same features)") {
     val wav = Multimodal.AudioSynth.wav(7L)
     val r = MediaRecord(7L, "audio", "payload-bytes".getBytes("UTF-8"), wav)
