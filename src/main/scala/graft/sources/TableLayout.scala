@@ -94,16 +94,24 @@ object TableLayout {
     *
     * Normalization is linear over [min, max] — monotone, so z-order of
     * normalized values tiles the original key space. `bits`=16 per key
-    * keeps the z-value within a long for up to 4 keys. */
+    * keeps the z-value within a long for up to 3 keys (use `bits`=15
+    * for 4 keys — the require guards the 63-bit budget). */
   def zValue(keys: Seq[Column], mins: Seq[Long], maxs: Seq[Long],
       bits: Int = 16): Column = {
     require(keys.size * bits <= 63, s"${keys.size} keys x $bits bits exceeds a long")
     val d = keys.size
+    val maxRank = (1L << bits) - 1
     val scaled = keys.zipWithIndex.map { case (k, j) =>
       val lo = mins(j)
       val span = math.max(maxs(j) - lo, 1L)
-      // (k - lo) * maxRank / span: integer arithmetic, monotone in k
-      ((k.cast("long") - lo) * ((1L << bits) - 1) / span).cast("long")
+      // scale in DOUBLE: (k - lo) * maxRank in long overflows once the
+      // key range nears 2^48 (timestamps, ids) — and a garbled rank
+      // garbles the whole curve. Double rounding can only merge or swap
+      // ADJACENT ranks, which is harmless here: z-order needs a tiling,
+      // not a bijection, and file skipping reads actual footer stats.
+      // The clamp guards stats drift (a row outside [min, max]).
+      greatest(lit(0L), least(lit(maxRank),
+        ((k.cast("double") - lo) * maxRank / span).cast("long")))
     }
     val terms = for {
       i <- 0 until bits
