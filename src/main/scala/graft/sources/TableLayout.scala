@@ -69,9 +69,11 @@ object TableLayout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): Int = {
     require(targetBytes > 0)
-    val bytes = new java.io.File(inPath).listFiles()
+    // listFiles is null (not empty) for a missing/unreadable directory
+    val parts = Option(new java.io.File(inPath).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+    require(parts.nonEmpty, s"no parquet files under $inPath")
+    val bytes = parts.map(_.length()).sum
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // coalesce, not repartition: merging files needs no shuffle
     spark.read.parquet(inPath).coalesce(files)
