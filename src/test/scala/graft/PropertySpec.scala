@@ -133,6 +133,36 @@ class PropertySpec extends SparkSpec {
     check("substringSpans", 10, prop)
   }
 
+  // ---- z-order dominance monotonicity ------------------------------------
+
+  test("property: z-value preserves coordinate-wise dominance") {
+    import spark.implicits._
+    // if x1 <= x2 AND y1 <= y2 then z(x1,y1) <= z(x2,y2): each
+    // coordinate's rank bits sit at fixed significances, so the curve
+    // is monotone per coordinate, and dominance composes — the
+    // property file skipping leans on (a key-range box maps to a
+    // bounded z-range). All generated cases evaluate in ONE Spark job.
+    val gen = for {
+      lo <- Gen.choose(-1000000L, 1000000L)
+      span <- Gen.oneOf(1L, 97L, 65536L, 1L << 40) // incl. the overflow regime
+      pairs <- Gen.listOfN(60, for {
+        x1 <- Gen.choose(0L, span); y1 <- Gen.choose(0L, span)
+        dx <- Gen.choose(0L, span - x1); dy <- Gen.choose(0L, span - y1)
+      } yield (lo + x1, lo + y1, lo + x1 + dx, lo + y1 + dy))
+    } yield (lo, span, pairs)
+    val prop = Prop.forAll(gen) { case (lo, span, pairs) =>
+      val mins = Seq(lo, lo)
+      val maxs = Seq(lo + span, lo + span)
+      val bad = pairs.toDF("x1", "y1", "x2", "y2")
+        .select(
+          graft.sources.TableLayout.zValue(Seq(col("x1"), col("y1")), mins, maxs).as("z1"),
+          graft.sources.TableLayout.zValue(Seq(col("x2"), col("y2")), mins, maxs).as("z2"))
+        .filter(col("z1") > col("z2")).count()
+      bad == 0L
+    }
+    check("zDominance", 10, prop)
+  }
+
   // ---- connected components vs union-find --------------------------------
 
   test("property: cluster resolution equals union-find on random graphs") {
