@@ -99,6 +99,8 @@ final class GraftEngine(val spark: SparkSession) {
       .createOrReplaceTempView("graft_simhash_pairs")
     operators.Dedup.substringSpanPairs(docs)
       .createOrReplaceTempView("graft_substring_pairs")
+    operators.Splits.assignSplit(docs, docs("doc_id"))
+      .createOrReplaceTempView("graft_split")
     operators.Similarity.bruteForceTopK(embs,
       operators.Similarity.defaultQueries(embs))
       .createOrReplaceTempView("graft_topk_cosine")

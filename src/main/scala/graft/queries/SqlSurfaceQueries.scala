@@ -61,7 +61,15 @@ object SqlSurfaceQueries {
         |JOIN documents a ON a.doc_id = p.doc_a
         |JOIN documents b ON b.doc_id = p.doc_b
         |WHERE p.longest_span >= 12
-        |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin)))
+        |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin)),
+
+    // split audit from SQL: the deterministic train/val/test assignment
+    // crossed with language — the mixture-per-split sanity report every
+    // dataset release ships
+    "x05_sql_split_report" -> ((s, dir) => engine(s, dir).sql(
+      """SELECT split, lang, COUNT(*) AS n_docs
+        |FROM graft_split GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin)))
 
   val oracles: Map[String, String] = Map(
     "x01_sql_dedup_keep" ->
@@ -91,5 +99,19 @@ object SqlSurfaceQueries {
          |JOIN documents a ON a.doc_id = p.doc_a
          |JOIN documents b ON b.doc_id = p.doc_b
          |WHERE p.longest_span >= 12
-         |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin)
+         |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin,
+
+    // p03's hash thresholds (205=0xcd, 230=0xe6) crossed with language
+    "x05_sql_split_report" ->
+      s"""WITH assigned AS (
+         |  SELECT lang,
+         |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |           THEN 'train'
+         |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, COUNT(*) AS n_docs
+         |FROM assigned GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin)
 }
