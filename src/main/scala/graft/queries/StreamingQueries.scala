@@ -18,6 +18,12 @@ object StreamingQueries {
       EventStreams.windowedCounts(events(s, dir))
         .orderBy("w_start", "event_type")),
 
+    // q45 windowed top-k "trending" (batch form; the stream applies the
+    // same ranking in foreachBatch over closed windows — StreamingSpec)
+    "q45_trending" -> ((s, dir) =>
+      EventStreams.trending(events(s, dir))
+        .orderBy("w_start", "rank")),
+
     // #31 gap-based sessionization (batch-equivalent window/lag form)
     "q31_session_batch" -> ((s, dir) =>
       EventStreams.sessionizeBatch(events(s, dir))
@@ -66,6 +72,19 @@ object StreamingQueries {
          |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
          |  event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+
+    "q45_trending" ->
+      s"""WITH counts AS (
+         |  SELECT date_trunc('hour', ts) AS w_start,
+         |    date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+         |    event_type, COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT w_start, w_end, event_type, cnt, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER
+         |    (PARTITION BY w_start ORDER BY cnt DESC, event_type ASC) AS INTEGER) AS rank
+         |  FROM counts)
+         |WHERE rank <= ${EventStreams.TrendingK}
+         |ORDER BY w_start, rank""".stripMargin,
 
     "q31_session_batch" ->
       s"""WITH flagged AS (

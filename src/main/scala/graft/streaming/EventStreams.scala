@@ -49,6 +49,33 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** q45: windowed top-k ("trending") — the k highest-count event
+    * types per time window. The batch form below is the oracle-checked
+    * semantics; on a stream, ranking is not appendable directly (a
+    * window's ranks are only final when the watermark closes it), so
+    * the streaming twin applies [[trendingOf]] inside `foreachBatch`
+    * over the closed-window aggregate — the standard post-aggregation
+    * pattern (StreamingSpec pins stream ≡ batch). Scale shape: counts
+    * are the q30 partial-aggregated shuffle; the rank window partitions
+    * per time window (cardinality = event types, bounded), planned as
+    * WindowGroupLimit. */
+  def trending(events: DataFrame, k: Int = TrendingK,
+      watermark: String = "10 minutes", windowLen: String = "1 hour"): DataFrame =
+    trendingOf(windowedCounts(events, watermark, windowLen), k)
+
+  /** The ranking stage alone — applied to q30-shaped closed windows
+    * (batch below, or a foreachBatch micro-batch on the stream). */
+  def trendingOf(counts: DataFrame, k: Int = TrendingK): DataFrame = {
+    val w = Window.partitionBy("w_start")
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("w_start", "w_end", "event_type", "cnt", "rank")
+  }
+
+  val TrendingK = 3
+
   /** q31: gap-based sessionization via flatMapGroupsWithState — one
     * state entry per user holding only the open session. A session
     * closes two ways: a same-user event beyond the gap (emitted

@@ -294,6 +294,46 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.nonEmpty)
   }
 
+  test("q45 trending: foreachBatch ranking over closed windows matches the batch form") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // two windows with distinct top-3s; a window's rows all close in
+    // the same trigger (the watermark passes its end once), so ranking
+    // inside foreachBatch sees every contender of that window
+    val events = Seq(
+      Event(1, tsAt(10, 5), 1, "click", 1.0), Event(2, tsAt(10, 10), 2, "click", 1.0),
+      Event(3, tsAt(10, 15), 3, "view", 1.0), Event(4, tsAt(10, 20), 4, "view", 1.0),
+      Event(5, tsAt(10, 25), 5, "view", 1.0), Event(6, tsAt(10, 30), 6, "buy", 1.0),
+      Event(7, tsAt(10, 35), 7, "scroll", 1.0),
+      Event(8, tsAt(11, 5), 1, "buy", 1.0), Event(9, tsAt(11, 10), 2, "buy", 1.0),
+      Event(10, tsAt(11, 15), 3, "click", 1.0))
+    val tick = Event(99, tsAt(23, 0), 9, "tick", 0.0)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, String, Long, Int)]
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(stream.toDS().toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        EventStreams.trendingOf(batch).collect().foreach(r =>
+          sunk += ((r.getTimestamp(0), r.getString(2), r.getLong(3), r.getInt(4))))
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events); q.processAllAvailable()
+      stream.addData(tick); q.processAllAvailable() // closes both windows
+    } finally q.stop()
+    val streamed = sunk.filter(_._2 != "tick").sortBy(x => (x._1.getTime, x._4)).toSeq
+    val batchEq = EventStreams.trending(events.toDF())
+      .filter(col("event_type") =!= "tick")
+      .orderBy("w_start", "rank")
+      .select("w_start", "event_type", "cnt", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(streamed == batchEq)
+    // window 10:00 really ranked: 3 views > 2 clicks > 1 buy (scroll cut)
+    assert(streamed.take(3).map(_._2) == Seq("view", "click", "buy"))
+  }
+
   test("restart from the same checkpoint is exactly-once across the stop/start boundary") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
