@@ -206,6 +206,10 @@ object Dedup {
       val newSum = sumLabels(next)
       converged = newSum == checksum
       checksum = newSum
+      // the superseded round's blocks are dead the moment `next` is
+      // materialized — release them now, or session storage grows by
+      // one label table per round per call (the round-4 scale-killer)
+      Checkpoints.release(labels)
       labels = next
       iter += 1
     }
@@ -223,6 +227,9 @@ object Dedup {
     require(converged,
       s"cluster labels did not converge within $maxIters propagation + " +
         s"$maxDoublingIters doubling rounds")
+    // the returned plan reads ONLY the final label checkpoint — the
+    // mirrored pair table is dead once the loop exits
+    Checkpoints.release(pairs)
     labels.withColumn("is_kept",
       when(col("cluster_rep") === col("doc_id"), 1).otherwise(0))
   }
@@ -314,8 +321,13 @@ object Dedup {
     // the df-cap aggregate AND both sides of the pair self-join consume
     // them, and without materialization Spark re-runs the scan + window
     // md5 generation four times (no common-subplan sharing across a
-    // broadcast join's sides)
-    val wins = tokenWindows(docs, w).localCheckpoint()
+    // broadcast join's sides). eager = false: the checkpoint
+    // materializes on FIRST READ, not at plan-construction time, so
+    // registering this operator as a SQL view stays free — the round-4
+    // eager form ran the full corpus scan + md5 job at every
+    // registerPipelineViews call, taxing x-queries that never touch
+    // the view (x05: 9.26 s for a 9 ms GROUP BY)
+    val wins = tokenWindows(docs, w).localCheckpoint(eager = false)
     val rare = wins.select(col("doc_id"), col("wh")).distinct()
       .groupBy("wh").agg(count(lit(1)).as("wdf"))
       .filter(col("wdf") <= maxWindowDf).select("wh")

@@ -166,10 +166,15 @@ object Similarity {
       val means = sums.groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("new_cv"))
-      cents = cents.join(means, cents("cent_id") === means("cell"), "left")
+      val next = cents.join(means, cents("cent_id") === means("cell"), "left")
         .select(col("cent_id"), coalesce(col("new_cv"), col("cv")).as("cv"))
         .withColumn("cnorm", sqrt(Dedup.dot(col("cv"), col("cv"))))
         .localCheckpoint()
+      // previous round's centroid blocks are dead once `next` is
+      // materialized (d06's release discipline; no-op on the first
+      // round, whose input was never checkpointed)
+      Checkpoints.release(cents)
+      cents = next
     }
     cents
   }

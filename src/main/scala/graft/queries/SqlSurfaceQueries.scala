@@ -15,11 +15,22 @@ import graft.GraftEngine
   */
 object SqlSurfaceQueries {
 
-  private def engine(s: org.apache.spark.sql.SparkSession, dir: String): GraftEngine = {
-    val e = GraftEngine.forDir(s, dir)
-    e.registerPipelineViews()
-    e
-  }
+  // One engine per (session, corpus dir), like a real SQL session:
+  // table registration + view setup happen once, every subsequent
+  // sql() call reuses them. Rebuilding the engine per query re-read
+  // eleven parquet schemas each time — pure harness overhead that the
+  // oracle side (one DuckDB process, views created once) never paid.
+  // Registration is lazy (StorageLifecycleSpec pins zero jobs), so
+  // caching holds no materialized state — only analyzed plans.
+  private val engines =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), GraftEngine]
+
+  private def engine(s: org.apache.spark.sql.SparkSession, dir: String): GraftEngine =
+    engines.getOrElseUpdate((s, dir), {
+      val e = GraftEngine.forDir(s, dir)
+      e.registerPipelineViews()
+      e
+    })
 
   val defs: Map[String, Q] = Map(
     // exact-dedup keep set joined back to the corpus — the "which docs
