@@ -8,17 +8,28 @@ package graft.queries
   * [[graft.GraftEngine.sql]]. The SAME string is the DuckDB oracle, so
   * the two engines must agree value-for-value.
   *
-  * Adaptations to the trimmed test schema (no partsupp table, no
+  * Adaptations to the trimmed test schema (no partsupp parquet, no
   * l_commitdate / l_receiptdate / l_shipmode, no o_shippriority /
   * o_comment, no c_phone / c_address), noted per query:
-  *  - h02/h11/h20 are omitted (they are partsupp queries; no faithful
-  *    adaptation exists without supply-cost data).
+  *  - partsupp is DERIVED deterministically from part × supplier by
+  *    [[PartsuppCte]] (the generator ships no partsupp file, and the
+  *    testdata dir is read-only): 4 suppliers per part via a stride of
+  *    suppliers/4 over the contiguous 0-based supplier keys, with
+  *    availqty/supplycost as pure integer arithmetic of the two keys —
+  *    the same CTE text evaluates identically in Spark and DuckDB, so
+  *    h02/h09/h11/h16/h20 run their standard partsupp shapes with a
+  *    full value oracle.
   *  - h04/h21 use shipped-after-order-date as the lateness predicate
   *    (l_commitdate / l_receiptdate are absent).
-  *  - h09 profit omits the ps_supplycost term; h12 classifies by
-  *    o_orderpriority (no l_shipmode); h13 filters URGENT priority (no
-  *    o_comment); h16 counts lineitem suppliers (no partsupp); h22
-  *    derives the "country code" from c_custkey and anti-joins on
+  *  - h02 outputs p_brand for p_mfgr and drops s_address/s_phone/
+  *    s_comment (absent columns); h12 classifies by o_orderpriority
+  *    (no l_shipmode); h13 filters URGENT priority (no o_comment);
+  *    h16 keeps the brand/type/size predicates but has no s_comment
+  *    complaint-supplier exclusion; h17 buckets by p_brand (no
+  *    p_container); h20 outputs s_acctbal for s_address and widens
+  *    the nation filter to 4 nations (the sparse random
+  *    lineitem↔partsupp alignment would leave 1-2 rows otherwise);
+  *    h22 derives the "country code" from c_custkey and anti-joins on
   *    URGENT orders (no c_phone; every customer here has orders).
   *
   * Double aggregates use the exact-decimal-sum pattern (Ops.sqlDsum) so
@@ -26,6 +37,33 @@ package graft.queries
   * carry a unique ORDER BY tiebreak.
   */
 object TpchQueries {
+
+  /** Deterministic partsupp derivation (the testdata generator ships no
+    * partsupp parquet; /root/testdata is read-only). Referential by
+    * construction: supplier keys are contiguous 0-based, so
+    * `(p_partkey*13 + i*(s_cnt/4)) % s_cnt` yields 4 DISTINCT valid
+    * suppliers per part at every scale factor (stride s_cnt/4 ≥ 1 for
+    * s_cnt ≥ 8; i in 0..3 never wraps onto itself). availqty
+    * (1..9999) and supplycost (1.00..999.99, exact cents / 100.0) are
+    * pure integer arithmetic of the two keys — both engines compute
+    * bit-identical values, so every aggregate over them value-oracles.
+    * Scale shape: 4 rows per part (SF × 800k at true TPC-H), built by
+    * a map-side cross join with two one-row/4-row broadcast frames —
+    * no shuffle, no materialization.
+    *
+    * Reference anchor: the SQL-first surface of lib.rs execute_query —
+    * a user's first workload is the standard TPC-H 22, and h02/h09/
+    * h11/h16/h20 need supply-cost data. */
+  val PartsuppCte: String =
+    """WITH sup AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt FROM supplier),
+      |gen AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+      |partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    (ps_partkey * 37 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+      |    CAST((ps_partkey * 53 + ps_suppkey * 19) % 99900 + 100 AS DOUBLE) / 100 AS ps_supplycost
+      |  FROM (SELECT p_partkey AS ps_partkey,
+      |      (p_partkey * 13 + i * CAST(FLOOR(s_cnt / 4) AS BIGINT)) % s_cnt AS ps_suppkey
+      |    FROM part CROSS JOIN gen CROSS JOIN sup) keys)""".stripMargin
 
   /** Shared ANSI SQL — one string per query, runnable verbatim by BOTH
     * Spark (defs below) and DuckDB (the oracle side). */
@@ -50,6 +88,25 @@ object TpchQueries {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // min-cost-supplier: correlated scalar MIN over the same 4-table
+    // join as the outer query — the classic decorrelation shape.
+    // ORDER BY is unique ((p_partkey, s_name) is a key of the output)
+    "h02_min_cost_supplier" ->
+      s"""$PartsuppCte
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+         |FROM part
+         |  JOIN partsupp ON p_partkey = ps_partkey
+         |  JOIN supplier ON s_suppkey = ps_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+         |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+         |    FROM partsupp ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+         |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+         |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
 
     "h03_shipping_priority" ->
       """SELECT l_orderkey,
@@ -122,16 +179,37 @@ object TpchQueries {
         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') all_nations
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
+    // standard h09 profit, ps_supplycost term restored via the derived
+    // partsupp: amount = 4-true-decimal price term minus 2-true-decimal
+    // cost term, so the DECIMAL(28,4) cast never lands on a rounding tie
     "h09_product_profit" ->
-      """SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
-        |FROM (SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
-        |    l_extendedprice * (1 - l_discount) AS amount
-        |  FROM part JOIN lineitem ON p_partkey = l_partkey
-        |    JOIN supplier ON s_suppkey = l_suppkey
-        |    JOIN orders ON o_orderkey = l_orderkey
-        |    JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE p_name LIKE '%red%') profit
-        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+      s"""$PartsuppCte
+         |SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+         |FROM (SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+         |    l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+         |  FROM part JOIN lineitem ON p_partkey = l_partkey
+         |    JOIN supplier ON s_suppkey = l_suppkey
+         |    JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+         |    JOIN orders ON o_orderkey = l_orderkey
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%red%') profit
+         |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+
+    // value-concentration: grouped decimal sums vs a scalar-subquery
+    // threshold over the same join (uncorrelated HAVING subquery)
+    "h11_important_stock" ->
+      s"""$PartsuppCte
+         |SELECT ps_partkey, CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4))) AS DOUBLE) AS value
+         |FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_7'
+         |GROUP BY ps_partkey
+         |HAVING SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4))) >
+         |  (SELECT SUM(CAST(ps2.ps_supplycost * ps2.ps_availqty AS DECIMAL(28,4))) * 0.001
+         |   FROM partsupp ps2 JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+         |     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+         |   WHERE n2.n_name = 'NATION_7')
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     "h10_returned_items" ->
       """SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
@@ -186,13 +264,18 @@ object TpchQueries {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
 
+    // standard h16 over the derived partsupp (supplier_cnt counts
+    // supply relationships, not lineitem incidence); no s_comment
+    // complaint-supplier exclusion (column absent)
     "h16_parts_suppliers" ->
-      """SELECT p_brand, p_type, p_size,
-        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
-        |GROUP BY p_brand, p_type, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+      s"""$PartsuppCte
+         |SELECT p_brand, p_type, p_size,
+         |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+         |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "h17_small_qty_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0 AS avg_yearly
@@ -217,6 +300,23 @@ object TpchQueries {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // excess-stock suppliers: correlated aggregate subquery (per
+    // (part, supplier) lineitem quantity sum) nested INSIDE an IN
+    // subquery — the deepest decorrelation in the suite. A pair with
+    // no lineitem sales compares against NULL and drops, per standard
+    // TPC-H semantics
+    "h20_excess_stock" ->
+      s"""$PartsuppCte
+         |SELECT s_name, s_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19')
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM partsupp
+         |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |      AND ps_availqty > (SELECT 0.5 * SUM(l.l_quantity) FROM lineitem l
+         |        WHERE l.l_partkey = ps_partkey AND l.l_suppkey = ps_suppkey))
+         |ORDER BY s_name""".stripMargin,
 
     "h21_waiting_suppliers" ->
       """SELECT s_name, COUNT(*) AS numwait
