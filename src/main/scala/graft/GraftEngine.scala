@@ -106,6 +106,26 @@ final class GraftEngine(val spark: SparkSession) {
       .createOrReplaceTempView("graft_topk_cosine")
   }
 
+  private var annViewRegistered = false
+
+  /** SQL-surface the DEFAULT ANN search (`graft_ann_topk`: k-means
+    * IVF at [[operators.Similarity.DefaultAnnProbe]] probes, recall
+    * floor pinned in AnnRecallSpec). Separate from
+    * [[registerPipelineViews]] ON PURPOSE: an ANN index is BUILT, not
+    * declared — k-means training runs Spark jobs and pins the trained
+    * centroid table, so this call materializes state and the lazy
+    * view registration must not pay for it. Idempotent per engine:
+    * repeated calls reuse the trained view. */
+  def registerAnnView(): Unit = synchronized {
+    if (!annViewRegistered) {
+      val embs = spark.table("embeddings")
+      operators.Similarity.annDefault(embs,
+        operators.Similarity.defaultQueries(embs))
+        .createOrReplaceTempView("graft_ann_topk")
+      annViewRegistered = true
+    }
+  }
+
   /** Formatted physical plan of a SQL query without executing it — the
     * introspection hook for checking pushdown/broadcast/codegen before
     * burning cluster hours (see PLANS.md for the audited shapes). */

@@ -66,6 +66,13 @@ object Similarity {
     * an equi-join on the bucket key (partitionable at 100 TB; recall
     * traded for never touching out-of-bucket corpus rows).
     *
+    * NOTE: this is the BUCKETING PRIMITIVE, not the product search
+    * surface — 8-bit sign-LSH measures recall@10 of 0.28-0.44 at 4
+    * probes on the test corpora (SCALE.md), which is the right trade
+    * for cheap near-dup candidate generation (d05) but loses to the
+    * trained IVF path everywhere as a top-k search. Use [[annDefault]]
+    * for ANN search.
+    *
     * `probes > 1` enables MULTIPROBE: each query also searches the
     * buckets at Hamming distance 1 from its own (single sign-bit flips,
     * nearest first), recovering neighbors that fall just across a
@@ -234,6 +241,25 @@ object Similarity {
       iters: Int = KmeansIters): DataFrame =
     ivfTopKWith(prepared(embeddings),
       kmeansCentroids(embeddings, nCentroids, iters), queries, k, nProbe)
+
+  /** Probe count for [[annDefault]]: 8 of [[NCentroids]] = 16 cells.
+    * On the 500-vector test corpora that is what recall ≥ 0.9 needs
+    * (16 centroids over 500 points underfit; measured recall@10 =
+    * 0.96 / 0.92 / 1.00 at sf0.001 / sf0.01 / sf0.1 — SCALE.md); on a
+    * real corpus nCentroids grows ~√N and the probed FRACTION shrinks
+    * toward the 1-10 % an IVF store runs at, with nProbe the explicit
+    * recall/cost dial. */
+  val DefaultAnnProbe = 8
+
+  /** THE default ANN surface: k-means-trained IVF at
+    * [[DefaultAnnProbe]] probes. AnnRecallSpec pins recall@10 ≥ 0.9
+    * against the s01 exact ground truth, so the surface cannot
+    * silently regress. Sign-LSH ([[annTopK]]) measures 0.28-0.44 at
+    * realistic probe counts on the same corpora — it stays available
+    * as the cheap CANDIDATE-GENERATION primitive (d05's near-dup
+    * bucketing), not as the search surface. */
+  def annDefault(embeddings: DataFrame, queries: DataFrame, k: Int = K): DataFrame =
+    kmeansTopK(embeddings, queries, k, nProbe = DefaultAnnProbe)
 
   /** s05: per-cluster corpus statistics over the k-means cells — size
     * and mean cosine-to-centroid (cohesion) per cluster. This is the

@@ -63,6 +63,33 @@ object SimilarityQueries {
        |    FROM e CROSS JOIN $cf c) WHERE rn = 1)""".stripMargin
   }
 
+  /** k-means IVF search oracle, parameterized on probe count — shared
+    * by s04 (operator default [[Similarity.NProbe]]) and the default
+    * ANN SQL surface (x06 at [[Similarity.DefaultAnnProbe]]). */
+  def kmeansSearchOracle(nProbe: Int): String = {
+    val dotQC = sqlKmDot("q.qv", "c.cv")
+    val dotAC = sqlKmDot("q.qv", "a.v")
+    s"""WITH $sqlPrep,
+       |$sqlKmeansChain,
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY round($dotQC / (${norm("q.qv")} * ${norm("c.cv")}), 6) DESC, c.cent_id ASC) AS rn
+       |    FROM q CROSS JOIN $cf c) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    round($dotAC / (${norm("q.qv")} * ${norm("a.v")}), 6) AS cos
+       |  FROM assignF a JOIN probes q
+       |    ON a.cell = q.cell AND a.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, cos, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= ${Similarity.K}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     // #23 exact brute-force cosine top-k (query side broadcast)
     "s01_topk_cosine" -> ((s, dir) => {
@@ -151,29 +178,7 @@ object SimilarityQueries {
          |ORDER BY query_id, rank""".stripMargin
     },
 
-    "s04_ann_kmeans" -> {
-      val dotQC = sqlKmDot("q.qv", "c.cv")
-      val dotAC = sqlKmDot("q.qv", "a.v")
-      s"""WITH $sqlPrep,
-         |$sqlKmeansChain,
-         |probes AS (
-         |  SELECT query_id, qv, cell FROM (
-         |    SELECT q.query_id, q.qv, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY round($dotQC / (${norm("q.qv")} * ${norm("c.cv")}), 6) DESC, c.cent_id ASC) AS rn
-         |    FROM q CROSS JOIN $cf c) WHERE rn <= ${Similarity.NProbe}),
-         |scored AS (
-         |  SELECT q.query_id, a.vec_id,
-         |    round($dotAC / (${norm("q.qv")} * ${norm("a.v")}), 6) AS cos
-         |  FROM assignF a JOIN probes q
-         |    ON a.cell = q.cell AND a.vec_id <> q.query_id)
-         |SELECT query_id, vec_id, cos, rank FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
-         |  FROM scored)
-         |WHERE rank <= ${Similarity.K}
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "s04_ann_kmeans" -> kmeansSearchOracle(Similarity.NProbe),
 
     "s05_cluster_stats" ->
       s"""WITH $sqlPrep,

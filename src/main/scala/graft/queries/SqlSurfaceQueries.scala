@@ -80,7 +80,21 @@ object SqlSurfaceQueries {
     "x05_sql_split_report" -> ((s, dir) => engine(s, dir).sql(
       """SELECT split, lang, COUNT(*) AS n_docs
         |FROM graft_split GROUP BY split, lang
-        |ORDER BY split, lang""".stripMargin)))
+        |ORDER BY split, lang""".stripMargin)),
+
+    // the DEFAULT ANN surface from SQL (round-4 verdict item 5):
+    // graft_ann_topk is the k-means IVF path at DefaultAnnProbe probes
+    // (recall floor pinned in AnnRecallSpec) — registerAnnView BUILDS
+    // the index (training runs jobs), then plain SQL queries it
+    "x06_sql_ann_default" -> ((s, dir) => {
+      val e = engine(s, dir)
+      e.registerAnnView()
+      e.sql(
+        """SELECT query_id, vec_id, cos, rank
+          |FROM graft_ann_topk
+          |WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)
+    }))
 
   val oracles: Map[String, String] = Map(
     "x01_sql_dedup_keep" ->
@@ -124,5 +138,12 @@ object SqlSurfaceQueries {
          |  FROM documents)
          |SELECT split, lang, COUNT(*) AS n_docs
          |FROM assigned GROUP BY split, lang
-         |ORDER BY split, lang""".stripMargin)
+         |ORDER BY split, lang""".stripMargin,
+
+    "x06_sql_ann_default" ->
+      s"""SELECT query_id, vec_id, cos, rank
+         |FROM (${SimilarityQueries.kmeansSearchOracle(
+               graft.operators.Similarity.DefaultAnnProbe)})
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin)
 }
