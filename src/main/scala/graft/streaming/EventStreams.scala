@@ -200,7 +200,8 @@ object EventStreams {
   val JoinWindowMs: Long = 60 * 60 * 1000
 
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      windowMs: Long = JoinWindowMs): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -210,7 +211,7 @@ object EventStreams {
     c.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"))
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
   }
