@@ -54,7 +54,21 @@ object PlanAudit {
       "never a global window."),
     "p06_leakage_safe_split" -> ("Cluster-keyed split: d06's label table feeds a " +
       "pure map-side hash CASE on cluster_rep — the split assignment adds ZERO " +
-      "shuffles on top of the clustering, so leakage safety is free at any scale."))
+      "shuffles on top of the clustering, so leakage safety is free at any scale."),
+    "h02_min_cost_supplier" -> ("Correlated scalar MIN (per-part min supply cost " +
+      "over a 4-table join) DECORRELATED into one grouped aggregate joined back on " +
+      "ps_partkey — the subquery's join tree runs ONCE, never per outer row; " +
+      "region/nation ride broadcast joins; the derived partsupp is a map-side " +
+      "cross of part with two broadcast one/4-row frames."),
+    "h20_excess_stock" -> ("Correlated aggregate (per-(part,supplier) lineitem sum) " +
+      "nested inside IN: Catalyst rewrites both levels to aggregates + semi-joins " +
+      "on the (l_partkey, l_suppkey) and s_suppkey keys — the deepest decorrelation " +
+      "in the suite, still zero nested-loop re-scans."),
+    "x06_sql_ann_default" -> ("The default ANN surface from SQL: the trained " +
+      "centroid table is a checkpointed leaf (built once per engine by " +
+      "registerAnnView), cell assignment folds over its one-row broadcast form " +
+      "map-side, and the rank<=5 predicate prunes through the view into the " +
+      "WindowGroupLimit."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
