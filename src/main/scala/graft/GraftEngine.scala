@@ -197,6 +197,19 @@ object GraftEngine {
     Tables.all.foreach(t => e.loadTable(t, s"$dir/$t.parquet"))
     e
   }
+
+  private val dirEngines =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraftEngine]
+
+  /** Memoized [[forDir]] — one engine per (session, dir), the shape of
+    * a real session: tables register once, every later query reuses
+    * the catalog instead of re-reading ten parquet schemas. Note temp
+    * views are SESSION-global with or without the cache — registering
+    * a different dir into the same session repoints the shared view
+    * names either way — so memoization adds reuse, not a new aliasing
+    * hazard. */
+  def cachedForDir(spark: SparkSession, dir: String): GraftEngine =
+    dirEngines.getOrElseUpdate((spark, dir), forDir(spark, dir))
 }
 
 /** Canonical table set of the test corpus (TPC-H-ish + pipeline tables). */

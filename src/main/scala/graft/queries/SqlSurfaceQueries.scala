@@ -22,15 +22,14 @@ object SqlSurfaceQueries {
   // oracle side (one DuckDB process, views created once) never paid.
   // Registration is lazy (StorageLifecycleSpec pins zero jobs), so
   // caching holds no materialized state — only analyzed plans.
-  private val engines =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), GraftEngine]
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Boolean]
 
-  private def engine(s: org.apache.spark.sql.SparkSession, dir: String): GraftEngine =
-    engines.getOrElseUpdate((s, dir), {
-      val e = GraftEngine.forDir(s, dir)
-      e.registerPipelineViews()
-      e
-    })
+  private def engine(s: org.apache.spark.sql.SparkSession, dir: String): GraftEngine = {
+    val e = GraftEngine.cachedForDir(s, dir)
+    registered.getOrElseUpdate((s, dir), { e.registerPipelineViews(); true })
+    e
+  }
 
   val defs: Map[String, Q] = Map(
     // exact-dedup keep set joined back to the corpus — the "which docs

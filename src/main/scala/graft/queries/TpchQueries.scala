@@ -345,7 +345,7 @@ object TpchQueries {
 
   val defs: Map[String, Q] = sql.map { case (name, q) =>
     name -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
-      graft.GraftEngine.forDir(s, dir).sql(q))
+      graft.GraftEngine.cachedForDir(s, dir).sql(q))
   }
 
   val oracles: Map[String, String] = sql
