@@ -126,6 +126,55 @@ final class GraftEngine(val spark: SparkSession) {
     }
   }
 
+  // ---- manifest-table DML surface -----------------------------------------
+
+  private val manifestTables = mutable.LinkedHashMap[String, String]()
+
+  private def refreshManifestView(name: String): Unit =
+    sources.TableLayout.readManifested(spark, manifestTables(name))
+      .createOrReplaceTempView(name)
+
+  /** Create (or replace) a MANIFEST TABLE at `path` from `df` and
+    * register its committed snapshot as view `name` — the write side
+    * of the catalog surface. Every mutation below commits a fresh
+    * snapshot via the atomic manifest rename and re-points the view,
+    * so `sql()` always reads a complete committed snapshot. */
+  def createManifestTable(name: String, path: String, df: DataFrame): Unit = {
+    sources.TableLayout.writeManifested(df, path)
+    manifestTables(name) = path
+    refreshManifestView(name)
+  }
+
+  /** MERGE (upsert) into a manifest table: `updates` rows replace
+    * current rows sharing the `keys` tuple and insert otherwise
+    * (see [[sources.TableLayout.upsertManifested]]). */
+  def upsertManifestTable(name: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    sources.TableLayout.upsertManifested(spark, manifestTables(name), updates, keys)
+    refreshManifestView(name)
+  }
+
+  /** Copy-on-write DELETE from a manifest table; returns rows deleted. */
+  def deleteFromManifestTable(name: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val n = sources.TableLayout.deleteManifested(spark, manifestTables(name), predicate)
+    refreshManifestView(name)
+    n
+  }
+
+  /** Commit log of a manifest table, oldest → newest. */
+  def manifestSnapshots(name: String): Seq[String] =
+    sources.TableLayout.snapshots(spark, manifestTables(name))
+
+  /** Time travel: register snapshot `version` (0-based; -1 = current)
+    * as view `<name>_v<version>` and return it, so historical
+    * snapshots are queryable from `sql()` alongside the live table. */
+  def registerManifestVersion(name: String, version: Int): DataFrame = {
+    val df = sources.TableLayout.readManifestedAt(spark, manifestTables(name), version)
+    df.createOrReplaceTempView(s"${name}_v$version")
+    df
+  }
+
   /** Formatted physical plan of a SQL query without executing it — the
     * introspection hook for checking pushdown/broadcast/codegen before
     * burning cluster hours (see PLANS.md for the audited shapes). */

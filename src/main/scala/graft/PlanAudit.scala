@@ -68,7 +68,16 @@ object PlanAudit {
       "centroid table is a checkpointed leaf (built once per engine by " +
       "registerAnnView), cell assignment folds over its one-row broadcast form " +
       "map-side, and the rank<=5 predicate prunes through the view into the " +
-      "WindowGroupLimit."))
+      "WindowGroupLimit."),
+    "p07_stratified_sample" -> ("Exact-count stratified sample: the " +
+      "rank<=k filter over the hash-ordered window plans as WindowGroupLimit — " +
+      "each map task keeps its local top-k per stratum BEFORE the one " +
+      "stratum-key shuffle, so a billion-row stratum moves k·tasks rows and " +
+      "never sorts globally."),
+    "x07_sql_merge" -> ("MERGE from SQL: the post-merge read is a plain " +
+      "pruned parquet scan of the committed snapshot (the view re-points after " +
+      "the atomic manifest rename) — readers never carry merge machinery in " +
+      "their plans; the merge itself paid ONE anti-join shuffle at write time."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -68,6 +68,31 @@ object Splits {
       .drop("__domain", "__thr")
   }
 
+  /** Exact-count stratified sample: keep exactly min(k, |stratum|) rows
+    * per stratum, chosen by seeded-hash rank — the balanced-eval-set /
+    * per-domain-cap builder. Distinct from [[rebalanceDomains]], which
+    * keeps an EXPECTED fraction: here the count is exact, which is what
+    * an eval set or a per-source cap contract requires. Deterministic
+    * like everything in this file: the kept set is a pure function of
+    * (seed, ids) — reruns, repartitions and cluster resizes reproduce
+    * it bit-for-bit (the id tiebreak makes even a hash collision
+    * order-stable).
+    *
+    * Scale shape: the rank-≤-k filter over a hash-ordered window is the
+    * pattern Catalyst rewrites to WindowGroupLimit — each map task
+    * keeps only its local top-k per stratum BEFORE the shuffle, so a
+    * billion-row stratum moves ≤ k·tasks rows, never sorts globally,
+    * and the post-shuffle work is a k-row merge per stratum
+    * (spec-asserted in SplitsSpec). One shuffle, on the stratum key. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+      k: Int, seed: String = "strat"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val rk = row_number().over(
+      Window.partitionBy(stratumCol)
+        .orderBy(md5(concat_ws("|", lit(seed), idCol.cast("string"))), idCol))
+    df.withColumn("sample_rank", rk).filter(col("sample_rank") <= k)
+  }
+
   /** Greedy shard packing: assign rows (in `idCol` order) to consecutive
     * training shards of ≈`budget` tokens each — the "write the corpus as
     * N bounded files/sequences" step of a training-data pipeline. A row

@@ -448,6 +448,24 @@ object CoreQueries {
           .cast("double").as("run_spend"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
+    }),
+
+    // LATERAL correlated derived table — "top-2 suppliers per nation"
+    // as the user writes it: the inner SELECT references the outer row
+    // and carries its own ORDER BY ... LIMIT. Catalyst decorrelates
+    // the per-row limit into a window rank over ONE scan of supplier
+    // (DuckDB plans the same shape) — never a re-execution per outer
+    // row. Same SQL string on both engines.
+    "q46_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation_v n,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier_v s
+                 WHERE s.s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2) t
+        ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -667,5 +685,13 @@ object CoreQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+        |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q46_lateral" ->
+      """SELECT n.n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2) t
+        |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin)
 }

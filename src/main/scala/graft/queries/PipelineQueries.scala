@@ -100,6 +100,21 @@ object PipelineQueries {
       val labels = graft.operators.Dedup.clusters(t(s, dir, "documents"))
       graft.operators.Splits.assignSplit(labels, col("cluster_rep"))
         .select("doc_id", "cluster_rep", "split").orderBy("doc_id")
+    }),
+
+    // p07: exact-count stratified sample — exactly 40 docs per language
+    // by seeded-hash rank (balanced eval-set construction; the
+    // rank<=k filter triggers WindowGroupLimit, so map tasks pre-trim
+    // to k per stratum before the one stratum-key shuffle)
+    "p07_stratified_sample" -> ((s, dir) => {
+      graft.operators.Splits.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), k = 40)
+        // BIGINT rank on both sides (h12's lesson: Spark row_number is
+        // INT, DuckDB's is BIGINT — pin one representation)
+        .select(col("doc_id"), col("lang"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +198,14 @@ object PipelineQueries {
          |       WHEN substr(md5('split|' || CAST(cluster_rep AS VARCHAR)), 1, 2) < 'e6'
          |         THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM labels ORDER BY doc_id""".stripMargin)
+         |FROM labels ORDER BY doc_id""".stripMargin,
+
+    "p07_stratified_sample" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 40 ORDER BY doc_id""".stripMargin)
 }

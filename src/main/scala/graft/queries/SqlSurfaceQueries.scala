@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.GraftEngine
 
 /** SQL access to the pipeline operators (round-3 verdict item 4). The
@@ -93,7 +94,59 @@ object SqlSurfaceQueries {
           |FROM graft_ann_topk
           |WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin)
+    }),
+
+    // MERGE from the SQL surface (round-5 lifecycle work): orders is
+    // materialized as a manifest table, a deterministic updates batch
+    // (10% price-adjusted + a synthetic insert slice) is upserted
+    // through the atomic snapshot commit, and the post-merge table is
+    // queried with plain SQL — the write-side counterpart of x01-x06
+    "x07_sql_merge" -> ((s, dir) => {
+      val e = engine(s, dir)
+      mergedOrdersView(e, "graft_orders_merged")
+      e.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+          |FROM graft_orders_merged
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // time travel from SQL: the pre-merge snapshot (v0) registers as
+    // its own view off the commit log, and one join classifies every
+    // live row as inserted / updated / unchanged — the audit query a
+    // data-release review runs against any mutated table
+    "x08_sql_time_travel" -> ((s, dir) => {
+      val e = engine(s, dir)
+      mergedOrdersView(e, "graft_orders_tt")
+      e.registerManifestVersion("graft_orders_tt", 0)
+      e.sql(
+        """SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+          |            WHEN n.o_totalprice <> o.o_totalprice THEN 'updated'
+          |            ELSE 'unchanged' END AS change,
+          |  COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(n.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+          |FROM graft_orders_tt n
+          |LEFT JOIN graft_orders_tt_v0 o ON o.o_orderkey = n.o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     }))
+
+  /** Shared x07/x08 setup: snapshot `orders` into a fresh manifest
+    * table, upsert the deterministic merge batch (keys %10==0 get a
+    * 1.1× price; keys %17==3 re-insert shifted by 1e7 with status 'N'),
+    * register the merged table as `view`. A fresh temp path per call
+    * keeps invocations independent (each builds a 2-snapshot log). */
+  private def mergedOrdersView(e: GraftEngine, view: String): Unit = {
+    val orders = e.table("orders")
+    val path = java.nio.file.Files.createTempDirectory("graft_merge")
+      .toString + "/orders"
+    e.createManifestTable(view, path, orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders.filter(col("o_orderkey") % 17 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("o_orderstatus", lit("N"))
+    e.upsertManifestTable(view, updates.unionByName(inserts), Seq("o_orderkey"))
+  }
 
   val oracles: Map[String, String] = Map(
     "x01_sql_dedup_keep" ->
@@ -144,5 +197,39 @@ object SqlSurfaceQueries {
          |FROM (${SimilarityQueries.kmeansSearchOracle(
                graft.operators.Similarity.DefaultAnnProbe)})
          |WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "x07_sql_merge" ->
+      s"""WITH $mergedOrdersCtes
+         |SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x08_sql_time_travel" ->
+      s"""WITH $mergedOrdersCtes
+         |SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+         |            WHEN n.o_totalprice <> o.o_totalprice THEN 'updated'
+         |            ELSE 'unchanged' END AS change,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(n.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+         |FROM merged n
+         |LEFT JOIN orders o ON o.o_orderkey = n.o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** DuckDB twin of [[mergedOrdersView]]'s merge, as CTEs: the anti-
+    * join + union IS the MERGE semantics, so the oracle states it
+    * directly over the base table. */
+  private def mergedOrdersCtes: String =
+    """updates AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'N',
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 17 = 3),
+      |merged AS (
+      |  SELECT o.* FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+      |  UNION ALL SELECT * FROM updates)""".stripMargin
 }

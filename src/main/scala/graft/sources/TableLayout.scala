@@ -114,9 +114,13 @@ object TableLayout {
     org.apache.hadoop.fs.FileContext.getFileContext(
       new HPath(tablePath).toUri, spark.sparkContext.hadoopConfiguration)
 
-  /** The committed data directory of a manifest table — the target of
-    * the one-line `manifest` pointer file. */
-  def currentDataDir(spark: SparkSession, tablePath: String): String = {
+  /** The manifest is the table's COMMIT LOG: one committed data-dir
+    * name per line, oldest first, LAST line = current. Every commit
+    * rewrites the whole file (it is tiny — one short line per
+    * snapshot) through the same atomic rename, so the log and the
+    * pointer are one object and can never disagree. Returns the
+    * history, oldest → newest. */
+  def snapshots(spark: SparkSession, tablePath: String): Seq[String] = {
     val fc = fcFor(spark, tablePath)
     val mf = new HPath(tablePath, ManifestFile)
     require(fc.util.exists(mf), s"$tablePath is not a manifest table (no $ManifestFile)")
@@ -124,27 +128,45 @@ object TableLayout {
     val buf = new java.io.ByteArrayOutputStream()
     try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
     finally in.close()
-    new HPath(tablePath,
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
-      .toString
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Point `manifest` at `dataDirName`: write a temp pointer file,
-    * then rename it ONTO the manifest (FileContext rename with
-    * OVERWRITE — atomic on HDFS and posix filesystems). Readers
-    * resolve the pointer first, so they see either the old or the new
-    * table in full, never a mix; superseded data dirs stay on disk
-    * until a retention job removes them (in-flight readers may still
-    * hold the old pointer). */
+  /** The committed data directory of a manifest table — the LAST line
+    * of the manifest log. */
+  def currentDataDir(spark: SparkSession, tablePath: String): String =
+    new HPath(tablePath, snapshots(spark, tablePath).last).toString
+
+  /** Commit `dataDirName` as the new current snapshot: write the full
+    * history (existing lines + the new one) to a temp file, then
+    * rename it ONTO the manifest (FileContext rename with OVERWRITE —
+    * atomic on HDFS and posix filesystems). Readers resolve the
+    * manifest first, so they see either the old or the new table in
+    * full, never a mix; superseded data dirs stay on disk (readable
+    * via [[readManifestedAt]]) until [[vacuumManifested]] removes
+    * them. Single-writer protocol: concurrent COMMITTERS need an
+    * external lock (last rename wins), concurrent readers need
+    * nothing. */
   private def commitManifest(spark: SparkSession, tablePath: String,
-      dataDirName: String): Unit = {
+      dataDirName: String): Unit =
+    writeManifestLines(spark, tablePath, existingSnapshots(spark, tablePath) :+ dataDirName)
+
+  private def existingSnapshots(spark: SparkSession, tablePath: String): Seq[String] = {
+    val fc = fcFor(spark, tablePath)
+    if (fc.util.exists(new HPath(tablePath, ManifestFile)))
+      snapshots(spark, tablePath)
+    else Seq.empty
+  }
+
+  private def writeManifestLines(spark: SparkSession, tablePath: String,
+      lines: Seq[String]): Unit = {
     val fc = fcFor(spark, tablePath)
     val tmp = new HPath(tablePath, s".$ManifestFile.tmp${System.nanoTime()}")
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(dataDirName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fc.rename(tmp, new HPath(tablePath, ManifestFile),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -180,6 +202,92 @@ object TableLayout {
     val n = compact(spark, cur, s"$tablePath/$next", targetBytes)
     commitManifest(spark, tablePath, next)
     n
+  }
+
+  // ---- snapshot lifecycle: upsert / delete / time travel / vacuum --------
+
+  /** Read snapshot `version` (0-based index into [[snapshots]];
+    * negative counts from the end, -1 = current) — time travel over
+    * the commit log. Fails with a clear message when the snapshot was
+    * vacuumed or the index is out of range. */
+  def readManifestedAt(spark: SparkSession, tablePath: String,
+      version: Int): DataFrame = {
+    val hist = snapshots(spark, tablePath)
+    val i = if (version < 0) hist.size + version else version
+    require(i >= 0 && i < hist.size,
+      s"snapshot $version out of range: $tablePath has ${hist.size} " +
+        "retained snapshots (older ones may have been vacuumed)")
+    spark.read.parquet(new HPath(tablePath, hist(i)).toString)
+  }
+
+  /** MERGE (upsert) into a manifest table: rows of `updates` REPLACE
+    * current rows with the same `keys` tuple and are INSERTED when no
+    * match exists — `WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT
+    * *`, as one anti-join + union. Copy-on-write: the merged result
+    * lands in a fresh snapshot dir and the commit is the atomic
+    * manifest rename, so concurrent readers see the old or the new
+    * table, never a mix, and the pre-merge snapshot stays readable via
+    * [[readManifestedAt]].
+    *
+    * Scale shape: ONE shuffle, on the merge key (the anti-join); the
+    * union is plan-level only. At 100 TB with a small `updates` batch
+    * Catalyst broadcasts the update side of the anti-join, so the
+    * current table streams map-side; the rewrite cost is the full
+    * table — the honest COW trade. The scale refinements (partition-
+    * scoped COW that rewrites only partitions containing matched keys,
+    * or merge-on-read deltas reconciled at scan) are layout policies on
+    * top of this same commit protocol. */
+  def upsertManifested(spark: SparkSession, tablePath: String,
+      updates: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one merge key")
+    val cur = readManifested(spark, tablePath)
+    require(cur.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert schema mismatch: table has ${cur.columns.sorted.mkString(",")} " +
+        s"but updates has ${updates.columns.sorted.mkString(",")}")
+    val merged = cur.join(updates, keys, "left_anti")
+      .unionByName(updates.select(cur.columns.toIndexedSeq.map(col): _*))
+    val next = s"data-${System.nanoTime()}"
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$next")
+    commitManifest(spark, tablePath, next)
+  }
+
+  /** Copy-on-write DELETE: keep rows where `predicate` is false (or
+    * NULL — SQL DELETE semantics remove only rows where the predicate
+    * is TRUE), commit as a fresh snapshot. Returns the number of rows
+    * deleted. */
+  def deleteManifested(spark: SparkSession, tablePath: String,
+      predicate: Column): Long = {
+    val cur = readManifested(spark, tablePath)
+    val before = cur.count()
+    val kept = cur.filter(!coalesce(predicate, lit(false)))
+    val next = s"data-${System.nanoTime()}"
+    kept.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$next")
+    commitManifest(spark, tablePath, next)
+    before - readManifested(spark, tablePath).count()
+  }
+
+  /** Retention: drop all but the newest `keep` snapshots — delete
+    * their data dirs and truncate the manifest log to the retained
+    * tail. The manifest commit happens FIRST (atomic rename), so a
+    * reader can never resolve a dir the vacuum is about to delete;
+    * in-flight scans that already resolved an old dir are the
+    * documented single-writer caveat (run vacuum with a retention
+    * horizon longer than any reader, exactly like any table format).
+    * Returns the number of snapshots removed. */
+  def vacuumManifested(spark: SparkSession, tablePath: String,
+      keep: Int): Int = {
+    require(keep >= 1, "must retain at least the current snapshot")
+    val hist = snapshots(spark, tablePath)
+    if (hist.size <= keep) 0
+    else {
+      val (drop, retain) = hist.splitAt(hist.size - keep)
+      writeManifestLines(spark, tablePath, retain)
+      val fc = fcFor(spark, tablePath)
+      drop.foreach { d =>
+        fc.delete(new HPath(tablePath, d), true)
+      }
+      drop.size
+    }
   }
 
   // ---- Z-ORDER layout: multi-dimensional clustering ----------------------

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+
+import org.apache.spark.sql.functions._
+import graft.sources.TableLayout
+
+/** Snapshot lifecycle of manifest tables (round-5 extension of the
+  * round-4 atomic-commit work): MERGE/upsert, DELETE, time travel over
+  * the commit log, and vacuum retention — the minimal lakehouse table
+  * lifecycle on top of the same one-rename commit protocol.
+  */
+class ManifestLifecycleSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_lifecycle").toString + "/t"
+
+  test("upsert replaces matched rows, inserts unmatched, preserves the rest") {
+    import spark.implicits._
+    val table = freshTable()
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    TableLayout.writeManifested(base, table)
+
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "tag", "v")
+    TableLayout.upsertManifested(spark, table, updates, Seq("id"))
+
+    val got = TableLayout.readManifested(spark, table)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert rejects a schema mismatch with a clear error") {
+    import spark.implicits._
+    val table = freshTable()
+    TableLayout.writeManifested(Seq((1L, "a")).toDF("id", "tag"), table)
+    val e = intercept[IllegalArgumentException] {
+      TableLayout.upsertManifested(spark, table,
+        Seq((1L, 2.0)).toDF("id", "other"), Seq("id"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("delete removes predicate-true rows only (NULL predicate keeps the row) and reports the count") {
+    import spark.implicits._
+    val table = freshTable()
+    val base = Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0))).toDF("id", "v")
+    TableLayout.writeManifested(base, table)
+    // v > 10 is NULL for id=2 — SQL DELETE semantics keep it
+    val n = TableLayout.deleteManifested(spark, table, col("v") > 10.0)
+    assert(n == 1L)
+    assert(TableLayout.readManifested(spark, table)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("time travel: every snapshot stays readable; -1 is current") {
+    import spark.implicits._
+    val table = freshTable()
+    TableLayout.writeManifested(Seq((1L, 10.0)).toDF("id", "v"), table)
+    TableLayout.upsertManifested(spark, table,
+      Seq((1L, 11.0), (2L, 20.0)).toDF("id", "v"), Seq("id"))
+    TableLayout.deleteManifested(spark, table, col("id") === 1L)
+
+    assert(TableLayout.snapshots(spark, table).size == 3)
+    def rows(v: Int) = TableLayout.readManifestedAt(spark, table, v)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(rows(0) == Seq((1L, 10.0)))
+    assert(rows(1) == Seq((1L, 11.0), (2L, 20.0)))
+    assert(rows(2) == Seq((2L, 20.0)))
+    assert(rows(-1) == rows(2))
+    val e = intercept[IllegalArgumentException] { rows(3) }
+    assert(e.getMessage.contains("out of range"))
+  }
+
+  test("vacuum deletes superseded dirs, keeps the retained tail readable") {
+    import spark.implicits._
+    val table = freshTable()
+    TableLayout.writeManifested(Seq((1L, 1.0)).toDF("id", "v"), table)
+    (2 to 4).foreach { i =>
+      TableLayout.upsertManifested(spark, table,
+        Seq((i.toLong, i.toDouble)).toDF("id", "v"), Seq("id"))
+    }
+    val before = TableLayout.snapshots(spark, table)
+    assert(before.size == 4)
+
+    val removed = TableLayout.vacuumManifested(spark, table, keep = 2)
+    assert(removed == 2)
+    val after = TableLayout.snapshots(spark, table)
+    assert(after == before.takeRight(2))
+
+    // dropped dirs are gone from disk; retained ones still read
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    before.take(2).foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(table, d)), s"$d not vacuumed")
+    }
+    assert(TableLayout.readManifestedAt(spark, table, 0).count() == 3)
+    assert(TableLayout.readManifested(spark, table).count() == 4)
+    // vacuumed history is out of range, with the vacuum named
+    val e = intercept[IllegalArgumentException] {
+      TableLayout.readManifestedAt(spark, table, 2)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // idempotent when nothing to drop
+    assert(TableLayout.vacuumManifested(spark, table, keep = 2) == 0)
+  }
+
+  test("concurrent reader during a stream of upserts always sees a complete committed snapshot") {
+    import spark.implicits._
+    val table = freshTable()
+    // every committed snapshot satisfies the invariant sum(v) == 100 * count
+    val base = (1L to 50L).map(i => (i, 100.0)).toDF("id", "v")
+    TableLayout.writeManifested(base.repartition(8), table)
+
+    val stop = new AtomicBoolean(false)
+    val bad = new AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get() && bad.get() == null) {
+        try {
+          val r = TableLayout.readManifested(spark, table)
+            .agg(sum("v").as("s"), count(lit(1)).as("n")).head()
+          if (r.getDouble(0) != 100.0 * r.getLong(1))
+            bad.set(s"inconsistent snapshot: sum=${r.getDouble(0)} n=${r.getLong(1)}")
+        } catch {
+          case e: Exception => bad.set(s"reader failed: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 3).foreach { round =>
+        val updates = (1L to 60L).map(i => (i, 100.0)).toDF("id", "v")
+        TableLayout.upsertManifested(spark, table, updates.repartition(4), Seq("id"))
+      }
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(TableLayout.readManifested(spark, table).count() == 60)
+  }
+}

@@ -144,4 +144,31 @@ class SplitsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("p07 stratified sample keeps exactly min(k, |stratum|) per stratum, deterministically") {
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 40
+    val kept = Splits.stratifiedSample(docs, col("lang"), col("doc_id"), k)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == perLang.keySet)
+    kept.foreach { case (lang, n) =>
+      assert(n == math.min(k.toLong, perLang(lang)),
+        s"$lang kept $n of ${perLang(lang)}, wanted min($k, ...)")
+    }
+    // deterministic under repartitioning
+    val a = Splits.stratifiedSample(docs.repartition(1), col("lang"), col("doc_id"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Splits.stratifiedSample(docs.repartition(19, col("text")), col("lang"), col("doc_id"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("p07 plans as WindowGroupLimit: map tasks pre-trim to k per stratum before the shuffle") {
+    val plan = Splits.stratifiedSample(docs, col("lang"), col("doc_id"), 40)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit — a giant stratum would fully sort through the window:\n$plan")
+  }
 }
