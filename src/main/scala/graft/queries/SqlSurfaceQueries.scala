@@ -96,19 +96,22 @@ object SqlSurfaceQueries {
           |ORDER BY query_id, rank""".stripMargin)
     }),
 
-    // MERGE from the SQL surface (round-5 lifecycle work): orders is
+    // MERGE from the SQL surface (round-5 lifecycle work): customer is
     // materialized as a manifest table, a deterministic updates batch
-    // (10% price-adjusted + a synthetic insert slice) is upserted
+    // (10% balance-adjusted + a synthetic insert slice) is upserted
     // through the atomic snapshot commit, and the post-merge table is
-    // queried with plain SQL — the write-side counterpart of x01-x06
+    // queried with plain SQL — the write-side counterpart of x01-x06.
+    // (customer, not orders: the demo pays two physical snapshot
+    // writes that the in-SQL oracle never does, so the smallest table
+    // with a categorical rollup key carries the same proof cheapest)
     "x07_sql_merge" -> ((s, dir) => {
       val e = engine(s, dir)
-      mergedOrdersView(e, "graft_orders_merged")
+      mergedCustomerView(e, "graft_customer_merged")
       e.sql(
-        """SELECT o_orderpriority, COUNT(*) AS n_orders,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
-          |FROM graft_orders_merged
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        """SELECT c_mktsegment, COUNT(*) AS n_customers,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+          |FROM graft_customer_merged
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
     // time travel from SQL: the pre-merge snapshot (v0) registers as
@@ -117,35 +120,36 @@ object SqlSurfaceQueries {
     // data-release review runs against any mutated table
     "x08_sql_time_travel" -> ((s, dir) => {
       val e = engine(s, dir)
-      mergedOrdersView(e, "graft_orders_tt")
-      e.registerManifestVersion("graft_orders_tt", 0)
+      mergedCustomerView(e, "graft_customer_tt")
+      e.registerManifestVersion("graft_customer_tt", 0)
       e.sql(
-        """SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
-          |            WHEN n.o_totalprice <> o.o_totalprice THEN 'updated'
+        """SELECT CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+          |            WHEN n.c_acctbal <> o.c_acctbal THEN 'updated'
           |            ELSE 'unchanged' END AS change,
           |  COUNT(*) AS n_rows,
-          |  CAST(SUM(CAST(n.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
-          |FROM graft_orders_tt n
-          |LEFT JOIN graft_orders_tt_v0 o ON o.o_orderkey = n.o_orderkey
+          |  CAST(SUM(CAST(n.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+          |FROM graft_customer_tt n
+          |LEFT JOIN graft_customer_tt_v0 o ON o.c_custkey = n.c_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     }))
 
-  /** Shared x07/x08 setup: snapshot `orders` into a fresh manifest
+  /** Shared x07/x08 setup: snapshot `customer` into a fresh manifest
     * table, upsert the deterministic merge batch (keys %10==0 get a
-    * 1.1× price; keys %17==3 re-insert shifted by 1e7 with status 'N'),
-    * register the merged table as `view`. A fresh temp path per call
-    * keeps invocations independent (each builds a 2-snapshot log). */
-  private def mergedOrdersView(e: GraftEngine, view: String): Unit = {
-    val orders = e.table("orders")
+    * 1.1× balance; keys %17==3 re-insert shifted by 1e7 into the
+    * 'MERGED' segment), register the merged table as `view`. A fresh
+    * temp path per call keeps invocations independent (each builds a
+    * 2-snapshot log). */
+  private def mergedCustomerView(e: GraftEngine, view: String): Unit = {
+    val customer = e.table("customer")
     val path = java.nio.file.Files.createTempDirectory("graft_merge")
-      .toString + "/orders"
-    e.createManifestTable(view, path, orders)
-    val updates = orders.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
-    val inserts = orders.filter(col("o_orderkey") % 17 === 3)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-      .withColumn("o_orderstatus", lit("N"))
-    e.upsertManifestTable(view, updates.unionByName(inserts), Seq("o_orderkey"))
+      .toString + "/customer"
+    e.createManifestTable(view, path, customer)
+    val updates = customer.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") * lit(1.1))
+    val inserts = customer.filter(col("c_custkey") % 17 === 3)
+      .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
+      .withColumn("c_mktsegment", lit("MERGED"))
+    e.upsertManifestTable(view, updates.unionByName(inserts), Seq("c_custkey"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -200,36 +204,36 @@ object SqlSurfaceQueries {
          |ORDER BY query_id, rank""".stripMargin,
 
     "x07_sql_merge" ->
-      s"""WITH $mergedOrdersCtes
-         |SELECT o_orderpriority, COUNT(*) AS n_orders,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
-         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      s"""WITH $mergedCustomerCtes
+         |SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+         |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "x08_sql_time_travel" ->
-      s"""WITH $mergedOrdersCtes
-         |SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
-         |            WHEN n.o_totalprice <> o.o_totalprice THEN 'updated'
+      s"""WITH $mergedCustomerCtes
+         |SELECT CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+         |            WHEN n.c_acctbal <> o.c_acctbal THEN 'updated'
          |            ELSE 'unchanged' END AS change,
          |  COUNT(*) AS n_rows,
-         |  CAST(SUM(CAST(n.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+         |  CAST(SUM(CAST(n.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
          |FROM merged n
-         |LEFT JOIN orders o ON o.o_orderkey = n.o_orderkey
+         |LEFT JOIN customer o ON o.c_custkey = n.c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin)
 
-  /** DuckDB twin of [[mergedOrdersView]]'s merge, as CTEs: the anti-
+  /** DuckDB twin of [[mergedCustomerView]]'s merge, as CTEs: the anti-
     * join + union IS the MERGE semantics, so the oracle states it
     * directly over the base table. */
-  private def mergedOrdersCtes: String =
+  private def mergedCustomerCtes: String =
     """updates AS (
-      |  SELECT o_orderkey, o_custkey, o_orderstatus,
-      |    o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal * 1.1 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, o_custkey, 'N',
-      |    o_totalprice, o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 17 = 3),
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey,
+      |    c_acctbal, 'MERGED'
+      |  FROM customer WHERE c_custkey % 17 = 3),
       |merged AS (
-      |  SELECT o.* FROM orders o
-      |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+      |  SELECT c.* FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
       |  UNION ALL SELECT * FROM updates)""".stripMargin
 }

@@ -168,8 +168,26 @@ object TableLayout {
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fc.rename(tmp, new HPath(tablePath, ManifestFile),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val mf = new HPath(tablePath, ManifestFile)
+    val scheme = mf.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // Hadoop's LOCAL rename-with-OVERWRITE is delete-then-rename —
+      // a racing reader can observe NO manifest in the gap (caught by
+      // ManifestLifecycleSpec's reader race). POSIX rename(2) replaces
+      // the target atomically, so commit through NIO here. Safe to mix
+      // with FileContext on this path: RawLocalFs writes no .crc
+      // sidecars, so there is no stale-checksum hazard.
+      val dir = java.nio.file.Paths.get(new HPath(tablePath).toUri.getPath)
+      java.nio.file.Files.move(
+        dir.resolve(tmp.getName), dir.resolve(ManifestFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // HDFS: rename with OVERWRITE is atomic by contract. (Object
+      // stores without atomic rename need a metadata-service commit —
+      // the same caveat every manifest-file table format carries.)
+      fc.rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Initialize (or replace) a manifest table at `tablePath` with
