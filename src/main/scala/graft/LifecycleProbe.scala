@@ -65,6 +65,31 @@ object LifecycleProbe {
     val (removed, tVac) = time(TableLayout.vacuumManifested(spark, table, keep = 2))
     val cur = TableLayout.readManifested(spark, table).count()
     println(f"""{"op":"vacuum","removed":$removed,"sec":$tVac%.2f,"bytes_before":$preVacuum,"bytes_after":$dirBytes,"current_rows":$cur}""")
+
+    // partition-scoped merge vs the COW baseline above: a range-
+    // bucketed table takes a CLUSTERED batch (contiguous keys — the
+    // late-arriving/backfill shape) by rewriting only the touched
+    // buckets; a key-UNIFORM batch (every bucket hit) degrades to the
+    // COW cost — both measured
+    val table2 = java.nio.file.Files.createTempDirectory("graft_lifecycle_probe")
+      .toString + "/orders_bucketed"
+    val (_, tW2) = time(
+      TableLayout.writeManifestedBucketed(base, table2, "o_orderkey", width = 250000L))
+    println(f"""{"op":"write_bucketed","rows":$n,"sec":$tW2%.2f}""")
+
+    val clustered = base.filter(col("o_orderkey") < 60000L)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.01))
+    val cn = clustered.count()
+    val (_, tScoped) = time(
+      TableLayout.upsertManifestedBucketed(spark, table2, clustered))
+    println(f"""{"op":"merge_scoped_clustered","batch_rows":$cn,"sec":$tScoped%.2f}""")
+
+    val uniform = base.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.01))
+    val un = uniform.count()
+    val (_, tUniform) = time(
+      TableLayout.upsertManifestedBucketed(spark, table2, uniform))
+    println(f"""{"op":"merge_scoped_uniform","batch_rows":$un,"sec":$tUniform%.2f}""")
     spark.stop()
   }
 }

@@ -133,9 +133,16 @@ object TableLayout {
   }
 
   /** The committed data directory of a manifest table — the LAST line
-    * of the manifest log. */
-  def currentDataDir(spark: SparkSession, tablePath: String): String =
-    new HPath(tablePath, snapshots(spark, tablePath).last).toString
+    * of the manifest log. Defined for simple (single-dir) snapshots;
+    * partition-scoped snapshots span several dirs and are read through
+    * [[readManifested]]. */
+  def currentDataDir(spark: SparkSession, tablePath: String): String = {
+    val last = snapshots(spark, tablePath).last
+    require(parseParts(last).isEmpty,
+      s"$tablePath's current snapshot is partition-scoped (spans several " +
+        "dirs) — read it via readManifested")
+    new HPath(tablePath, last).toString
+  }
 
   /** Commit `dataDirName` as the new current snapshot: write the full
     * history (existing lines + the new one) to a temp file, then
@@ -200,10 +207,12 @@ object TableLayout {
   }
 
   /** Read a manifest table: resolve the pointer, scan the committed
-    * dir. The resolve is one tiny driver-side read; the scan plan is
-    * an ordinary pruned/pushed parquet scan. */
+    * snapshot. The resolve is one tiny driver-side read; the scan plan
+    * is an ordinary pruned/pushed parquet scan (for partition-scoped
+    * snapshots: one scan per contributing dir, each pruned to the
+    * buckets that dir owns, unioned). */
   def readManifested(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(currentDataDir(spark, tablePath))
+    readSnapshotLine(spark, tablePath, snapshots(spark, tablePath).last)
 
   /** Compact a manifest table IN PLACE, atomically: rewrite the
     * current data dir into a fresh size-targeted dir ([[compact]]),
@@ -215,10 +224,36 @@ object TableLayout {
     * file count. */
   def compactManifested(spark: SparkSession, tablePath: String,
       targetBytes: Long): Int = {
-    val cur = currentDataDir(spark, tablePath)
+    val last = snapshots(spark, tablePath).last
     val next = s"data-${System.nanoTime()}"
-    val n = compact(spark, cur, s"$tablePath/$next", targetBytes)
-    commitManifest(spark, tablePath, next)
+    parseParts(last) match {
+      case None =>
+        val cur = new HPath(tablePath, last).toString
+        val n = compact(spark, cur, s"$tablePath/$next", targetBytes)
+        commitManifest(spark, tablePath, next)
+        n
+      case Some(spec) =>
+        // consolidate a partition-scoped table: merge every bucket's
+        // rows (accreted across merge dirs) back into ONE dir,
+        // PRESERVING the bucket layout so pruned reads and future
+        // partition-scoped merges keep working
+        readSnapshotLine(spark, tablePath, last, keepBucket = true)
+          .repartition(col("__bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .parquet(s"$tablePath/$next")
+        writeManifestLines(spark, tablePath,
+          snapshots(spark, tablePath) :+
+            spec.copy(buckets = spec.buckets.keys.map(_ -> next).toMap).line)
+        parquetFilesRecursive(spark, s"$tablePath/$next")
+    }
+  }
+
+  private def parquetFilesRecursive(spark: SparkSession, dir: String): Int = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
     n
   }
 
@@ -235,7 +270,145 @@ object TableLayout {
     require(i >= 0 && i < hist.size,
       s"snapshot $version out of range: $tablePath has ${hist.size} " +
         "retained snapshots (older ones may have been vacuumed)")
-    spark.read.parquet(new HPath(tablePath, hist(i)).toString)
+    readSnapshotLine(spark, tablePath, hist(i))
+  }
+
+  // ---- partition-scoped snapshots: merge that does NOT rewrite the table --
+
+  /** A partition-scoped snapshot line:
+    * `parts<TAB>keyCol<TAB>width<TAB>b0=dirA,b1=dirA,b7=dirB,...` —
+    * the table is RANGE-bucketed (`bucket = key div width`), and each
+    * bucket maps to the data dir holding its current rows (dirs are
+    * parquet-partitioned by `__bucket`, so one dir serves many
+    * buckets). A merge commits a line whose UNTOUCHED buckets still
+    * point at the old dirs — that sharing is what makes merge cost
+    * proportional to the batch's key-locality instead of the table
+    * size. Simple lines (a bare dir name) and parts lines coexist in
+    * one log. */
+  private final case class PartsSpec(keyCol: String, width: Long,
+      buckets: Map[Long, String]) {
+    def line: String = s"parts\t$keyCol\t$width\t" +
+      buckets.toSeq.sortBy(_._1).map { case (b, d) => s"$b=$d" }.mkString(",")
+  }
+
+  private def parseParts(line: String): Option[PartsSpec] =
+    if (!line.startsWith("parts\t")) None
+    else {
+      val Array(_, key, width, entries) = line.split('\t')
+      Some(PartsSpec(key, width.toLong,
+        entries.split(',').filter(_.nonEmpty).map { e =>
+          val Array(b, d) = e.split('=')
+          b.toLong -> d
+        }.toMap))
+    }
+
+  /** Data dirs a snapshot line references (for refcounting vacuums). */
+  private def dirsOfLine(line: String): Set[String] =
+    parseParts(line).map(_.buckets.values.toSet).getOrElse(Set(line))
+
+  private def readSnapshotLine(spark: SparkSession, tablePath: String,
+      line: String, keepBucket: Boolean = false): DataFrame =
+    parseParts(line) match {
+      case None => spark.read.parquet(new HPath(tablePath, line).toString)
+      case Some(spec) =>
+        // one scan per contributing dir, pruned AT PLANNING TIME to the
+        // buckets that dir owns (__bucket is a parquet partition column,
+        // so the isin filter prunes whole directories), then unioned
+        val eff = spec.buckets.groupBy(_._2).map { case (dir, owned) =>
+          spark.read.parquet(new HPath(tablePath, dir).toString)
+            .filter(col("__bucket").isin(owned.keys.toSeq: _*))
+            // partition-col type inference may read __bucket as int;
+            // pin long so unions and rewrites stay type-stable
+            .withColumn("__bucket", col("__bucket").cast("long"))
+        }.reduce(_ unionByName _)
+        if (keepBucket) eff else eff.drop("__bucket")
+    }
+
+  private def withBucket(df: DataFrame, keyCol: String, width: Long): DataFrame =
+    df.withColumn("__bucket", expr(s"cast($keyCol as bigint) div $width"))
+
+  /** Initialize a RANGE-BUCKETED manifest table: rows land
+    * parquet-partitioned by `key div width`, and the committed line
+    * maps every bucket to the one initial dir. Non-negative numeric
+    * keys (div truncates toward zero). Choose `width` so a bucket is
+    * a few target-files wide — at 100 TB, wide enough that the bucket
+    * count stays in the thousands (the manifest line is one entry per
+    * bucket). */
+  def writeManifestedBucketed(df: DataFrame, tablePath: String,
+      keyCol: String, width: Long): Unit = {
+    require(width > 0)
+    val spark = df.sparkSession
+    val dir = s"data-${System.nanoTime()}"
+    // cluster by bucket before the dynamic-partition write: without it
+    // every task writes a file into every bucket dir (tasks × buckets
+    // small files — the write-amplification failure); with it a bucket's
+    // rows land in one task's files
+    withBucket(df, keyCol, width)
+      .repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$tablePath/$dir")
+    writeManifestLines(df.sparkSession, tablePath,
+      existingSnapshots(spark, tablePath) :+
+        PartsSpec(keyCol, width,
+          listBucketDirs(spark, s"$tablePath/$dir").map(_ -> dir).toMap).line)
+  }
+
+  /** Bucket ids present under a data dir — an FS listing, no Spark job. */
+  private def listBucketDirs(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toLong)
+  }
+
+  /** PARTITION-SCOPED MERGE: upsert `updates` rewriting ONLY the
+    * buckets the batch touches. The new dir holds the merged rows of
+    * affected buckets; the committed line points affected buckets at
+    * it and leaves every other bucket on its old dir — so merge cost
+    * scales with the BATCH's key-locality (a late-arriving /
+    * time-clustered batch touches a handful of buckets), not with the
+    * table. This is the COW shape that survives a 100 TB table: the
+    * full-table [[upsertManifested]] rewrite is the correct baseline
+    * for key-uniform batches, this is the path for the clustered
+    * batches real ingest produces. Same atomic one-rename commit;
+    * readers still see old-or-new in full. */
+  def upsertManifestedBucketed(spark: SparkSession, tablePath: String,
+      updates: DataFrame): Unit = {
+    val last = snapshots(spark, tablePath).last
+    val spec = parseParts(last).getOrElse(throw new IllegalArgumentException(
+      s"$tablePath's current snapshot is not partition-scoped — write it " +
+        "with writeManifestedBucketed first (or use upsertManifested)"))
+    val dir = s"data-${System.nanoTime()}"
+    val dirPath = s"$tablePath/$dir"
+    // pass 1 — stage the batch itself into the (uncommitted) merge dir:
+    // ONE evaluation of `updates`, and the affected-bucket set falls
+    // out of the written dir as an FS listing instead of a second job
+    withBucket(updates, spec.keyCol, spec.width)
+      .repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dirPath)
+    val affected = listBucketDirs(spark, dirPath).toSet
+    // pass 2 — append the SURVIVORS of the affected buckets (current
+    // rows not replaced by the batch): the anti-join's right side is
+    // the tiny staged parquet (broadcast), the left side scans ONLY the
+    // affected bucket dirs (planning-time pruning)
+    val staged = spark.read.parquet(dirPath)
+      .withColumn("__bucket", col("__bucket").cast("long"))
+    spec.buckets.filter(e => affected(e._1))
+      .groupBy(_._2).map { case (d, owned) =>
+        spark.read.parquet(new HPath(tablePath, d).toString)
+          .filter(col("__bucket").isin(owned.keys.toSeq: _*))
+          .withColumn("__bucket", col("__bucket").cast("long"))
+      }.reduceOption(_ unionByName _)
+      .foreach { cur =>
+        cur.join(staged.select(spec.keyCol), Seq(spec.keyCol), "left_anti")
+          .repartition(col("__bucket"))
+          .write.mode(SaveMode.Append).partitionBy("__bucket").parquet(dirPath)
+      }
+    val newMap = spec.buckets.filter(e => !affected(e._1)) ++
+      affected.map(_ -> dir)
+    writeManifestLines(spark, tablePath,
+      snapshots(spark, tablePath) :+ spec.copy(buckets = newMap).line)
   }
 
   /** MERGE (upsert) into a manifest table: rows of `updates` REPLACE
@@ -300,8 +473,13 @@ object TableLayout {
     else {
       val (drop, retain) = hist.splitAt(hist.size - keep)
       writeManifestLines(spark, tablePath, retain)
+      // REFCOUNTED deletion: partition-scoped snapshots share data
+      // dirs (an untouched bucket keeps pointing at its old dir), so
+      // only dirs referenced by NO retained snapshot may go
+      val live = retain.flatMap(dirsOfLine).toSet
+      val dead = drop.flatMap(dirsOfLine).toSet -- live
       val fc = fcFor(spark, tablePath)
-      drop.foreach { d =>
+      dead.foreach { d =>
         fc.delete(new HPath(tablePath, d), true)
       }
       drop.size
