@@ -457,6 +457,42 @@ object TableLayout {
     before - readManifested(spark, tablePath).count()
   }
 
+  /** CDC read: the row-level changes between two snapshots of a
+    * manifest table, classified `inserted` / `updated` / `deleted` —
+    * the feed a downstream incremental consumer (index refresh,
+    * aggregate maintenance, replication) reads instead of re-scanning
+    * the table. One full-outer join on the key tuple; rows equal on
+    * every column are dropped (`updated` compares the non-key columns
+    * null-safely). Columns: the NEW row's values (OLD values for
+    * deletes) + `change_type`. */
+  def changesBetween(spark: SparkSession, tablePath: String,
+      fromVersion: Int, toVersion: Int, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changesBetween needs the key tuple")
+    val from = readManifestedAt(spark, tablePath, fromVersion)
+    val to = readManifestedAt(spark, tablePath, toVersion)
+    val dataCols = to.columns.filterNot(keys.contains).toIndexedSeq
+    // constant presence tags, not null-checks on data columns: a
+    // legitimately NULL value must not read as "row absent"
+    val n = to.select(to.columns.toIndexedSeq.map(col) :+
+      lit(1).as("__in_new"): _*)
+    val o = from.select((keys.map(col) ++ dataCols.map(c =>
+      col(c).as(s"__old_$c"))) :+ lit(1).as("__in_old"): _*)
+    val changed = dataCols.map(c =>
+      !(col(c) <=> col(s"__old_$c"))).reduceOption(_ || _).getOrElse(lit(false))
+    n.join(o, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "inserted")
+          .when(col("__in_new").isNull, "deleted")
+          .when(changed, "updated"))
+      .filter(col("change_type").isNotNull)
+      // deletes carry the OLD values; everything else the NEW (a
+      // coalesce would silently resurrect old values under updates
+      // that set a column to NULL)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("__in_new").isNull, col(s"__old_$c"))
+          .otherwise(col(c)).as(c)) :+ col("change_type"): _*)
+  }
+
   /** Retention: drop all but the newest `keep` snapshots — delete
     * their data dirs and truncate the manifest log to the retained
     * tail. The manifest commit happens FIRST (atomic rename), so a

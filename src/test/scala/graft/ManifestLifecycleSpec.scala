@@ -186,6 +186,60 @@ class ManifestLifecycleSpec extends SparkSpec {
       .filter(col("id") === 0L).as[(Long, Double)].head()._2 == 42.0)
   }
 
+  test("changesBetween classifies inserts/updates/deletes; NULL-valued updates don't resurrect old values") {
+    import spark.implicits._
+    val table = freshTable()
+    val base = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)), (4L, None))
+      .toDF("id", "v")
+    TableLayout.writeManifested(base, table)
+    // update 2 (to NULL!), delete 3, insert 5, leave 1 and 4 untouched
+    TableLayout.upsertManifested(spark, table,
+      Seq((2L, None), (5L, Some(50.0)), (4L, None)).toDF("id", "v"), Seq("id"))
+    TableLayout.deleteManifested(spark, table, col("id") === 3L)
+
+    val ch = TableLayout.changesBetween(spark, table, 0, -1, Seq("id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getString(2))).toSet
+    assert(ch == Set(
+      (2L, None, "updated"),        // 20.0 -> NULL: must surface NULL, not 20.0
+      (3L, Some(30.0), "deleted"),  // deletes carry the old values
+      (5L, Some(50.0), "inserted")))
+    // untouched rows (1, and 4 re-upserted with an identical NULL) absent
+    assert(!ch.exists(c => c._1 == 1L || c._1 == 4L))
+  }
+
+  test("partition-scoped read prunes replaced buckets at planning time") {
+    import spark.implicits._
+    val table = freshTable()
+    TableLayout.writeManifestedBucketed(
+      (0L until 1000L).map(i => (i, 1.0)).toDF("id", "v"), table, "id", 100L)
+    TableLayout.upsertManifestedBucketed(spark, table,
+      (250L until 300L).map(i => (i, 9.0)).toDF("id", "v"))
+    // DataFrame.inputFiles reports the UNPRUNED FileIndex, so probe the
+    // executed plan: FileSourceScanExec.selectedPartitions is the file
+    // set AFTER planning-time partition pruning (the __bucket isin
+    // filter on the parquet partition column)
+    val df = TableLayout.readManifested(spark, table)
+    val files = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+    assert(files.nonEmpty, "expected FileSourceScanExec nodes in the plan")
+    val snaps = TableLayout.snapshots(spark, table)
+    def dirOf(line: String, bucket: Long): String =
+      line.split('\t').last.split(',').map(_.split('='))
+        .collectFirst { case Array(b, d) if b.toLong == bucket => d }.get
+    val oldDir = dirOf(snaps.head, 2L)
+    val newDir = dirOf(snaps.last, 2L)
+    // the old dir's bucket-2 files are EXCLUDED from the scan's file
+    // set (planning-time partition pruning through the isin filter);
+    // the merge dir's bucket-2 files are in
+    assert(!files.exists(f => f.contains(oldDir) && f.contains("__bucket=2/")),
+      "replaced bucket must be pruned from the old dir's scan")
+    assert(files.exists(f => f.contains(newDir) && f.contains("__bucket=2/")))
+    assert(files.exists(f => f.contains(oldDir) && f.contains("__bucket=0/")),
+      "untouched buckets still read from the original dir")
+  }
+
   test("concurrent reader during a stream of upserts always sees a complete committed snapshot") {
     import spark.implicits._
     val table = freshTable()
