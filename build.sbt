@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is one JVM playing driver + 32 executors: 8g proved
+  // marginal once a full bench run's transient state (checkpoint
+  // blocks, broadcasts, codegen caches) was resident — the r5 driver
+  // bench showed contiguous GC-pressure episodes. The container has
+  // 128 GiB; give the forked JVM real headroom by default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -2,29 +2,64 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: one JSON line with per-query wall times.
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
+/** Per-round benchmark: one compact JSON line on stdout (driver
+  * contract) plus a FULL per-pass log written to BENCH_LOCAL.json.
   *
-  * Methodology (fixes from round-1 verdict):
+  * Methodology (evolved across rounds; round-6 changes marked):
   *  - execution via the `noop` sink, so every declared operator runs —
   *    `.count()` lets Catalyst prune projections and eliminate sorts;
-  *  - one untimed warmup pass (JVM JIT + codegen + parquet footer cache)
-  *    before the timed pass, for cross-round comparability;
+  *  - per query: one untimed warmup then two timed passes, ALL THREE
+  *    back-to-back (round 6 — previously three full sweeps of the
+  *    whole suite, which meant every timed pass ran against the
+  *    accumulated resident state of all 114 queries; the r5 driver
+  *    run showed contiguous blocks of 4–22× slowdowns consistent with
+  *    memory-pressure episodes that per-query grouping + explicit
+  *    cleanup below are designed to eliminate and, failing that,
+  *    attribute);
+  *  - after each query, storage hygiene: unpersist every persistent
+  *    RDD (stray `localCheckpoint` blocks from iterative operators —
+  *    d06 label propagation, k-means training — die with the query
+  *    instead of accumulating) and drop any cached plans. Bench
+  *    queries share nothing across invocations, so this releases only
+  *    garbage, never reused state;
+  *  - per pass, instrumentation: wall seconds, GC-time delta (sum over
+  *    all collector beans), and heap-used after the pass — so a slow
+  *    driver run is diagnosable post-hoc (was it GC? was the heap
+  *    full? did wall time diverge from CPU?) instead of a mystery;
   *  - a failed query reports `-1` (explicit error marker), never a
   *    fast-looking elapsed time.
   */
 object Bench {
+
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
+
+  private def heapUsedMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  /** One timed execution: (wallSec, gcDeltaMs). */
+  private case class Pass(sec: Double, gcMs: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val startMs = System.currentTimeMillis()
     val spark = GraftEngine.session(GraftConfig(
       master = s"local[$cpus]", appName = "graft-bench", shufflePartitions = cpus))
 
-    def runOnce(name: String): Option[Double] = {
+    def runOnce(name: String,
+        run: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Pass] = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(Pass((System.nanoTime() - t0) / 1e9, gcMillis() - gc0))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -32,35 +67,88 @@ object Bench {
       }
     }
 
+    /** Release per-query transient storage: stray localCheckpoint
+      * blocks and cached plans. Everything a bench query persists is
+      * private to that invocation (verified: no bench query reads
+      * another's cached state), so this only frees garbage — without
+      * it, blocks wait for driver GC + ContextCleaner, which under an
+      * already-pressured heap is exactly too late. */
+    def releaseTransientStorage(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     // optional args narrow the run to named queries (dev iteration);
     // the driver invokes with no args → full suite, unchanged
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(runOnce) // warmup, untimed
-    // two timed passes, keep the min: damps JIT/GC run-to-run noise so
-    // cross-round comparisons track plan changes, not scheduler luck
+
+    val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { n =>
-      (runOnce(n), runOnce(n)) match {
-        case (Some(a), Some(b)) => n -> math.min(a, b)
-        case _ => n -> -1.0
+      val q = SparkEntry.queries(n)
+      val ts = (System.currentTimeMillis() - startMs) / 1000.0
+      val warm = runOnce(n, q)
+      val p1 = if (warm.isDefined) runOnce(n, q) else None
+      val p2 = if (p1.isDefined) runOnce(n, q) else None
+      releaseTransientStorage()
+      val heap = heapUsedMb()
+      val best = (p1, p2) match {
+        case (Some(a), Some(b)) => math.min(a.sec, b.sec)
+        case _ => -1.0
+      }
+      def f(p: Option[Pass]) = p.map(x => f"${x.sec}%.4f").getOrElse("-1")
+      def g(p: Option[Pass]) = p.map(_.gcMs.toString).getOrElse("-1")
+      detail(n) =
+        s"""{"ts":$ts,"warm":${f(warm)},"p1":${f(p1)},"p2":${f(p2)},""" +
+          s""""gcWarmMs":${g(warm)},"gcP1Ms":${g(p1)},"gcP2Ms":${g(p2)},"heapMb":$heap}"""
+      n -> best
+    }
+
+    // dual-mode decimal bench (round-6 verdict item 5): the h-suite
+    // money aggregates run DECIMAL(38,x)-exact so the DuckDB oracle
+    // hash-matches bit-for-bit — SURVEY §6 measures that discipline at
+    // ~5× on every money-summing query. Time the flagship pricing
+    // summary in BOTH modes so the honest cost is a recorded number,
+    // not a footnote. The fast entry is bench-only (not in the driver
+    // correctness contract; FastMathSpec bounds its rtol vs exact).
+    val fastH01 = {
+      val run = graft.queries.TpchQueries.pricingSummaryFast _
+      val warm = runOnce("h01_fast_double", run)
+      val p1 = if (warm.isDefined) runOnce("h01_fast_double", run) else None
+      val p2 = if (p1.isDefined) runOnce("h01_fast_double", run) else None
+      releaseTransientStorage()
+      (p1, p2) match {
+        case (Some(a), Some(b)) => math.min(a.sec, b.sec)
+        case _ => -1.0
       }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      .mkString("{", ",", s",\"h01_fast_double\":$fastH01}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    val heapMax = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val envJson =
+      s"""{"cpus":$cpus,"heapMaxMb":$heapMax,"gcTotalMs":${gcMillis()},""" +
+        s""""wallSec":${(System.currentTimeMillis() - startMs) / 1000.0},""" +
+        s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout capture has truncated past rounds' per-query tails (the
-    // driver kept only 66/106 timings in BENCH_r04.json) — land the
-    // full line in a file too so the history is durable
+    // driver kept only 66/106 timings in BENCH_r04.json) — the FILE is
+    // the primary artifact: headline line + env + full per-pass detail.
+    val detailJson = detail.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failed,"sf":"$sfDir","env":$envJson,"detail":$detailJson}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -25,7 +25,13 @@ final case class GraftConfig(
     maxPartitionBytes: String = "128m",
     autoBroadcastThreshold: String = "10m",
     adaptiveEnabled: Boolean = true,
-    sessionTimeZone: String = "UTC")
+    sessionTimeZone: String = "UTC",
+    /** true = money aggregates run DECIMAL-exact (order-independent,
+      * bit-matches the DuckDB oracle; ~5× on money-summing queries —
+      * SURVEY §6). false = production mode: plain double sums, the
+      * speed every comparable Spark deployment runs at. Consumed by
+      * [[GraftEngine.tpch]]; the bench times h01 both ways. */
+    exactDecimal: Boolean = true)
 
 /** User-facing analytics engine: the Spark-native counterpart of the
   * reference's `OlapEngine` (/root/reference/gpu-olap-core/src/lib.rs).
@@ -37,7 +43,8 @@ final case class GraftConfig(
   * compiler (/root/reference/gpu-kernel-compiler/src/codegen.rs).
   * We only add the catalog + library surface on top.
   */
-final class GraftEngine(val spark: SparkSession) {
+final class GraftEngine(val spark: SparkSession,
+    val config: GraftConfig = GraftConfig()) {
   private val registered = mutable.LinkedHashMap[String, String]()
 
   /** Register a parquet file/directory as a queryable table
@@ -174,6 +181,12 @@ final class GraftEngine(val spark: SparkSession) {
     df.createOrReplaceTempView(s"${name}_v$version")
     df
   }
+
+  /** Run a TPC-H-suite query by name in this engine's decimal mode
+    * ([[GraftConfig.exactDecimal]]): exact-decimal text when true,
+    * the production double-sum rewrite when false. */
+  def tpch(name: String): DataFrame =
+    spark.sql(queries.TpchQueries.sqlFor(config.exactDecimal)(name))
 
   /** Formatted physical plan of a SQL query without executing it — the
     * introspection hook for checking pushdown/broadcast/codegen before

@@ -349,4 +349,56 @@ object TpchQueries {
   }
 
   val oracles: Map[String, String] = sql
+
+  // ---- production decimal mode (GraftConfig.exactDecimal = false) --------
+  //
+  // The exact-decimal sum discipline above exists for the ORACLE: DuckDB
+  // and Spark must agree bit-for-bit, which double summation (order-
+  // dependent) cannot guarantee. SURVEY §6 measures that discipline at
+  // ~5× on money-summing queries — BigDecimal-backed agg buffers fall
+  // out of whole-stage codegen's primitive fast path. Production
+  // pipelines that tolerate last-ulp float divergence (every comparable
+  // Spark deployment does) should run plain double sums. The rewrite is
+  // mechanical because the exact-mode pattern is uniform by
+  // construction: every money sum is written
+  //   CAST(SUM(CAST(expr AS DECIMAL(p,s))) AS DOUBLE)   — or, for the
+  // h01 sum_charge triple product,
+  //   CAST(SUM(CAST(a AS DECIMAL) * CAST(b AS DECIMAL) * CAST(c AS DECIMAL)) AS DOUBLE)
+  // FastMathSpec pins the rewrite: fast h01 parses, runs, and matches
+  // exact h01 within 1e-9 relative on every measure.
+  private val TripleProductSum =
+    ("""CAST\(SUM\(CAST\((.+?) AS DECIMAL\(\d+,\d+\)\) \* """ +
+      """CAST\((.+?) AS DECIMAL\(\d+,\d+\)\) \* """ +
+      """CAST\((.+?) AS DECIMAL\(\d+,\d+\)\)\) AS DOUBLE\)""").r
+  private val DecimalSum =
+    """CAST\(SUM\(CAST\((.+?) AS DECIMAL\(\d+,\d+\)\)\) AS DOUBLE\)""".r
+  // HAVING-position sums (h11, h18) have no outer AS DOUBLE cast
+  private val BareDecimalSum =
+    """SUM\(CAST\((.+?) AS DECIMAL\(\d+,\d+\)\)\)""".r
+
+  /** Rewrite one exact-decimal query to double-sum production form.
+    * Triple-product first: its inner text contains ` AS DECIMAL`, which
+    * would make the general pattern's non-greedy group mis-split; the
+    * bare form last, since the wrapped form contains it. */
+  def fastMoney(q: String): String = {
+    val a = TripleProductSum.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"SUM((${m.group(1)}) * (${m.group(2)}) * (${m.group(3)}))"))
+    val b = DecimalSum.replaceAllIn(a, m =>
+      java.util.regex.Matcher.quoteReplacement(s"SUM(${m.group(1)})"))
+    BareDecimalSum.replaceAllIn(b, m =>
+      java.util.regex.Matcher.quoteReplacement(s"SUM(${m.group(1)})"))
+  }
+
+  /** The full h-suite in either decimal mode — `sqlFor(true)` is the
+    * oracle-exact map above, `sqlFor(false)` the production rewrite. */
+  def sqlFor(exactDecimal: Boolean): Map[String, String] =
+    if (exactDecimal) sql else sql.map { case (k, v) => k -> fastMoney(v) }
+
+  /** Bench hook: flagship pricing summary in production (double) mode.
+    * Not part of the driver correctness contract — the bench times it
+    * alongside exact h01 so the cost of oracle discipline is a
+    * recorded number per round. */
+  def pricingSummaryFast(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.GraftEngine.cachedForDir(s, dir).sql(fastMoney(sql("h01_pricing_summary")))
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.TpchQueries
+
+/** Pins the production decimal mode (GraftConfig.exactDecimal = false):
+  * the mechanical exact→double rewrite must (a) leave no DECIMAL cast
+  * behind in any h-query, (b) still parse and run, and (c) agree with
+  * the exact-mode values within float-noise tolerance — the ONLY
+  * licensed divergence is summation-order ulp drift.
+  */
+class FastMathSpec extends SparkSpec {
+
+  test("fastMoney strips every decimal-sum wrapper from the whole h-suite") {
+    TpchQueries.sqlFor(exactDecimal = false).foreach { case (name, q) =>
+      assert(!q.contains("AS DECIMAL"),
+        s"$name still carries a DECIMAL cast after rewrite:\n$q")
+      // the rewrite must not eat aggregates: SUM stays present wherever
+      // the exact form had one
+      assert(("SUM\\(".r.findAllIn(q).size ==
+        "SUM\\(".r.findAllIn(TpchQueries.sql(name)).size),
+        s"$name lost a SUM in rewrite")
+    }
+  }
+
+  test("fast h01 matches exact h01 within 1e-9 relative on every measure") {
+    val e = GraftEngine.cachedForDir(spark, sfDir)
+    val exact = e.sql(TpchQueries.sql("h01_pricing_summary")).collect()
+    val fast = TpchQueries.pricingSummaryFast(spark, sfDir).collect()
+    assert(exact.length == fast.length && exact.nonEmpty)
+    exact.zip(fast).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getString(1) == b.getString(1))
+      (2 until a.length).foreach { i =>
+        (a.get(i), b.get(i)) match {
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+              s"col $i diverged beyond float noise: exact=$x fast=$y")
+          case (x, y) => assert(x == y, s"col $i: $x != $y")
+        }
+      }
+    }
+  }
+
+  test("engine.tpch honors config.exactDecimal") {
+    val exact = new GraftEngine(spark, GraftConfig(exactDecimal = true))
+    val fast = new GraftEngine(spark, GraftConfig(exactDecimal = false))
+    Tables.all.foreach { t =>
+      exact.loadTable(t, s"$sfDir/$t.parquet")
+    }
+    // views are session-global; fast engine sees the same tables
+    val a = exact.tpch("h22_global_sales").collect()
+    val b = fast.tpch("h22_global_sales").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getInt(0) == y.getInt(0) && x.getLong(1) == y.getLong(1))
+      assert(math.abs(x.getDouble(2) - y.getDouble(2)) <=
+        1e-9 * math.max(1.0, math.abs(x.getDouble(2))))
+    }
+  }
+}
