@@ -261,17 +261,42 @@ object CoreQueries {
 
     // approximate sketches: HyperLogLog++ distinct counts and t-digest-
     // style quantiles — the constant-memory aggregates a 100 TB rollup
-    // uses where exact DISTINCT/median would shuffle the world. Approx
-    // values are algorithm-specific, so this entry has no DuckDB oracle
-    // (rows-only check); SketchSpec bounds the error against exact
-    // values instead.
+    // uses where exact DISTINCT/median would shuffle the world.
+    // ERROR-BOUNDED ORACLE (round-6 verdict item 2): approx values are
+    // algorithm-specific, so instead of emitting them the query emits a
+    // deterministic VERDICT per group — `users_ok` holds iff the HLL
+    // estimate is within 3·rsd (rsd=0.05 default → 15%) of the exact
+    // distinct count, `median_ok` iff the approx median's value-rank
+    // interval [count(<m), count(<=m)] intersects the true median rank
+    // band ±1% (percentile_approx accuracy 10000 guarantees rank error
+    // ≤ 1e-4·n, so 1% is 100× slack and the verdict is stable). The
+    // DuckDB oracle computes the exact columns and asserts TRUE — a
+    // sketch outside its error budget now FAILS the driver hash gate
+    // instead of hiding behind a rows-only check.
     "q19_sketches" -> ((s, dir) => {
       val e = events(s, dir)
-      e.groupBy("event_type")
+      val agg = e.groupBy("event_type")
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+          countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("cnt"))
+      // second scan ranks each group's approx median against the raw
+      // values — the 5-row agg side broadcasts, no extra shuffle
+      val ranks = e.join(
+          broadcast(agg.select(col("event_type").as("et"), col("approx_median"))),
+          col("event_type") === col("et"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("value") < col("approx_median"), 1L).otherwise(0L)).as("lo"),
+          sum(when(col("value") <= col("approx_median"), 1L).otherwise(0L)).as("hi"))
+        .withColumnRenamed("event_type", "et2")
+      agg.join(broadcast(ranks), col("event_type") === col("et2"))
+        .select(col("event_type"), col("n_users"), col("cnt"),
+          (abs(col("approx_users") - col("n_users")) <= col("n_users") * 0.15)
+            .as("users_ok"),
+          (col("lo") <= col("cnt") * 0.51 && col("hi") >= col("cnt") * 0.49)
+            .as("median_ok"))
         .orderBy("event_type")
     }),
 
@@ -298,16 +323,23 @@ object CoreQueries {
     // maintained pre-aggregate a 100 TB deployment stores) are UNIONED
     // into the global distinct estimate without rescanning raw events —
     // re-aggregability is the property that separates sketches from
-    // plain approx answers. Approximate output → no value oracle
-    // (driver rows-only check); SketchSpec bounds the union estimate
-    // against the exact distinct count instead.
+    // plain approx answers. ERROR-BOUNDED ORACLE (round-6 verdict item
+    // 2): the unioned estimate is checked against the exact distinct
+    // count within 5% (lgK=12 Datasketches HLL: rse ≈ 1.04/√4096 ≈
+    // 1.6%, so 5% is a 3σ budget) and the VERDICT ships in the row;
+    // DuckDB computes the exact columns and asserts TRUE.
     "q42_sketch_union" -> ((s, dir) => {
       val e = events(s, dir)
       val daily = e.groupBy(to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
-      daily.agg(
+      val unioned = daily.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users_total"),
         sum(col("n")).as("n_events"))
+      val exact = e.agg(countDistinct(col("user_id")).as("n_users"))
+      unioned.crossJoin(exact)
+        .select(col("n_users"), col("n_events"),
+          (abs(col("approx_users_total") - col("n_users")) <= col("n_users") * 0.05)
+            .as("union_ok"))
     }),
 
     // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
@@ -469,6 +501,21 @@ object CoreQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // error-bounded sketch oracles: the Spark side computes the approx
+    // sketch AND the exact value and ships a within-tolerance verdict;
+    // DuckDB reproduces the exact columns and asserts the verdicts TRUE.
+    // events.ts is TIMESTAMP(NANOS) read as BIGINT nanos by both engines
+    // — irrelevant here (no time column in the output).
+    "q19_sketches" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS cnt, TRUE AS users_ok, TRUE AS median_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q42_sketch_union" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+        |  TRUE AS union_ok
+        |FROM events""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1.0 - l_discount) AS revenue,
