@@ -56,6 +56,25 @@ final class GraftEngine(val spark: SparkSession,
     df
   }
 
+  /** Bind an in-process DataFrame as a queryable table — the reference's
+    * `query_pandas(df, sql)` user surface (reference:
+    * examples/python_usage.py:300-318, arrow-interop/src/
+    * record_batch_convert.rs): a client hands the engine a frame it
+    * built programmatically, then queries it BY NAME alongside the
+    * parquet catalog in the same `sql()` call. Registration binds the
+    * frame's LAZY logical plan into the session catalog — nothing
+    * materializes until a query runs, and Catalyst optimizes across the
+    * boundary (filters on the registered name push into the frame's own
+    * plan). External clients reach this path through Arrow IPC:
+    * pandas → `pyarrow.ipc` stream files → [[sources.ArrowInterop.readIpc]]
+    * → `registerDataFrame` → `sql` → [[sources.ArrowInterop.collectIpcBytes]]
+    * → pandas (README "Python interop"). */
+  def registerDataFrame(name: String, df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView(name)
+    registered(name) = s"<in-process:$name>"
+    df
+  }
+
   /** reference: catalog.rs `list_tables`. */
   def listTables: Seq[String] = registered.keys.toSeq
 

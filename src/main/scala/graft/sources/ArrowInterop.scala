@@ -30,7 +30,10 @@ import org.apache.spark.sql.types._
   *    only for final, small results.
   *
   * Supported column types: the reference engine's surface (int32/64,
-  * float64, utf8, binary, bool, timestamp-µs-UTC).
+  * float32/64, utf8, binary, bool, timestamp-µs-UTC) plus `array<T>`
+  * of any supported element type (Arrow List, nesting included) — the
+  * engine's own embeddings (`array<float>`) and token arrays
+  * round-trip through IPC like every scalar column.
   */
 object ArrowInterop {
 
@@ -45,39 +48,59 @@ object ArrowInterop {
       s"ArrowInterop requires a plain filesystem path shared by all nodes; " +
         s"got URI-schemed '$dir' (use parquet for hdfs/s3 targets)")
 
-  private def arrowField(f: StructField): Field = {
-    val t: ArrowType = f.dataType match {
-      case LongType => new ArrowType.Int(64, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case StringType => new ArrowType.Utf8
-      case BinaryType => new ArrowType.Binary
-      case BooleanType => new ArrowType.Bool
-      case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
-      case TimestampNTZType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
-      case other => throw new IllegalArgumentException(
-        s"ArrowInterop: unsupported type $other for column ${f.name}")
+  private def arrowField(name: String, dt: DataType, nullable: Boolean): Field =
+    dt match {
+      // array<T> → Arrow List with one child field (named "item" per the
+      // pyarrow convention). Recursion covers array<array<T>> for free —
+      // the child of a ListVector is itself a FieldVector.
+      case ArrayType(elem, containsNull) =>
+        new Field(name, new FieldType(nullable, new ArrowType.List, null),
+          java.util.Collections.singletonList(arrowField("item", elem, containsNull)))
+      case _ =>
+        val t: ArrowType = dt match {
+          case LongType => new ArrowType.Int(64, true)
+          case IntegerType => new ArrowType.Int(32, true)
+          case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+          case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+          case StringType => new ArrowType.Utf8
+          case BinaryType => new ArrowType.Binary
+          case BooleanType => new ArrowType.Bool
+          case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+          case TimestampNTZType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
+          case other => throw new IllegalArgumentException(
+            s"ArrowInterop: unsupported type $other for column $name")
+        }
+        new Field(name, new FieldType(nullable, t, null), java.util.Collections.emptyList())
     }
-    new Field(f.name, new FieldType(f.nullable, t, null), java.util.Collections.emptyList())
-  }
 
   private def toArrowSchema(schema: StructType): ArrowSchema =
-    new ArrowSchema(schema.fields.map(arrowField).toSeq.asJava)
+    new ArrowSchema(schema.fields.map(f => arrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
 
   private def tsMicros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
 
   private def setCell(v: FieldVector, idx: Int, value: Any): Unit = value match {
-    case null => v.asInstanceOf[BaseValueVector with FieldVector] match {
+    case null => v match {
+      case lv: org.apache.arrow.vector.complex.ListVector => lv.setNull(idx)
       case fv: BaseFixedWidthVector => fv.setNull(idx)
       case vv: BaseVariableWidthVector => vv.setNull(idx)
       case other => throw new IllegalStateException(s"cannot set null on $other")
     }
+    // array cell: open the list slot, recurse per element into the child
+    // vector (setSafe grows child buffers), close with the element count
+    case x: scala.collection.Seq[_] =>
+      val lv = v.asInstanceOf[org.apache.arrow.vector.complex.ListVector]
+      val start = lv.startNewValue(idx)
+      val child = lv.getDataVector.asInstanceOf[FieldVector]
+      var i = 0
+      x.foreach { e => setCell(child, start + i, e); i += 1 }
+      lv.endValue(idx, x.length)
     case x: Long if v.isInstanceOf[TimeStampMicroTZVector] =>
       v.asInstanceOf[TimeStampMicroTZVector].setSafe(idx, x)
     case x: Long => v.asInstanceOf[BigIntVector].setSafe(idx, x)
     case x: Int => v.asInstanceOf[IntVector].setSafe(idx, x)
     case x: Double => v.asInstanceOf[Float8Vector].setSafe(idx, x)
+    case x: Float => v.asInstanceOf[Float4Vector].setSafe(idx, x)
     case x: String =>
       v.asInstanceOf[VarCharVector].setSafe(idx, x.getBytes("UTF-8"))
     case x: Array[Byte] => v.asInstanceOf[VarBinaryVector].setSafe(idx, x)
@@ -93,9 +116,17 @@ object ArrowInterop {
   private def getCell(v: FieldVector, idx: Int): Any =
     if (v.isNull(idx)) null
     else v match {
+      case x: org.apache.arrow.vector.complex.ListVector =>
+        // getObject boxes elements (java.lang.Float/Double/…, Text for
+        // utf8); normalize Text → String so Spark's converter accepts it
+        x.getObject(idx).asScala.map {
+          case t: org.apache.arrow.vector.util.Text => t.toString
+          case e => e
+        }.toSeq
       case x: BigIntVector => x.get(idx)
       case x: IntVector => x.get(idx)
       case x: Float8Vector => x.get(idx)
+      case x: Float4Vector => x.get(idx)
       case x: VarCharVector => new String(x.get(idx), "UTF-8")
       case x: VarBinaryVector => x.get(idx)
       case x: BitVector => x.get(idx) == 1
@@ -261,20 +292,25 @@ object ArrowInterop {
     spark.createDataFrame(rdd, schema)
   }
 
+  private def sparkType(f: Field): DataType = f.getType match {
+    case _: ArrowType.List =>
+      val child = f.getChildren.get(0)
+      ArrayType(sparkType(child), child.isNullable)
+    case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+    case t: ArrowType.Int => IntegerType
+    case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case _: ArrowType.FloatingPoint => DoubleType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Bool => BooleanType
+    case t: ArrowType.Timestamp =>
+      if (t.getTimezone == null) TimestampNTZType else TimestampType
+    case other => throw new IllegalArgumentException(s"unsupported arrow type $other")
+  }
+
   private def sparkSchema(s: ArrowSchema): StructType =
     StructType(s.getFields.asScala.map { f =>
-      val dt = f.getType match {
-        case t: ArrowType.Int if t.getBitWidth == 64 => LongType
-        case t: ArrowType.Int => IntegerType
-        case _: ArrowType.FloatingPoint => DoubleType
-        case _: ArrowType.Utf8 => StringType
-        case _: ArrowType.Binary => BinaryType
-        case _: ArrowType.Bool => BooleanType
-        case t: ArrowType.Timestamp =>
-          if (t.getTimezone == null) TimestampNTZType else TimestampType
-        case other => throw new IllegalArgumentException(s"unsupported arrow type $other")
-      }
-      StructField(f.getName, dt, f.isNullable)
+      StructField(f.getName, sparkType(f), f.isNullable)
     }.toSeq)
 
   /** Driver-side materialization as one IPC stream — the `to_pandas()`
