@@ -56,6 +56,35 @@ object GenScale {
       else shifted
     }.reduce(_ unionAll _)
 
+  /** Generate JUST the sf1skew tables the skew specs read (lineitem +
+    * orders + events, hot keys applied), when absent — the in-test
+    * fallback that keeps `sbt test` at 0 canceled on a fresh clone
+    * (round-6 verdict item 6) without paying for the full 10-table
+    * corpus. Idempotent and synchronized: the `_SUCCESS` of the LAST
+    * table written (events) is the completion marker, so a partial
+    * previous generation is redone. */
+  def ensureSkewCorpus(spark: SparkSession,
+      srcDir: String = "/root/testdata/sf0.1",
+      outRoot: String = "/root/repo/testdata-sf1"): Unit = synchronized {
+    val marker = new java.io.File(s"$outRoot/sf1skew/events.parquet/_SUCCESS")
+    if (marker.exists()) return
+    def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outRoot/sf1skew/$name.parquet")
+    write(replicate(src("orders"),
+      Map("o_orderkey" -> OffOrder, "o_custkey" -> OffCust)), "orders")
+    write(replicate(src("lineitem"),
+      Map("l_orderkey" -> OffOrder, "l_partkey" -> OffPart, "l_suppkey" -> OffSupp))
+      .withColumn("l_orderkey",
+        when(pmod(col("l_orderkey"), lit(5)) === 0, lit(HotOrder))
+          .otherwise(col("l_orderkey"))), "lineitem")
+    write(replicate(src("events"),
+      Map("event_id" -> OffEvent, "user_id" -> OffUser))
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(HotUser))
+          .otherwise(col("user_id"))), "events")
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outRoot = args.headOption.getOrElse("/root/repo/testdata-sf1")

@@ -192,12 +192,20 @@ final class GraftEngine(val spark: SparkSession,
   def manifestSnapshots(name: String): Seq[String] =
     sources.TableLayout.snapshots(spark, manifestTables(name))
 
-  /** Time travel: register snapshot `version` (0-based; -1 = current)
-    * as view `<name>_v<version>` and return it, so historical
-    * snapshots are queryable from `sql()` alongside the live table. */
+  /** Time travel: register snapshot `version` (0-based; negative counts
+    * from the end, -1 = current) as view `<name>_v<resolved>` and
+    * return it, so historical snapshots are queryable from `sql()`
+    * alongside the live table. Negative versions resolve to their
+    * concrete 0-based index BEFORE naming the view — `_v-1` would be an
+    * invalid SQL identifier (round-5 advice), and the concrete name
+    * stays stable when later commits shift what "-1" means. */
   def registerManifestVersion(name: String, version: Int): DataFrame = {
-    val df = sources.TableLayout.readManifestedAt(spark, manifestTables(name), version)
-    df.createOrReplaceTempView(s"${name}_v$version")
+    val path = manifestTables(name)
+    val resolved =
+      if (version >= 0) version
+      else sources.TableLayout.snapshots(spark, path).size + version
+    val df = sources.TableLayout.readManifestedAt(spark, path, resolved)
+    df.createOrReplaceTempView(s"${name}_v$resolved")
     df
   }
 

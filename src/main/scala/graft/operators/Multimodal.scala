@@ -297,6 +297,14 @@ object Multimodal {
     val fp = sourceFingerprint(docs, conf)
     Multimodal.synchronized {
       if (!storeValid(fs, dest, fp)) {
+        // loud on purpose (round-6 verdict item 7): a bench/driver run
+        // that spends seconds here is paying STORE REBUILD, not decode —
+        // without this line the two are indistinguishable post-hoc
+        val reason =
+          if (!fs.exists(new HPath(dest, "_SUCCESS"))) "no store"
+          else "source fingerprint changed"
+        System.err.println(
+          s"[graft.multimodal] rebuilding media store at $dest ($reason)")
         val tmp = new HPath(dest.getParent,
           s".${dest.getName}_tmp_${System.nanoTime()}")
         withSyntheticMedia(asMediaTable(docs))

@@ -133,16 +133,33 @@ object SqlSurfaceQueries {
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     }))
 
-  /** Shared x07/x08 setup: snapshot `customer` into a fresh manifest
-    * table, upsert the deterministic merge batch (keys %10==0 get a
-    * 1.1× balance; keys %17==3 re-insert shifted by 1e7 into the
-    * 'MERGED' segment), register the merged table as `view`. A fresh
-    * temp path per call keeps invocations independent (each builds a
-    * 2-snapshot log). */
+  // one temp root per (session, view), reused across invocations and
+  // WIPED before each rebuild: a fresh createTempDirectory per call
+  // accreted two customer snapshots of disk per bench/verify run,
+  // forever (round-5 advice). Reuse keeps invocations independent —
+  // the wipe means every build starts from an empty log — while
+  // bounding disk at one copy per session.
+  private val mergeRoots =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def wipe(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+
+  /** Shared x07/x08 setup: snapshot `customer` into a manifest table,
+    * upsert the deterministic merge batch (keys %10==0 get a 1.1×
+    * balance; keys %17==3 re-insert shifted by 1e7 into the 'MERGED'
+    * segment), register the merged table as `view` (a 2-snapshot log
+    * per build). */
   private def mergedCustomerView(e: GraftEngine, view: String): Unit = {
     val customer = e.table("customer")
-    val path = java.nio.file.Files.createTempDirectory("graft_merge")
-      .toString + "/customer"
+    val root = mergeRoots.getOrElseUpdate((e.spark, view),
+      java.nio.file.Files.createTempDirectory("graft_merge").toString)
+    val path = s"$root/customer"
+    wipe(java.nio.file.Paths.get(path))
     e.createManifestTable(view, path, customer)
     val updates = customer.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * lit(1.1))

@@ -167,32 +167,39 @@ object TableLayout {
 
   private def writeManifestLines(spark: SparkSession, tablePath: String,
       lines: Seq[String]): Unit = {
-    val fc = fcFor(spark, tablePath)
-    val tmp = new HPath(tablePath, s".$ManifestFile.tmp${System.nanoTime()}")
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     val mf = new HPath(tablePath, ManifestFile)
     val scheme = mf.toUri.getScheme
+    val bytes = lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (scheme == null || scheme == "file") {
-      // Hadoop's LOCAL rename-with-OVERWRITE is delete-then-rename —
-      // a racing reader can observe NO manifest in the gap (caught by
-      // ManifestLifecycleSpec's reader race). POSIX rename(2) replaces
-      // the target atomically, so commit through NIO here. Safe to mix
-      // with FileContext on this path: RawLocalFs writes no .crc
-      // sidecars, so there is no stale-checksum hazard.
+      // LOCAL branch runs entirely on java.nio: (a) Hadoop's local
+      // rename-with-OVERWRITE is delete-then-rename — a racing reader
+      // can observe NO manifest in the gap (caught by
+      // ManifestLifecycleSpec's reader race), while POSIX rename(2)
+      // replaces atomically; (b) FileContext's local scheme is LocalFs,
+      // a ChecksumFs — fc.create of the tmp would drop a
+      // `..manifest.tmp<ns>.crc` sidecar that the NIO move strands in
+      // the table root forever (round-5 advice). Writing the tmp with
+      // NIO produces no sidecar at all.
       val dir = java.nio.file.Paths.get(new HPath(tablePath).toUri.getPath)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(s".$ManifestFile.tmp${System.nanoTime()}")
+      java.nio.file.Files.write(tmp, bytes)
       java.nio.file.Files.move(
-        dir.resolve(tmp.getName), dir.resolve(ManifestFile),
+        tmp, dir.resolve(ManifestFile),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
       // HDFS: rename with OVERWRITE is atomic by contract. (Object
       // stores without atomic rename need a metadata-service commit —
       // the same caveat every manifest-file table format carries.)
+      val fc = fcFor(spark, tablePath)
+      val tmp = new HPath(tablePath, s".$ManifestFile.tmp${System.nanoTime()}")
+      val out = fc.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        org.apache.hadoop.fs.Options.CreateOpts.createParent())
+      try out.write(bytes)
+      finally out.close()
       fc.rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
@@ -379,6 +386,14 @@ object TableLayout {
     val spec = parseParts(last).getOrElse(throw new IllegalArgumentException(
       s"$tablePath's current snapshot is not partition-scoped — write it " +
         "with writeManifestedBucketed first (or use upsertManifested)"))
+    // same schema guard as upsertManifested (round-5 advice): without
+    // it, a batch with missing/extra columns stages and COMMITS
+    // silently, leaving a mixed-schema snapshot that only surfaces
+    // (or null-fills) at read time
+    val curCols = readManifested(spark, tablePath).columns.filter(_ != "__bucket")
+    require(curCols.sorted.sameElements(updates.columns.sorted),
+      s"upsert schema mismatch: table has ${curCols.sorted.mkString(",")} " +
+        s"but updates has ${updates.columns.sorted.mkString(",")}")
     val dir = s"data-${System.nanoTime()}"
     val dirPath = s"$tablePath/$dir"
     // pass 1 — stage the batch itself into the (uncommitted) merge dir:

@@ -142,6 +142,50 @@ class ManifestLifecycleSpec extends SparkSpec {
     assert(mergeDirs.sameElements(Array("__bucket=10", "__bucket=2")), mergeDirs.mkString(","))
   }
 
+  test("bucketed upsert rejects a schema mismatch before committing anything") {
+    import spark.implicits._
+    val table = freshTable()
+    val base = (0L until 100L).map(i => (i, 1.0)).toDF("id", "v")
+    TableLayout.writeManifestedBucketed(base, table, "id", width = 10L)
+    val snapsBefore = TableLayout.snapshots(spark, table)
+    val bad = Seq((1L, 2.0, "extra")).toDF("id", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      TableLayout.upsertManifestedBucketed(spark, table, bad)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // nothing staged or committed: log unchanged, data intact
+    assert(TableLayout.snapshots(spark, table) == snapsBefore)
+    assert(TableLayout.readManifested(spark, table).count() == 100)
+  }
+
+  test("local-FS commits leave no checksum sidecars in the table root") {
+    import spark.implicits._
+    val table = freshTable()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    TableLayout.writeManifested(base, table)
+    TableLayout.upsertManifested(spark, table,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "tag"), Seq("id"))
+    TableLayout.deleteManifested(spark, table, col("id") === 1L)
+    val leftovers = Option(new java.io.File(table).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".crc"))
+    assert(leftovers.isEmpty,
+      s"orphaned checksum sidecars after 3 commits: ${leftovers.mkString(",")}")
+  }
+
+  test("engine time travel resolves negative versions to concrete view names") {
+    import spark.implicits._
+    val e = new GraftEngine(spark)
+    val path = freshTable()
+    e.createManifestTable("tt_neg", path, Seq((1L, 1.0)).toDF("id", "v"))
+    e.upsertManifestTable("tt_neg", Seq((1L, 2.0)).toDF("id", "v"), Seq("id"))
+    // -1 = current (2 snapshots → index 1); the registered name carries
+    // the CONCRETE index, since `tt_neg_v-1` is not a valid identifier
+    e.registerManifestVersion("tt_neg", -1)
+    assert(e.sql("SELECT v FROM tt_neg_v1").head().getDouble(0) == 2.0)
+    e.registerManifestVersion("tt_neg", -2)
+    assert(e.sql("SELECT v FROM tt_neg_v0").head().getDouble(0) == 1.0)
+  }
+
   test("refcounted vacuum never deletes a dir a retained snapshot still references") {
     import spark.implicits._
     val table = freshTable()

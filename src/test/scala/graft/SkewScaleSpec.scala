@@ -10,7 +10,15 @@ import org.apache.spark.sql.functions._
 class SkewScaleSpec extends SparkSpec {
 
   private val skewDir = "/root/repo/testdata-sf1/sf1skew"
-  private def present = new java.io.File(s"$skewDir/lineitem.parquet").exists()
+  // derived data: generate the three spec tables in-run when absent
+  // (round-6 verdict item 6 — `sbt test` must not cancel on a fresh
+  // clone). ~1 min once; later runs see the _SUCCESS marker and skip.
+  private lazy val present =
+    try { GenScale.ensureSkewCorpus(spark); true }
+    catch { case e: Exception =>
+      System.err.println(s"[skew-spec] corpus generation failed: ${e.getMessage}")
+      false
+    }
 
   /** Runtime confs scaled to the local corpus (after column pruning +
     * shuffle compression the hot partition is single-digit MB; at the
