@@ -43,6 +43,24 @@ object Bench {
     (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
   }
 
+  /** 1-minute system load average — co-tenant contention shows up here
+    * (a pressure episode with flat GC and flat heap but loadavg >> 32
+    * is the machine, not this JVM). -1 where unsupported. */
+  private def loadAvg1m(): Double =
+    try ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  /** Resident set size of this JVM process (MB), from /proc — heap,
+    * off-heap, and mmap'd shuffle/parquet buffers together; the number
+    * the container's memory limit actually sees. -1 off Linux. */
+  private def rssMb(): Long =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/self/status")).asScala
+        .find(_.startsWith("VmRSS:"))
+      line.map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
   /** One timed execution: (wallSec, gcDeltaMs). */
   private case class Pass(sec: Double, gcMs: Long)
 
@@ -74,7 +92,15 @@ object Bench {
       * it, blocks wait for driver GC + ContextCleaner, which under an
       * already-pressured heap is exactly too late. */
     def releaseTransientStorage(): Unit = {
+      // skip RDDs MARKED for local checkpointing but not yet
+      // materialized: localCheckpoint sets a storage level at mark
+      // time, and unpersisting before the first action resets it —
+      // the eventual materialization then fails permanently (this
+      // killed x04 in the r5-era driver bench: the lazy view plan was
+      // registered at x01, swept after x01–x03, evaluated at x04).
+      // Materialized checkpoints and plain caches release as before.
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(org.apache.spark.rdd.GraftRddIntrospect.isPendingLocalCheckpoint)
         .foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
     }
@@ -102,7 +128,8 @@ object Bench {
       def g(p: Option[Pass]) = p.map(_.gcMs.toString).getOrElse("-1")
       detail(n) =
         s"""{"ts":$ts,"warm":${f(warm)},"p1":${f(p1)},"p2":${f(p2)},""" +
-          s""""gcWarmMs":${g(warm)},"gcP1Ms":${g(p1)},"gcP2Ms":${g(p2)},"heapMb":$heap}"""
+          s""""gcWarmMs":${g(warm)},"gcP1Ms":${g(p1)},"gcP2Ms":${g(p2)},""" +
+          s""""heapMb":$heap,"rssMb":${rssMb()},"load1m":${loadAvg1m()}}"""
       n -> best
     }
 

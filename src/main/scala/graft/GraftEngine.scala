@@ -123,13 +123,36 @@ final class GraftEngine(val spark: SparkSession,
       .createOrReplaceTempView("graft_minhash_pairs")
     operators.Dedup.simhashPairs(docs)
       .createOrReplaceTempView("graft_simhash_pairs")
-    operators.Dedup.substringSpanPairs(docs)
-      .createOrReplaceTempView("graft_substring_pairs")
+    // persist, NOT the operator's default lazy localCheckpoint: this
+    // view outlives any single query, and a storage-hygiene sweep
+    // (bench, a long session's cache clear) between registration and
+    // first read would kill a checkpoint-marked plan permanently
+    // (r5 driver bench: x04 failed exactly this way). A persisted
+    // relation degrades to recompute instead, and [[repinSharedCaches]]
+    // restores the shared-subplan cache entry at the next engine use.
+    operators.Dedup.substringSpanPairs(docs, share = { wins =>
+      val p = wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sharedPlans += p
+      p
+    }).createOrReplaceTempView("graft_substring_pairs")
     operators.Splits.assignSplit(docs, docs("doc_id"))
       .createOrReplaceTempView("graft_split")
     operators.Similarity.bruteForceTopK(embs,
       operators.Similarity.defaultQueries(embs))
       .createOrReplaceTempView("graft_topk_cosine")
+  }
+
+  // shared (multi-consumer) relations pinned by registered views; a
+  // cache sweep drops their entries without breaking the view (plans
+  // recompute), and repinSharedCaches restores the sharing lazily
+  private val sharedPlans = mutable.Buffer[DataFrame]()
+
+  /** Re-pin any view-shared cache entry dropped by a storage-hygiene
+    * sweep (`spark.catalog.clearCache()` etc.). Idempotent and lazy —
+    * no jobs run; the next query materializes the entry. */
+  def repinSharedCaches(): Unit = sharedPlans.foreach { df =>
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private var annViewRegistered = false
@@ -145,8 +168,23 @@ final class GraftEngine(val spark: SparkSession,
   def registerAnnView(): Unit = synchronized {
     if (!annViewRegistered) {
       val embs = spark.table("embeddings")
-      operators.Similarity.annDefault(embs,
-        operators.Similarity.defaultQueries(embs))
+      // train, then STORE the index: the trained centroids come back as
+      // a materialized localCheckpoint whose lineage is truncated — a
+      // view capturing those blocks dies at the first storage-hygiene
+      // sweep after training (same failure shape as the r5 x04 bench
+      // miss). Writing the (nCentroids-row) centroid table to parquet
+      // and planning the view over the FILE makes the view storage-
+      // independent — and is the honest 100 TB shape anyway: an ANN
+      // index is built once and persisted, not retrained per session.
+      val cents = operators.Similarity.kmeansCentroids(embs)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_index")
+        .resolve("centroids").toString
+      cents.write.mode("overwrite").parquet(idx)
+      operators.Similarity.ivfTopKWith(
+          operators.Similarity.preparedCorpus(embs),
+          spark.read.parquet(idx),
+          operators.Similarity.defaultQueries(embs),
+          nProbe = operators.Similarity.DefaultAnnProbe)
         .createOrReplaceTempView("graft_ann_topk")
       annViewRegistered = true
     }

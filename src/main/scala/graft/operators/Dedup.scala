@@ -316,18 +316,24 @@ object Dedup {
     * generation), pair-key groupBy — all on controllable-cardinality
     * keys; no cross product anywhere. */
   def substringSpanPairs(docs: DataFrame, w: Int = WindowTokens,
-      maxWindowDf: Int = MaxWindowDf): DataFrame = {
-    // checkpoint the generated windows once (d06's lineage discipline):
+      maxWindowDf: Int = MaxWindowDf,
+      share: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+    // materialize the generated windows once (d06's lineage discipline):
     // the df-cap aggregate AND both sides of the pair self-join consume
     // them, and without materialization Spark re-runs the scan + window
     // md5 generation four times (no common-subplan sharing across a
-    // broadcast join's sides). eager = false: the checkpoint
-    // materializes on FIRST READ, not at plan-construction time, so
-    // registering this operator as a SQL view stays free — the round-4
-    // eager form ran the full corpus scan + md5 job at every
-    // registerPipelineViews call, taxing x-queries that never touch
-    // the view (x05: 9.26 s for a 9 ms GROUP BY)
-    val wins = tokenWindows(docs, w).localCheckpoint(eager = false)
+    // broadcast join's sides). The default is a LAZY localCheckpoint
+    // (materializes on first read, so plan construction stays free —
+    // the round-4 eager form ran the corpus scan at every
+    // registerPipelineViews call; x05 paid 9.26 s for a 9 ms GROUP BY).
+    // CALLER-CHOSEN because lazy checkpoints are irrecoverable: an
+    // unpersist between plan construction and first read (any session-
+    // hygiene sweep) resets the marked RDD's storage level and the
+    // first action then fails. Fine for the per-call d10 path (plan
+    // lives for one invocation); fatal for a LONG-LIVED view, which
+    // passes `_.persist(...)` instead — recoverable recompute if
+    // storage is swept, shared subplan while the cache entry lives.
+    val wins = share(tokenWindows(docs, w))
     val rare = wins.select(col("doc_id"), col("wh")).distinct()
       .groupBy("wh").agg(count(lit(1)).as("wdf"))
       .filter(col("wdf") <= maxWindowDf).select("wh")

@@ -29,6 +29,9 @@ object SqlSurfaceQueries {
   private def engine(s: org.apache.spark.sql.SparkSession, dir: String): GraftEngine = {
     val e = GraftEngine.cachedForDir(s, dir)
     registered.getOrElseUpdate((s, dir), { e.registerPipelineViews(); true })
+    // a harness hygiene sweep between queries may have dropped the
+    // views' shared cache entries; restore them (lazy, no jobs)
+    e.repinSharedCaches()
     e
   }
 
