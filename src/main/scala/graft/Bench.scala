@@ -11,14 +11,17 @@ import scala.jdk.CollectionConverters._
   * Methodology (evolved across rounds; round-6 changes marked):
   *  - execution via the `noop` sink, so every declared operator runs —
   *    `.count()` lets Catalyst prune projections and eliminate sorts;
-  *  - per query: one untimed warmup then two timed passes, ALL THREE
-  *    back-to-back (round 6 — previously three full sweeps of the
-  *    whole suite, which meant every timed pass ran against the
-  *    accumulated resident state of all 114 queries; the r5 driver
-  *    run showed contiguous blocks of 4–22× slowdowns consistent with
-  *    memory-pressure episodes that per-query grouping + explicit
-  *    cleanup below are designed to eliminate and, failing that,
-  *    attribute);
+  *  - per query: one untimed warmup then two timed passes — plus up
+  *    to two adaptive extras while timings still descend >30%, so a
+  *    transient contention episode spanning both baseline passes
+  *    costs an extra pass instead of the reported number. ALL passes
+  *    run back-to-back per query (round 6 — previously three full
+  *    sweeps of the whole suite, which meant every timed pass ran
+  *    against the accumulated resident state of all 114 queries; the
+  *    r5 driver run showed contiguous blocks of 4–22× slowdowns
+  *    consistent with memory-pressure episodes that per-query
+  *    grouping + explicit cleanup below are designed to eliminate
+  *    and, failing that, attribute);
   *  - after each query, storage hygiene: unpersist every persistent
   *    RDD (stray `localCheckpoint` blocks from iterative operators —
   *    d06 label propagation, k-means training — die with the query
@@ -116,19 +119,30 @@ object Bench {
       val q = SparkEntry.queries(n)
       val ts = (System.currentTimeMillis() - startMs) / 1000.0
       val warm = runOnce(n, q)
-      val p1 = if (warm.isDefined) runOnce(n, q) else None
-      val p2 = if (p1.isDefined) runOnce(n, q) else None
+      // two timed passes, plus up to two ADAPTIVE extras while timings
+      // are still descending by >30% — a transient co-tenant episode
+      // that hits both baseline passes (the r5 driver-bench failure
+      // shape: contiguous 4–22× blocks) then costs one more pass, not
+      // the query's reported number. Converged queries never pay.
+      val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
+      var ok = warm.isDefined
+      while (ok && (passes.size < 2 ||
+          (passes.size < 4 && passes.last.sec < 0.7 * passes.init.map(_.sec).min))) {
+        runOnce(n, q) match {
+          case Some(p) => passes += p
+          case None => ok = false
+        }
+      }
       releaseTransientStorage()
       val heap = heapUsedMb()
-      val best = (p1, p2) match {
-        case (Some(a), Some(b)) => math.min(a.sec, b.sec)
-        case _ => -1.0
-      }
+      val best = if (ok && passes.nonEmpty) passes.map(_.sec).min else -1.0
       def f(p: Option[Pass]) = p.map(x => f"${x.sec}%.4f").getOrElse("-1")
       def g(p: Option[Pass]) = p.map(_.gcMs.toString).getOrElse("-1")
+      val passJson = passes.map(p => f"""[${p.sec}%.4f,${p.gcMs}]""")
+        .mkString("[", ",", "]")
       detail(n) =
-        s"""{"ts":$ts,"warm":${f(warm)},"p1":${f(p1)},"p2":${f(p2)},""" +
-          s""""gcWarmMs":${g(warm)},"gcP1Ms":${g(p1)},"gcP2Ms":${g(p2)},""" +
+        s"""{"ts":$ts,"warm":${f(warm)},"passes":$passJson,""" +
+          s""""gcWarmMs":${g(warm)},""" +
           s""""heapMb":$heap,"rssMb":${rssMb()},"load1m":${loadAvg1m()}}"""
       n -> best
     }

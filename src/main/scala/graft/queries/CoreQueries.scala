@@ -413,25 +413,56 @@ object CoreQueries {
     // exact percentiles/median, computed on the VALUE HISTOGRAM rather
     // than with the `percentile` aggregate: groupBy(key, value) shrinks
     // the corpus to |distinct values| rows with map-side partial counts,
-    // one window pass over that (small) histogram assigns cumulative
-    // ranks, and the interpolation row pair for each quantile is picked
-    // declaratively — each histogram row contributes v·(1−frac) if it
-    // holds the lower rank and v·frac if the upper (same row when the
-    // rank is integral). Identical values to the sorted-list definition
-    // (and DuckDB's quantile_cont, modulo the 6-dp round) without the
-    // `percentile` aggregate's per-group value buffers, whose
-    // single-threaded per-group merge was 8× slower at sf0.1. The
-    // APPROXIMATE sketch (q19) remains the default for unbounded value
-    // domains; this is the exact path when you need true quantiles.
+    // cumulative ranks assign via a BLOCKED prefix sum, and the
+    // interpolation row pair for each quantile is picked declaratively —
+    // each histogram row contributes v·(1−frac) if it holds the lower
+    // rank and v·frac if the upper (same row when the rank is integral).
+    // Identical values to the sorted-list definition (and DuckDB's
+    // quantile_cont, modulo the 6-dp round) without the `percentile`
+    // aggregate's per-group value buffers, whose single-threaded
+    // per-group merge was 8× slower at sf0.1.
+    //
+    // The blocked prefix sum (p05's pattern): a window partitioned by
+    // the GROUP key alone caps parallelism at |groups| (4 return flags
+    // = 4 tasks forever, any cluster size — the round-5 scale flaw of
+    // this query). Instead each histogram row hashes to a value-range
+    // block; per-(group, block) subtotals roll up into block offsets
+    // with one window over |groups|·|blocks| rows (tiny), and the
+    // within-block cumulative windows run in parallel across
+    // |groups|·|blocks| partitions. Same exact counts, parallelism
+    // decoupled from group cardinality. The APPROXIMATE sketch (q19)
+    // remains the default for unbounded value domains; this is the
+    // exact path when you need true quantiles.
     "q29_percentiles" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
-      val wCum = Window.partitionBy("l_returnflag").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("l_returnflag")
+      val nBlocks = 64
       val hist = l.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(wCum))
-        .withColumn("n", sum("cnt").over(wAll))
+      // value-range blocks from the global price envelope (one tiny agg,
+      // broadcast): block index is monotone in v, so per-block prefix
+      // sums compose into the global order
+      val mm = hist.agg(min("v").as("vmin"), max("v").as("vmax"))
+      val blocked = hist.crossJoin(broadcast(mm))
+        .withColumn("blk", least(lit(nBlocks - 1), greatest(lit(0),
+          floor((col("v") - col("vmin")) * nBlocks /
+            greatest(col("vmax") - col("vmin"), lit(1e-12))).cast("int"))))
+        .drop("vmin", "vmax")
+      // per-(flag, block) subtotals → cumulative block offsets: the only
+      // group-partitioned window runs over ≤ |flags|·nBlocks rows
+      val wOff = Window.partitionBy("l_returnflag").orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = blocked.groupBy(col("l_returnflag"), col("blk"))
+        .agg(sum("cnt").as("bcnt"))
+        .withColumn("off", sum("bcnt").over(wOff) - col("bcnt"))
+      val totals = offs.groupBy("l_returnflag").agg(sum("bcnt").as("n"))
+      // within-block cumulative counts, parallel across (flag, block)
+      val wIn = Window.partitionBy("l_returnflag", "blk").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = blocked
+        .join(broadcast(offs.select("l_returnflag", "blk", "off")),
+          Seq("l_returnflag", "blk"))
+        .join(broadcast(totals), Seq("l_returnflag"))
+        .withColumn("cum", sum("cnt").over(wIn) + col("off"))
         .withColumn("prev", col("cum") - col("cnt"))
       def pct(p: Double) = {
         val rk = (col("n") - 1) * p
@@ -444,7 +475,7 @@ object CoreQueries {
           when(isLo, col("v") * (lit(1.0) - frac)).otherwise(0.0) +
             when(isHi, col("v") * frac).otherwise(0.0)), 6)
       }
-      hist.groupBy("l_returnflag")
+      cum.groupBy("l_returnflag")
         .agg(
           pct(0.25).as("p25"), pct(0.5).as("median"),
           pct(0.75).as("p75"), pct(0.9).as("p90"),
