@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.StopwordHits.registration)
     ext.injectFunction(graft.functions.MinhashAgg.registration)
     ext.injectFunction(graft.functions.ShingleSet.registration)
+    ext.injectFunction(graft.functions.RegexpCount.registration)
   }
 }

@@ -35,20 +35,23 @@ object TextFunctions {
   def fingerprint(c: Column): Column = md5(normText(c))
   def sqlFingerprint(e: String): String = s"md5(${sqlNormText(e)})"
 
-  /** Whitespace token count (t03): runs of non-space characters. */
+  /** Whitespace token count (t03): runs of non-space characters.
+    * Counted with [[RegexpCount]] (matcher loop, no per-token
+    * allocation) — identical to `size(regexp_extract_all(_, '\\S+', 0))`. */
   def wsTokenCount(c: Column): Column =
-    size(regexp_extract_all(trim(c), lit("\\S+"), lit(0)))
+    RegexpCount.regexpCount(trim(c), "\\S+")
   def sqlWsTokenCount(e: String): String =
     s"len(regexp_extract_all(trim($e), '[^$SqlWs]+'))"
 
   /** BPE-ish subword-boundary token count (t03): letter runs, digit
     * runs, and single non-alphanumeric marks — the pre-tokenization
-    * split most BPE vocabularies start from. */
+    * split most BPE vocabularies start from. Counted with
+    * [[RegexpCount]] (no per-token allocation). */
   // the explicit class spelling keeps the SHARED pattern string
   // identical to `[^a-z0-9\s]` in Java while staying \x0B-correct in RE2
   val BpePattern = s"[a-z]+|[0-9]+|[^a-z0-9$SqlWs]"
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit(BpePattern), lit(0)))
+    RegexpCount.regexpCount(lower(c), BpePattern)
   def sqlBpeTokenCount(e: String): String =
     s"len(regexp_extract_all(lower($e), '$BpePattern'))"
 

@@ -101,20 +101,45 @@ object TextQueries {
     // structurally repeats more, e.g. analytic vs synthetic languages).
     // Scale shape: the median is found on the (lang, ratio) HISTOGRAM
     // (cardinality = distinct ratios per language, not docs — the q29
-    // discipline), the lower-median pick is a discrete MIN over existing
-    // values (no FP interpolation to diverge between engines), and the
-    // 5-row threshold table broadcasts back onto a single corpus scan.
+    // discipline), and rank localization is BLOCKED (q29's round-6
+    // pattern, specialized for a single rank): the ratio domain is
+    // [0,1] so each histogram row hashes to a fixed value block, block
+    // subtotals roll up into a ≤ |lang|·64-row offsets table whose
+    // single-row-per-language filter pins the block CONTAINING the
+    // median rank, and only that block's histogram slice (≈1/64 of it)
+    // pays a cumulative window. A lang-partitioned window over the
+    // full histogram would cap parallelism at |languages| AND sort
+    // everything to use one row; the lower-median pick stays a
+    // discrete MIN over existing values (no FP interpolation to
+    // diverge between engines), and the 5-row threshold table
+    // broadcasts back onto a single corpus scan.
     "t09_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      val nBlocks = 64
       val ws = words(col("text"))
       val rep = lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
       val scored = d.select(col("doc_id"), col("lang"), rep.as("q"))
-      val wCum = Window.partitionBy("lang").orderBy("q")
+      val blocked = scored.groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
+        .withColumn("blk", least(lit(nBlocks - 1), greatest(lit(0),
+          floor(col("q") * nBlocks).cast("int"))))
+      val wOff = Window.partitionBy("lang").orderBy("blk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val hist = scored.groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(wCum))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
-      val med = hist.filter(col("cum") >= ceil(col("n") / 2.0))
+      val wLang = Window.partitionBy("lang")
+      // one row per language: the block holding the median rank, with
+      // the cumulative count of all earlier blocks and the rank itself
+      val targets = blocked.groupBy(col("lang"), col("blk"))
+        .agg(sum("cnt").as("bcnt"))
+        .withColumn("cumb", sum("bcnt").over(wOff))
+        .withColumn("target", ceil(max("cumb").over(wLang) / 2.0))
+        .filter(col("cumb") >= col("target") &&
+          col("cumb") - col("bcnt") < col("target"))
+        .select(col("lang"), col("blk"),
+          (col("cumb") - col("bcnt")).as("off"), col("target"))
+      val wMed = Window.partitionBy("lang").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = blocked.join(broadcast(targets), Seq("lang", "blk"))
+        .withColumn("cum", sum("cnt").over(wMed) + col("off"))
+        .filter(col("cum") >= col("target"))
         .groupBy("lang").agg(min("q").as("med"))
       scored.join(broadcast(med), "lang")
         .filter(col("q") <= col("med"))
