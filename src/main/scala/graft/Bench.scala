@@ -178,14 +178,40 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // stdout capture has truncated past rounds' per-query tails (the
-    // driver kept only 66/106 timings in BENCH_r04.json) — the FILE is
-    // the primary artifact: headline line + env + full per-pass detail.
+    // The driver's bench artifact stores (and parses from) only the LAST
+    // 2000 chars of stdout; the full-name full-precision line above is
+    // ~4000 chars, so every past round's artifact recorded parsed:null
+    // (BENCH_r01–r06). Emit a LAST line that actually fits the window:
+    // per-query keys shortened to their unique suite prefix ("q01",
+    // "q06a", "h01f"), values at 3 decimals (~1650 chars total). The
+    // short→full legend and full precision live in BENCH_LOCAL.json,
+    // which is committed per round as the primary artifact.
+    val shortKeys: Map[String, String] = {
+      val base = results.map(_._1).map { n =>
+        n -> n.takeWhile(_ != '_')
+      }.toMap + ("h01_fast_double" -> "h01f")
+      // a colliding prefix falls back to the full name — parse safety
+      // beats brevity (currently no collisions: h01_fast_double is
+      // renamed above, and every suite id q01/q06a/d01/… is unique)
+      val counts = base.values.groupBy(identity).map { case (k, v) => k -> v.size }
+      base.map { case (full0, s) => full0 -> (if (counts(s) > 1) full0 else s) }
+    }
+    val qsShort = (results :+ ("h01_fast_double" -> fastH01))
+      .map { case (k, v) => "\"" + shortKeys(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,""" +
+        s""""failed":$failed,"sf":"$sfDir","legend":"BENCH_LOCAL.json"}"""
+    println(compact)
+    val legendJson = shortKeys.toSeq.sortBy(_._1)
+      .map { case (full0, s) => "\"" + s + "\":\"" + full0 + "\"" }
+      .mkString("{", ",", "}")
     val detailJson = detail.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"sf":"$sfDir","env":$envJson,"detail":$detailJson}"""
+        s""""failed":$failed,"sf":"$sfDir","env":$envJson,"legend":$legendJson,""" +
+        s""""detail":$detailJson}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out,

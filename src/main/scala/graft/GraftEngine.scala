@@ -48,9 +48,22 @@ final class GraftEngine(val spark: SparkSession,
   private val registered = mutable.LinkedHashMap[String, String]()
 
   /** Register a parquet file/directory as a queryable table
-    * (reference: catalog.rs `load_table`). */
+    * (reference: catalog.rs `load_table`).
+    *
+    * The `events` table gets its `ts` column normalized to a session-TZ
+    * TIMESTAMP at registration (see [[graft.queries.Ops.normalizeEventTs]]),
+    * so the SQL surface (`engine.sql("... FROM events")`) sees the same
+    * column the programmatic query suite sees — not the raw physical
+    * type, which has drifted across fixture generations (nanos-as-long
+    * vs plain micros). The view stays lazy: normalization is one
+    * projected expression on top of the scan, and pushdown through it
+    * is unaffected for every other column. */
   def loadTable(name: String, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
+    val df =
+      if (name == "events" && raw.columns.contains("ts"))
+        raw.withColumn("ts", graft.queries.Ops.normalizeEventTs(raw))
+      else raw
     df.createOrReplaceTempView(name)
     registered(name) = path
     df
@@ -271,9 +284,11 @@ object GraftEngine {
 
   /** Session from a [[GraftConfig]]. Settings transfer to a real cluster:
     * AQE on (runtime coalesce + skew-join handling), bounded shuffle
-    * parallelism, UTC semantics. `nanosAsLong` is set here once (the
-    * events parquet carries TIMESTAMP(NANOS), which Spark 4 otherwise
-    * rejects) so no query builder needs session-conf side effects. */
+    * parallelism, UTC semantics. `nanosAsLong` is set here once so a
+    * legacy TIMESTAMP(NANOS) events fixture (which Spark 4 otherwise
+    * rejects) still reads; current fixtures store plain micros and
+    * ignore the conf. Ops.normalizeEventTs adapts to either vintage, so
+    * no query builder needs session-conf side effects. */
   def session(cfg: GraftConfig): SparkSession = {
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)

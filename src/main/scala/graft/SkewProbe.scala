@@ -83,8 +83,9 @@ object SkewProbe {
     // q38 vs q44 on the hot-user corpus: the uncapped interval join's
     // output grows quadratically in the hot key's rate; the capped
     // variant bounds it at AttributionCap × clicks
-    // nanos-as-long parquet → microsecond timestamp (same as Ops.events)
-    val evJ = tbl("events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // fixture-vintage-adaptive ts normalization (same as Ops.events)
+    val evJraw = tbl("events")
+    val evJ = evJraw.withColumn("ts", graft.queries.Ops.normalizeEventTs(evJraw))
     val clicks = evJ.filter(col("event_type") === "click")
     val purchases = evJ.filter(col("event_type") === "purchase")
     val uncapped = streaming.EventStreams

@@ -48,14 +48,33 @@ object Ops {
   def sqlSignBucket(v: String, bits: Int): String =
     (1 to bits).map(i => s"CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects by default. `spark.sql.legacy.parquet.nanosAsLong`
-    * is set ONCE at session construction (GraftEngine.session — not here,
-    * so query construction has no conf side effects); the long nanos are
-    * rebuilt into a microsecond timestamp with integer division —
-    * `ts / 1000` in double would lose precision at nanosecond epoch
-    * magnitudes. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** Normalize the events `ts` column to a session-TZ TIMESTAMP,
+    * whatever physical type the fixture vintage stored:
+    *
+    *  - TIMESTAMP(NANOS) parquet + `spark.sql.legacy.parquet.nanosAsLong`
+    *    (set once in GraftEngine.session) → Spark reads a raw LongType of
+    *    epoch-nanos; rebuild with integer division (`ts / 1000` in double
+    *    would lose precision at nanosecond epoch magnitudes).
+    *  - plain `timestamp[us]` parquet → Spark reads TIMESTAMP_NTZ;
+    *    reinterpret as a session-TZ instant. The session TZ is UTC
+    *    (GraftConfig.sessionTimeZone), so the cast is value-preserving
+    *    and matches what the DuckDB oracle sees reading the same file.
+    *  - already TimestampType → pass through.
+    *
+    * Every consumer downstream (date_part grouping, as-of joins,
+    * watermarked streaming) then sees one stable TimestampType column
+    * regardless of which fixture generation wrote the parquet. */
+  def normalizeEventTs(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)         => expr("timestamp_micros(ts DIV 1000)")
+      case Some(TimestampNTZType) => col("ts").cast("timestamp")
+      case _                      => col("ts")
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.withColumn("ts", normalizeEventTs(raw))
+  }
 }

@@ -152,10 +152,19 @@ object TextQueries {
       val total = d.select(count(lit(1)).as("n_docs"))
       val tf = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val docFreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      // df as a COUNT over a word-partitioned window instead of a
+      // groupBy(word)+self-join: the join form evaluates the whole
+      // explode→groupBy tf subtree TWICE (two non-identical plan
+      // branches share no exchange), i.e. two scans of documents. The
+      // window form scans once; its word-hash shuffle is the same
+      // distribution the groupBy(word) needed anyway. tf rows are one
+      // per (doc, word) — Zipf-bounded per-word partitions, no skew
+      // cliff at 100× (the hottest stopword's row count is bounded by
+      // n_docs, not corpus tokens).
+      val wDf = Window.partitionBy("word")
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("word").asc)
-      tf.join(docFreq, "word")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .crossJoin(broadcast(total))
         .withColumn("tfidf",
           round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
