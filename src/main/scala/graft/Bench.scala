@@ -147,27 +147,30 @@ object Bench {
       n -> best
     }
 
-    // dual-mode decimal bench (round-6 verdict item 5): the h-suite
+    // dual-mode decimal bench (round-6 verdict item 8): the h-suite
     // money aggregates run DECIMAL(38,x)-exact so the DuckDB oracle
     // hash-matches bit-for-bit — SURVEY §6 measures that discipline at
-    // ~5× on every money-summing query. Time the flagship pricing
-    // summary in BOTH modes so the honest cost is a recorded number,
-    // not a footnote. The fast entry is bench-only (not in the driver
-    // correctness contract; FastMathSpec bounds its rtol vs exact).
-    val fastH01 = {
-      val run = graft.queries.TpchQueries.pricingSummaryFast _
-      val warm = runOnce("h01_fast_double", run)
-      val p1 = if (warm.isDefined) runOnce("h01_fast_double", run) else None
-      val p2 = if (p1.isDefined) runOnce("h01_fast_double", run) else None
-      releaseTransientStorage()
-      (p1, p2) match {
-        case (Some(a), Some(b)) => math.min(a.sec, b.sec)
-        case _ => -1.0
+    // ~5× on every money-summing query. Time the 5 most decimal-bound
+    // h-queries in BOTH modes so the production-mode ratio is a
+    // recorded number, not a footnote. Fast entries are bench-only (not
+    // in the driver correctness contract; FastMathSpec bounds their
+    // rtol vs exact).
+    val fastEntries: Seq[(String, Double)] =
+      graft.queries.TpchQueries.decimalBound.map { full0 =>
+        val key = full0.take(3) + "_fast_double"
+        val run = graft.queries.TpchQueries.fastQuery(full0) _
+        val warm = runOnce(key, run)
+        val p1 = if (warm.isDefined) runOnce(key, run) else None
+        val p2 = if (p1.isDefined) runOnce(key, run) else None
+        releaseTransientStorage()
+        key -> ((p1, p2) match {
+          case (Some(a), Some(b)) => math.min(a.sec, b.sec)
+          case _ => -1.0
+        })
       }
-    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", s",\"h01_fast_double\":$fastH01}")
+    val qs = (results ++ fastEntries).map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val heapMax = Runtime.getRuntime.maxMemory() / (1024 * 1024)
@@ -187,16 +190,17 @@ object Bench {
     // short→full legend and full precision live in BENCH_LOCAL.json,
     // which is committed per round as the primary artifact.
     val shortKeys: Map[String, String] = {
-      val base = results.map(_._1).map { n =>
-        n -> n.takeWhile(_ != '_')
-      }.toMap + ("h01_fast_double" -> "h01f")
+      val base = (results ++ fastEntries).map(_._1).map { n =>
+        n -> (if (n.endsWith("_fast_double")) n.take(3) + "f"
+              else n.takeWhile(_ != '_'))
+      }.toMap
       // a colliding prefix falls back to the full name — parse safety
-      // beats brevity (currently no collisions: h01_fast_double is
-      // renamed above, and every suite id q01/q06a/d01/… is unique)
+      // beats brevity (currently no collisions: fast-mode entries get a
+      // "f" suffix, and every suite id q01/q06a/d01/… is unique)
       val counts = base.values.groupBy(identity).map { case (k, v) => k -> v.size }
       base.map { case (full0, s) => full0 -> (if (counts(s) > 1) full0 else s) }
     }
-    val qsShort = (results :+ ("h01_fast_double" -> fastH01))
+    val qsShort = (results ++ fastEntries)
       .map { case (k, v) => "\"" + shortKeys(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val compact =

@@ -77,7 +77,18 @@ object PlanAudit {
     "x07_sql_merge" -> ("MERGE from SQL: the post-merge read is a plain " +
       "pruned parquet scan of the committed snapshot (the view re-points after " +
       "the atomic manifest rename) — readers never carry merge machinery in " +
-      "their plans; the merge itself paid ONE anti-join shuffle at write time."))
+      "their plans; the merge itself paid ONE anti-join shuffle at write time."),
+    "q39_multi_distinct" -> ("Two COUNT(DISTINCT) on different columns split " +
+      "into Expand-free single-distinct branches (partial dedup map-side, " +
+      "shuffle bounded by |distinct pairs| not 3x table rows) joined on the " +
+      "3-row group key. Remaining sf0.1 cost (~1.2s) is the exact-decimal " +
+      "sum_qty discipline plus two pruned scans — the Expand is gone; " +
+      "sub-second needs dropping oracle-exact decimals (see h01_fast_double)."),
+    "t08_tfidf" -> ("tf-idf in ONE documents scan: document frequency is a " +
+      "COUNT over a word-partitioned window on the tf aggregate instead of a " +
+      "groupBy(word)+self-join, which evaluated the whole explode→groupBy " +
+      "subtree twice. Per-word window partitions are Zipf-bounded by n_docs; " +
+      "per-doc top-3 stays WindowGroupLimit."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

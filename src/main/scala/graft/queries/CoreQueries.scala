@@ -371,13 +371,26 @@ object CoreQueries {
     // aggregation — one query-shaped scan instead of N self-joins, the
     // multi-distinct plan every OLAP engine special-cases.
     "q39_multi_distinct" -> ((s, dir) => {
+      // Two COUNT(DISTINCT x) on different columns in one aggregate
+      // force an Expand that triples every input row through the
+      // shuffle. Splitting into single-distinct branches keeps each
+      // branch a plain two-phase aggregate (partial dedup map-side, no
+      // Expand), then joins the 3-row results on the group key. Three
+      // column-pruned scans of lineitem cost less than 3x the rows
+      // through one shuffle — and at 100 TB the dedup'd branch shuffles
+      // are bounded by |distinct pairs|, not by 3x table size.
+      // (one distinct + plain aggs plans Expand-free via
+      // planAggregateWithOneDistinct, so the plain aggs ride the first
+      // branch for free — two branches total)
       val l = t(s, dir, "lineitem")
-      l.groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_suppliers"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_rows"),
-          dsum(col("l_quantity")).as("sum_qty"))
+      val sup = l.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      val ord = l.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      sup.join(ord, "l_returnflag")
+        .select(col("l_returnflag"), col("n_suppliers"), col("n_orders"),
+          col("n_rows"), col("sum_qty"))
         .orderBy("l_returnflag")
     }),
 

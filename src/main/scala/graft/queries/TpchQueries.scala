@@ -401,4 +401,16 @@ object TpchQueries {
     * recorded number per round. */
   def pricingSummaryFast(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.GraftEngine.cachedForDir(s, dir).sql(fastMoney(sql("h01_pricing_summary")))
+
+  /** The h-queries whose runtime is most dominated by exact-decimal
+    * money sums (lineitem-volume aggregates), benched in BOTH modes so
+    * the production-vs-oracle-discipline ratio is a recorded number per
+    * round, not a one-off footnote. */
+  val decimalBound: Seq[String] = Seq(
+    "h01_pricing_summary", "h08_market_share", "h09_product_profit",
+    "h17_small_qty_revenue", "h18_large_volume")
+
+  /** Any h-query in production (double-sum) mode. */
+  def fastQuery(name: String)(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.GraftEngine.cachedForDir(s, dir).sql(fastMoney(sql(name)))
 }

@@ -22,19 +22,20 @@ class FastMathSpec extends SparkSpec {
     }
   }
 
-  test("fast h01 matches exact h01 within 1e-9 relative on every measure") {
+  test("every decimal-bound fast query matches its exact twin within 1e-9") {
     val e = GraftEngine.cachedForDir(spark, sfDir)
-    val exact = e.sql(TpchQueries.sql("h01_pricing_summary")).collect()
-    val fast = TpchQueries.pricingSummaryFast(spark, sfDir).collect()
-    assert(exact.length == fast.length && exact.nonEmpty)
-    exact.zip(fast).foreach { case (a, b) =>
-      assert(a.getString(0) == b.getString(0) && a.getString(1) == b.getString(1))
-      (2 until a.length).foreach { i =>
-        (a.get(i), b.get(i)) match {
-          case (x: Double, y: Double) =>
-            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
-              s"col $i diverged beyond float noise: exact=$x fast=$y")
-          case (x, y) => assert(x == y, s"col $i: $x != $y")
+    TpchQueries.decimalBound.foreach { name =>
+      val exact = e.sql(TpchQueries.sql(name)).collect()
+      val fast = TpchQueries.fastQuery(name)(spark, sfDir).collect()
+      assert(exact.length == fast.length && exact.nonEmpty, s"$name row mismatch")
+      exact.zip(fast).foreach { case (a, b) =>
+        (0 until a.length).foreach { i =>
+          (a.get(i), b.get(i)) match {
+            case (x: Double, y: Double) =>
+              assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+                s"$name col $i diverged beyond float noise: exact=$x fast=$y")
+            case (x, y) => assert(x == y, s"$name col $i: $x != $y")
+          }
         }
       }
     }
