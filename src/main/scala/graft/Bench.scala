@@ -123,11 +123,18 @@ object Bench {
       // are still descending by >30% — a transient co-tenant episode
       // that hits both baseline passes (the r5 driver-bench failure
       // shape: contiguous 4–22× blocks) then costs one more pass, not
-      // the query's reported number. Converged queries never pay.
+      // the query's reported number — OR while the last pass is an
+      // ASCENDING outlier (>1.5× the min so far): an episode starting
+      // mid-query would otherwise freeze a slow pair as the report
+      // (r7 observed m01 at [3.6s, 6.7s] vs 1.6s steady — the old
+      // descending-only rule stopped exactly when another pass would
+      // have recovered the real number). Converged queries never pay.
       val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
       var ok = warm.isDefined
-      while (ok && (passes.size < 2 ||
-          (passes.size < 4 && passes.last.sec < 0.7 * passes.init.map(_.sec).min))) {
+      while (ok && (passes.size < 2 || (passes.size < 4 && {
+          val prevMin = passes.init.map(_.sec).min
+          passes.last.sec < 0.7 * prevMin || passes.last.sec > 1.5 * prevMin
+        }))) {
         runOnce(n, q) match {
           case Some(p) => passes += p
           case None => ok = false
