@@ -67,6 +67,32 @@ object Bench {
   /** One timed execution: (wallSec, gcDeltaMs). */
   private case class Pass(sec: Double, gcMs: Long)
 
+  /** Per-query keys shortened to their unique suite prefix ("q01",
+    * "q06a"; fast-mode entries "h01f"). A colliding prefix falls back
+    * to the full name — parse safety beats brevity. */
+  def shortKeys(names: Seq[String]): Map[String, String] = {
+    val base = names.map { n =>
+      n -> (if (n.endsWith("_fast_double")) n.take(3) + "f"
+            else n.takeWhile(_ != '_'))
+    }.toMap
+    val counts = base.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    base.map { case (full0, s) => full0 -> (if (counts(s) > 1) full0 else s) }
+  }
+
+  /** The LAST stdout line: short keys, 3-decimal values, so the whole
+    * line fits the driver artifact's 2000-char stdout tail (with room
+    * for the sbt "[success]" footer that follows it). BenchLineSpec
+    * pins the invariant against the full real query inventory. */
+  def compactLine(entries: Seq[(String, Double)], total: Double,
+      failed: Int, sfDir: String): String = {
+    val keys = shortKeys(entries.map(_._1))
+    val qsShort = entries
+      .map { case (k, v) => "\"" + keys(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,""" +
+      s""""failed":$failed,"sf":"$sfDir","legend":"BENCH_LOCAL.json"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -191,30 +217,14 @@ object Bench {
     // The driver's bench artifact stores (and parses from) only the LAST
     // 2000 chars of stdout; the full-name full-precision line above is
     // ~4000 chars, so every past round's artifact recorded parsed:null
-    // (BENCH_r01–r06). Emit a LAST line that actually fits the window:
-    // per-query keys shortened to their unique suite prefix ("q01",
-    // "q06a", "h01f"), values at 3 decimals (~1650 chars total). The
-    // short→full legend and full precision live in BENCH_LOCAL.json,
-    // which is committed per round as the primary artifact.
-    val shortKeys: Map[String, String] = {
-      val base = (results ++ fastEntries).map(_._1).map { n =>
-        n -> (if (n.endsWith("_fast_double")) n.take(3) + "f"
-              else n.takeWhile(_ != '_'))
-      }.toMap
-      // a colliding prefix falls back to the full name — parse safety
-      // beats brevity (currently no collisions: fast-mode entries get a
-      // "f" suffix, and every suite id q01/q06a/d01/… is unique)
-      val counts = base.values.groupBy(identity).map { case (k, v) => k -> v.size }
-      base.map { case (full0, s) => full0 -> (if (counts(s) > 1) full0 else s) }
-    }
-    val qsShort = (results ++ fastEntries)
-      .map { case (k, v) => "\"" + shortKeys(k) + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,""" +
-        s""""failed":$failed,"sf":"$sfDir","legend":"BENCH_LOCAL.json"}"""
+    // (BENCH_r01–r06). Emit a LAST line that actually fits the window
+    // (see compactLine; BenchLineSpec pins the size invariant against
+    // the real query inventory). The short→full legend and full
+    // precision live in BENCH_LOCAL.json, committed per round as the
+    // primary artifact.
+    val compact = compactLine(results ++ fastEntries, total, failed, sfDir)
     println(compact)
-    val legendJson = shortKeys.toSeq.sortBy(_._1)
+    val legendJson = shortKeys((results ++ fastEntries).map(_._1)).toSeq.sortBy(_._1)
       .map { case (full0, s) => "\"" + s + "\":\"" + full0 + "\"" }
       .mkString("{", ",", "}")
     val detailJson = detail.map { case (k, v) => "\"" + k + "\":" + v }

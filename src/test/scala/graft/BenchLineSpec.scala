@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the stdout contract the driver's bench artifact depends on.
+  *
+  * The artifact keeps only the LAST 2000 characters of stdout and
+  * parses the bench JSON out of that window; rounds 1–6 all recorded
+  * `parsed: null` because the full-name line never fit. The compact
+  * final line exists to fit — this spec fails if query-inventory
+  * growth ever pushes it back over the window (minus ~100 chars for
+  * the sbt `[success]` footer that lands after it).
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def allBenchNames: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted ++
+      graft.queries.TpchQueries.decimalBound.map(_.take(3) + "_fast_double")
+
+  test("compact bench line fits the driver's 2000-char stdout tail") {
+    // worst-case widths: every query slow (3 int digits) and a long sf dir
+    val entries = allBenchNames.map(_ -> 999.999)
+    val line = Bench.compactLine(entries, 99999.999, 114, "/root/testdata/sf0.1")
+    assert(line.length <= 1900,
+      s"compact line is ${line.length} chars — no longer fits the driver's " +
+        "2000-char tail with footer headroom; shorten keys or values")
+  }
+
+  test("short keys are unique and structurally valid JSON keys") {
+    val keys = Bench.shortKeys(allBenchNames)
+    assert(keys.values.toSeq.distinct.size == keys.size, "short-key collision")
+    keys.values.foreach(k => assert(k.matches("[A-Za-z0-9_]+"), s"odd key $k"))
+    // suite prefixes stay recognizable: q06a keeps its letter suffix,
+    // fast-mode entries carry the f marker
+    assert(keys("q06a_join_left") == "q06a")
+    assert(keys("h01_fast_double") == "h01f")
+    assert(keys("h01_pricing_summary") == "h01")
+  }
+
+  test("compact line is balanced and single-line") {
+    val entries = allBenchNames.map(_ -> 1.234)
+    val line = Bench.compactLine(entries, 140.5, 0, "/root/testdata/sf0.1")
+    assert(!line.contains("\n"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.startsWith("""{"metric":"total","value":140.500"""))
+    assert(line.endsWith(""""legend":"BENCH_LOCAL.json"}"""))
+    // every value rendered with exactly 3 decimals — no 17-digit doubles
+    assert(!line.matches(""".*\d\.\d{4,}.*"""), "unrounded double leaked in")
+  }
+}
