@@ -6,6 +6,10 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 class CoreQueriesSpec extends SparkSpec {
 
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every core query runs and returns rows on sf0.001") {
     CoreQueries.defs.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
