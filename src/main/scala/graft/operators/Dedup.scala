@@ -376,6 +376,40 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_shared"))
   }
 
+  /** Span-LEVEL decontamination: for each corpus document, the verbatim
+    * [[WindowTokens]]-token spans it shares with a benchmark set, as
+    * contiguous-run statistics. [[decontaminate]] (d07) flags that a doc
+    * overlaps the benchmark at all; this localizes the overlap to spans
+    * (how many, how long) so a pipeline can excise or down-weigh the
+    * leaked text instead of dropping the whole document — the
+    * eval-leakage audit at span granularity.
+    *
+    * Scale shape: the benchmark's distinct window hashes are BROADCAST
+    * (benchmark suites are small by definition), so the corpus streams
+    * map-side through the hash join and is never shuffled by window
+    * hash; the only corpus shuffle is the per-document run-assembly
+    * window, keyed by doc_id with rows bounded by each doc's hit count.
+    * Runs via the same gaps-and-islands construction as
+    * [[substringSpanPairs]]: k consecutive hit positions = one shared
+    * span of k + w - 1 tokens. */
+  def spanDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      w: Int = WindowTokens): DataFrame = {
+    val benchWh = tokenWindows(benchmark, w).select(col("wh")).distinct()
+    val hits = tokenWindows(corpus, w)
+      .join(broadcast(benchWh), "wh")
+      .select(col("doc_id"), col("pos")).distinct()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("run")).as("shared_windows"),
+        (max(col("run")) + w - 1).as("longest_span"))
+  }
+
   // ---- d03: SimHash -------------------------------------------------------
 
   val SimhashPrefixBits = 16

@@ -121,6 +121,18 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // d11: span-level decontamination — WHERE inside each training doc
+    // the benchmark's text leaks, as contiguous verbatim spans (d07
+    // answers "is this doc contaminated"; d11 answers "which spans, how
+    // long" so the pipeline can excise rather than drop)
+    "d11_span_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.spanDecontaminate(
+        corpus = docs.filter(col("doc_id") >= BenchmarkDocs),
+        benchmark = docs.filter(col("doc_id") < BenchmarkDocs))
+        .orderBy("doc_id")
+    }),
+
     // d09: incremental ingest — even doc_ids act as the existing corpus
     // (its LSH band index would be a stored table at scale), odd doc_ids
     // as the incoming batch; admitted = near-dup of neither corpus nor
@@ -250,6 +262,27 @@ object DedupQueries {
          |SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS shared_windows,
          |  CAST(MAX(run) + $w - 1 AS BIGINT) AS longest_span
          |FROM agg GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "d11_span_decontam" -> {
+      val w = Dedup.WindowTokens
+      s"""WITH w AS (SELECT doc_id, $sqlWordsE AS w FROM documents),
+         |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    md5(array_to_string(w[i+1:i+$w], ' ')) AS wh
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - $w + 1)) AS i
+         |        FROM w WHERE len(w) >= $w)),
+         |bench AS (SELECT DISTINCT wh FROM wins WHERE doc_id < $BenchmarkDocs),
+         |hits AS (SELECT DISTINCT doc_id, pos FROM wins
+         |  WHERE doc_id >= $BenchmarkDocs AND wh IN (SELECT wh FROM bench)),
+         |runs AS (SELECT doc_id,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM hits),
+         |spans AS (SELECT doc_id, island, COUNT(*) AS run
+         |  FROM runs GROUP BY 1, 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(run) AS BIGINT) AS shared_windows,
+         |  CAST(MAX(run) + $w - 1 AS BIGINT) AS longest_span
+         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // signatures are per-doc independent, so banding all documents once

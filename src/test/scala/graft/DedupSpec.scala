@@ -167,4 +167,37 @@ class DedupSpec extends SparkSpec {
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide.subsetOf(narrow))
   }
+
+  test("d11 span decontamination recovers exact span lengths and counts") {
+    import spark.implicits._
+    // benchmark doc 0 = 12 known tokens; corpus doc 10 embeds them
+    // verbatim (w=10 → 3 consecutive shared windows → span = 12 tokens)
+    // in two places separated by fresh text; doc 11 shares nothing
+    val benchTokens = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val fresh = (1 to 15).map(i => s"fresh$i").mkString(" ")
+    val other = (1 to 15).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (0L, benchTokens),
+      (10L, s"$fresh $benchTokens $other $benchTokens $fresh"),
+      (11L, s"$other $fresh")).toDF("doc_id", "text")
+    val res = Dedup.spanDecontaminate(
+        corpus = docs.filter(col("doc_id") >= 10), benchmark = docs.filter(col("doc_id") < 10))
+      .collect()
+    assert(res.length == 1 && res.head.getLong(0) == 10L, "only doc 10 is contaminated")
+    assert(res.head.getAs[Long]("n_spans") == 2)
+    assert(res.head.getAs[Long]("longest_span") == 12)
+    assert(res.head.getAs[Long]("shared_windows") == 6) // 3 windows x 2 spans
+  }
+
+  test("d11 plan broadcasts the benchmark and never shuffles the corpus by hash") {
+    val d = docs
+    val df = Dedup.spanDecontaminate(
+      corpus = d.filter(col("doc_id") >= DedupQueries.BenchmarkDocs),
+      benchmark = d.filter(col("doc_id") < DedupQueries.BenchmarkDocs))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle on the window hash:\n$plan")
+    df.write.format("noop").mode("overwrite").save() // runs end-to-end on real docs
+  }
 }
