@@ -88,7 +88,13 @@ object PlanAudit {
       "COUNT over a word-partitioned window on the tf aggregate instead of a " +
       "groupBy(word)+self-join, which evaluated the whole explode→groupBy " +
       "subtree twice. Per-word window partitions are Zipf-bounded by n_docs; " +
-      "per-doc top-3 stays WindowGroupLimit."))
+      "per-doc top-3 stays WindowGroupLimit."),
+    "d11_span_decontam" -> ("Span-level benchmark decontamination: the " +
+      "benchmark's distinct window hashes BROADCAST (bench suites are small " +
+      "by definition), so the corpus streams map-side through the hash join " +
+      "and is never shuffled by window hash; the only corpus shuffle is the " +
+      "doc_id-keyed run-assembly window, rows bounded by per-doc hit count. " +
+      "No self-join anywhere — cheaper than d10 by construction."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
