@@ -81,6 +81,23 @@ class FixtureDriftSpec extends SparkSpec {
     assert(fromTz == micros / 1000000L, "timestamp vintage changed by pass-through")
   }
 
+  test("normalized temporal values land in a sane epoch range (unit-drift canary)") {
+    // a schema-level check cannot catch UNIT drift: if a future fixture
+    // stored epoch-seconds in a long ts column, the nanos rebuild would
+    // read as ~1970 while every query still "works". Pin the decade.
+    val evYears = Ops.events(spark, sfDir)
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
+    assert(evYears.getInt(0) >= 2015 && evYears.getInt(1) <= 2035,
+      s"FIXTURE DRIFT: events.ts normalizes to years ${evYears.getInt(0)}–" +
+        s"${evYears.getInt(1)} — check the physical unit of the ts column")
+    val shipYears = Ops.t(spark, sfDir, "lineitem")
+      .agg(min(year(col("l_shipdate"))).as("lo"), max(year(col("l_shipdate"))).as("hi")).head()
+    assert(shipYears.getInt(0) >= 1990 && shipYears.getInt(1) <= 2005,
+      s"FIXTURE DRIFT: l_shipdate spans ${shipYears.getInt(0)}–" +
+        s"${shipYears.getInt(1)} — outside the TPC-H date range the " +
+        "h-suite's literal predicates assume")
+  }
+
   test("catalog SQL surface sees the normalized events ts (engine view)") {
     val e = GraftEngine.forDir(spark, sfDir)
     val viaSql = e.sql("SELECT ts FROM events").schema("ts").dataType
