@@ -24,6 +24,10 @@ object TextQueries {
     * identical CASE shape in the DuckDB twin so ties break the same. */
   private val langs = Stopwords.map(_._1)
 
+  /** t11 bigram-frequency floor: prunes the Zipf tail before the PMI
+    * joins (rare bigrams have degenerate PMI and dominate the vocab). */
+  val MinBigramFreq = 5
+
   val defs: Map[String, Q] = Map(
     // #25 language-ID: stopword-hit argmax (rows stay put; one scan)
     "t01_langid" -> ((s, dir) => {
@@ -86,6 +90,44 @@ object TextQueries {
         .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("freq").desc, col("word"))
         .limit(100)),
+
+    // t11 PMI collocations: bigrams ranked by pointwise mutual
+    // information — log((P(ab)) / (P(a)·P(b))) over corpus token
+    // probabilities — the multiword-expression/collocation miner a
+    // tokenizer or phrase-vocab build runs after t07's unigram pass.
+    // Scale shape: bigram generation is a generator inside the scan
+    // stage; both count aggregates get map-side partials so the
+    // shuffles are vocabulary-sized; the two unigram joins are left
+    // unhinted (AQE picks broadcast vs shuffle by actual vocab size);
+    // the corpus total is a one-row broadcast; the freq floor prunes
+    // the Zipf tail BEFORE the joins; top-k is TakeOrderedAndProject.
+    // All-integer inputs into one identically-parenthesized double
+    // expression → IEEE-754-identical PMI in both engines at 6 dp.
+    "t11_collocations" -> ((s, dir) => {
+      val toksW = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+      val uni = toksW.select(explode(col("w")).as("word"))
+      val uf = uni.groupBy("word").agg(count(lit(1)).as("uf"))
+      val total = uni.select(count(lit(1)).as("n_total"))
+      val bi = toksW.filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+            element_at(col("w"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= MinBigramFreq)
+      bi
+        .join(uf.select(col("word").as("w1"), col("uf").as("uf1")), "w1")
+        .join(uf.select(col("word").as("w2"), col("uf").as("uf2")), "w2")
+        .crossJoin(broadcast(total))
+        .withColumn("pmi", round(log(
+          (col("freq").cast("double") * col("n_total").cast("double")) /
+            (col("uf1").cast("double") * col("uf2").cast("double"))), 6))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("freq"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(100)
+    }),
 
     // t08 TF-IDF keyword extraction: top-3 highest-scoring terms per
     // document. Term frequencies shuffle once on (doc, word), document
@@ -329,6 +371,25 @@ object TextQueries {
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
          |FROM (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents)
          |GROUP BY word ORDER BY freq DESC, word LIMIT 100""".stripMargin,
+
+    "t11_collocations" ->
+      s"""WITH w AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS word FROM w),
+         |uf AS (SELECT word, COUNT(*) AS uf FROM uni GROUP BY word),
+         |tot AS (SELECT COUNT(*) AS n_total FROM uni),
+         |bi AS (SELECT w[i+1] AS w1, w[i+2] AS w2
+         |  FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i
+         |        FROM w WHERE len(w) >= 2)),
+         |bf AS (SELECT w1, w2, COUNT(*) AS freq FROM bi
+         |  GROUP BY w1, w2 HAVING COUNT(*) >= $MinBigramFreq)
+         |SELECT bf.w1 || ' ' || bf.w2 AS bigram, bf.freq,
+         |  round(ln((CAST(bf.freq AS DOUBLE) * CAST(tot.n_total AS DOUBLE)) /
+         |    (CAST(u1.uf AS DOUBLE) * CAST(u2.uf AS DOUBLE))), 6) AS pmi
+         |FROM bf
+         |JOIN uf u1 ON bf.w1 = u1.word
+         |JOIN uf u2 ON bf.w2 = u2.word
+         |CROSS JOIN tot
+         |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin,
 
     "t06_repetition" ->
       s"""SELECT doc_id,

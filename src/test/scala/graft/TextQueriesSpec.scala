@@ -8,8 +8,9 @@ class TextQueriesSpec extends SparkSpec {
 
   test("every per-doc text query runs and returns one row per document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    // t07/t08 aggregate across docs; t09 is a filter by design
-    (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate").foreach { case (name, fn) =>
+    // t07/t08/t11 aggregate across docs; t09 is a filter by design
+    (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate" -
+        "t11_collocations").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
   }
@@ -99,5 +100,31 @@ class TextQueriesSpec extends SparkSpec {
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, s"$name has $exchanges exchanges:\n$plan")
     }
+  }
+
+  test("t11 PMI: an always-together pair outranks an independent pair, exact value") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // "alpha beta" always co-occur (5 times, nowhere else); "gamma" and
+    // "delta" each appear 10 times but adjacent only 5 — PMI must rank
+    // the perfectly-associated pair first. Filler words keep totals easy.
+    // .trim: the shared split-on-space tokenizer (oracle-identical)
+    // yields a trailing empty token from a trailing space, which would
+    // shift T to 41 and every PMI with it
+    val doc = (("alpha beta gamma delta " * 5) + ("gamma x delta y " * 5)).trim
+    val docsDf = Seq((0L, doc)).toDF("doc_id", "text")
+    val tmp = new java.io.File("target/tmp/t11").getAbsolutePath
+    docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val res = TextQueries.defs("t11_collocations")(spark, tmp).collect()
+    val byBigram = res.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus totals: alpha=5 beta=5 gamma=10 delta=10 x=5 y=5 → T=40
+    // "alpha beta": freq 5 → pmi = ln(5*40/(5*5)) = ln(8)
+    assert(byBigram.contains("alpha beta"))
+    assert(math.abs(byBigram("alpha beta")._2 - math.round(math.log(8.0) * 1e6) / 1e6) < 1e-9)
+    // "gamma delta": freq 5 → pmi = ln(5*40/(10*10)) = ln(2) — lower
+    assert(byBigram.contains("gamma delta"))
+    assert(byBigram("alpha beta")._2 > byBigram("gamma delta")._2)
+    // ranked output puts the associated pair first
+    assert(res.head.getString(0) == "alpha beta")
   }
 }
