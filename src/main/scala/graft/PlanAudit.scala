@@ -94,7 +94,14 @@ object PlanAudit {
       "by definition), so the corpus streams map-side through the hash join " +
       "and is never shuffled by window hash; the only corpus shuffle is the " +
       "doc_id-keyed run-assembly window, rows bounded by per-doc hit count. " +
-      "No self-join anywhere — cheaper than d10 by construction."))
+      "No self-join anywhere — cheaper than d10 by construction."),
+    "t11_collocations" -> ("PMI collocation mining: bigram generation is a " +
+      "generator inside the scan stage; bigram and unigram counts both take " +
+      "map-side partial aggregates (vocabulary-sized shuffles, never " +
+      "corpus-sized); the freq floor prunes the Zipf tail BEFORE the two " +
+      "unigram joins (unhinted — AQE picks broadcast vs shuffle by real " +
+      "vocab size); corpus total is a one-row broadcast; top-100 plans as " +
+      "TakeOrderedAndProject."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
