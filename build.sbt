@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: the artifact parses the bench JSON out of the
+// last 2000 chars of stdout. With the default LoggedOutput strategy the
+// forked JVM's stdout is re-emitted through sbt's logger as
+// "[info] {...}" — the prefix defeats the JSON parse (BENCH_r07:
+// parsed null even though the compact line fit the tail). StdoutOutput
+// passes the child's stdout through verbatim; showSuccess drops the
+// trailing "[success] Total time ..." footer so the compact line is the
+// actual last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-setting lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,12 +67,23 @@ object Bench {
   /** One timed execution: (wallSec, gcDeltaMs). */
   private case class Pass(sec: Double, gcMs: Long)
 
+  /** Fixed-decimal render pinned to Locale.ROOT: the scala `f`
+    * interpolator formats with the JVM default locale, so under e.g. a
+    * de_DE default the decimal point becomes a comma and the final
+    * stdout line is no longer valid JSON — the exact failure the
+    * compact-line contract exists to prevent. */
+  private[graft] def num(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
   /** Per-query keys shortened to their unique suite prefix ("q01",
-    * "q06a"; fast-mode entries "h01f"). A colliding prefix falls back
-    * to the full name — parse safety beats brevity. */
+    * "q06a"; fast-mode entries "h01f"). The prefix is derived
+    * structurally (up to the first underscore) for BOTH forms, so a
+    * future fast entry on a longer-prefixed query (q06a) shortens
+    * correctly instead of silently colliding. A colliding prefix
+    * falls back to the full name — parse safety beats brevity. */
   def shortKeys(names: Seq[String]): Map[String, String] = {
     val base = names.map { n =>
-      n -> (if (n.endsWith("_fast_double")) n.take(3) + "f"
+      n -> (if (n.endsWith("_fast_double")) n.takeWhile(_ != '_') + "f"
             else n.takeWhile(_ != '_'))
     }.toMap
     val counts = base.values.groupBy(identity).map { case (k, v) => k -> v.size }
@@ -87,9 +98,9 @@ object Bench {
       failed: Int, sfDir: String): String = {
     val keys = shortKeys(entries.map(_._1))
     val qsShort = entries
-      .map { case (k, v) => "\"" + keys(k) + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + keys(k) + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,""" +
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qsShort,""" +
       s""""failed":$failed,"sf":"$sfDir","legend":"BENCH_LOCAL.json"}"""
   }
 
@@ -169,9 +180,9 @@ object Bench {
       releaseTransientStorage()
       val heap = heapUsedMb()
       val best = if (ok && passes.nonEmpty) passes.map(_.sec).min else -1.0
-      def f(p: Option[Pass]) = p.map(x => f"${x.sec}%.4f").getOrElse("-1")
+      def f(p: Option[Pass]) = p.map(x => num(x.sec, 4)).getOrElse("-1")
       def g(p: Option[Pass]) = p.map(_.gcMs.toString).getOrElse("-1")
-      val passJson = passes.map(p => f"""[${p.sec}%.4f,${p.gcMs}]""")
+      val passJson = passes.map(p => s"[${num(p.sec, 4)},${p.gcMs}]")
         .mkString("[", ",", "]")
       detail(n) =
         s"""{"ts":$ts,"warm":${f(warm)},"passes":$passJson,""" +
@@ -190,7 +201,7 @@ object Bench {
     // rtol vs exact).
     val fastEntries: Seq[(String, Double)] =
       graft.queries.TpchQueries.decimalBound.map { full0 =>
-        val key = full0.take(3) + "_fast_double"
+        val key = full0.takeWhile(_ != '_') + "_fast_double"
         val run = graft.queries.TpchQueries.fastQuery(full0) _
         val warm = runOnce(key, run)
         val p1 = if (warm.isDefined) runOnce(key, run) else None

@@ -42,7 +42,7 @@ object RecallProbe {
       val t0 = System.nanoTime()
       val r = Similarity.recallAtK(df, truth)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$op","$param":$v,"recall_at_10":$r%.3f,"sec":$sec%.2f}""")
+      println(s"""{"op":"$op","$param":$v,"recall_at_10":${Bench.num(r, 3)},"sec":${Bench.num(sec, 2)}}""")
     }
 
     Seq(1, 2, 4).foreach(p =>

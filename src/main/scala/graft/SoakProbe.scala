@@ -99,7 +99,7 @@ object SoakProbe {
       val mid = peak(1.0 / 3, 2.0 / 3)
       val fin = peak(2.0 / 3, 1.0)
       val growth = if (mid == 0) Double.NaN else (fin - mid).toDouble / mid
-      println(f"""{"op":"$op","peak_rows_mid":$mid,"peak_rows_final":$fin,"final_vs_mid_growth":$growth%.3f,"soak_sec":$horizon,"plateau":${growth < 0.2}}""")
+      println(s"""{"op":"$op","peak_rows_mid":$mid,"peak_rows_final":$fin,"final_vs_mid_growth":${Bench.num(growth, 3)},"soak_sec":$horizon,"plateau":${growth < 0.2}}""")
     }
     spark.stop()
   }

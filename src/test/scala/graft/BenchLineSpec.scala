@@ -15,7 +15,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   private def allBenchNames: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted ++
-      graft.queries.TpchQueries.decimalBound.map(_.take(3) + "_fast_double")
+      graft.queries.TpchQueries.decimalBound.map(_.takeWhile(_ != '_') + "_fast_double")
 
   test("compact bench line fits the driver's 2000-char stdout tail") {
     // worst-case widths: every query slow (3 int digits) and a long sf dir
@@ -46,5 +46,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.endsWith(""""legend":"BENCH_LOCAL.json"}"""))
     // every value rendered with exactly 3 decimals — no 17-digit doubles
     assert(!line.matches(""".*\d\.\d{4,}.*"""), "unrounded double leaked in")
+  }
+
+  test("compact line stays valid JSON under a comma-decimal locale") {
+    // The scala `f` interpolator formats with the JVM default locale;
+    // a de_DE default would turn 1.234 into "1,234" and break the
+    // driver's JSON parse. compactLine must pin Locale.ROOT.
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.compactLine(Seq("q01_scan_project" -> 1.234), 1.234, 0, "/d")
+      assert(line.contains(""""q01":1.234"""), line)
+      assert(line.contains(""""value":1.234"""), line)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("fast-mode short keys derive structurally for any prefix length") {
+    val keys = Bench.shortKeys(Seq("q06a_join_left", "q06a_fast_double"))
+    assert(keys("q06a_fast_double") == "q06af")
+    assert(keys("q06a_join_left") == "q06a")
   }
 }
