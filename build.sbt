@@ -45,4 +45,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench showed contiguous GC-pressure episodes. The container has
   // 128 GiB; give the forked JVM real headroom by default.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 116 queries' whole-stage codegen emits thousands of generated
+  // classes in one JVM; the 240m default code cache is marginal for
+  // that volume, and a full code cache disables the JIT silently —
+  // the one intra-JVM cause of a multi-query slowdown burst that GC
+  // and heap instrumentation can't see. Headroom costs nothing.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -213,10 +213,40 @@ object Bench {
         })
       }
 
-    val qs = (results ++ fastEntries).map { case (k, v) => "\"" + k + "\":" + v }
+    // Revisit sweep (round 8): the r7 driver run showed recurring
+    // 10-45s external-contention bursts (flat GC, 4%-used heap, warm
+    // page cache, host load ~2/32 — and NOT reproducible at the same
+    // heap size afterwards). When a burst outlasts all adaptive passes
+    // (h04/h21/h22/m01/m02/t08 ran 2-5x steady in EVERY pass), the
+    // reported min stays inflated. Re-time the slowest queries once
+    // more at the END of the run — 100-300s of temporal distance
+    // decorrelates the measurement from any episode that covered the
+    // query's original window; min() keeps the old number if the
+    // revisit itself lands in a burst. Cost ≈ the steady times of the
+    // slow decile, ~10-15s at sf0.1.
+    val revisitSecs = scala.collection.mutable.Map.empty[String, Double]
+    val revisited = {
+      val suspects = results.filter(_._2 >= 0.8).sortBy(-_._2).take(12).map(_._1).toSet
+      results.map { case (n, best) =>
+        if (!suspects(n)) n -> best
+        else runOnce(n, SparkEntry.queries(n)) match {
+          case Some(p) =>
+            releaseTransientStorage()
+            revisitSecs(n) = p.sec
+            n -> math.min(best, p.sec)
+          case None => releaseTransientStorage(); n -> best
+        }
+      }
+    }
+    revisitSecs.foreach { case (n, sec) =>
+      // splice the revisit observation into the per-query detail record
+      detail(n) = detail(n).dropRight(1) + s""","revisit":${num(sec, 4)}}"""
+    }
+
+    val qs = (revisited ++ fastEntries).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
+    val total = revisited.map(_._2).filter(_ >= 0).sum
+    val failed = revisited.count(_._2 < 0)
     val heapMax = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val envJson =
       s"""{"cpus":$cpus,"heapMaxMb":$heapMax,"gcTotalMs":${gcMillis()},""" +
@@ -233,9 +263,9 @@ object Bench {
     // the real query inventory). The short→full legend and full
     // precision live in BENCH_LOCAL.json, committed per round as the
     // primary artifact.
-    val compact = compactLine(results ++ fastEntries, total, failed, sfDir)
+    val compact = compactLine(revisited ++ fastEntries, total, failed, sfDir)
     println(compact)
-    val legendJson = shortKeys((results ++ fastEntries).map(_._1)).toSeq.sortBy(_._1)
+    val legendJson = shortKeys((revisited ++ fastEntries).map(_._1)).toSeq.sortBy(_._1)
       .map { case (full0, s) => "\"" + s + "\":\"" + full0 + "\"" }
       .mkString("{", ",", "}")
     val detailJson = detail.map { case (k, v) => "\"" + k + "\":" + v }
