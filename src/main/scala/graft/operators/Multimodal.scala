@@ -274,89 +274,18 @@ object Multimodal {
     * ordinary pushed filter instead of paying the other modalities'
     * decode.
     *
-    * Cache validity (round-4 verdict item 6 + advisor): all probes go
-    * through the Hadoop FileSystem API, so the guard works for
-    * HDFS/S3/file URIs alike — never `java.io.File`, whose answer is
-    * only meaningful on the driver's local disk. A store is trusted
-    * ONLY if its _SUCCESS marker exists AND its recorded SOURCE
-    * FINGERPRINT (md5 over the sorted (path, length, mtime) of every
-    * input file behind `docs`) matches the current source — so
-    * regenerating documents.parquet in place, or two distinct source
-    * dirs colliding onto one cache path, is detected and rewritten
-    * instead of silently serving stale rows. The rebuild lands in a
-    * fresh temp dir and renames into place (atomic on rename-capable
-    * filesystems; on S3 a table-format commit protocol would own this
-    * swap — same caveat as TableLayout.compact). A losing racer
-    * adopts the winner's store iff its fingerprint matches. */
+    * Cache validity, atomic commit, and the concurrent-writer race are
+    * [[graft.sources.ArtifactStore]]'s (the discipline started here in
+    * round 4 — marker + source fingerprint or rebuild — extracted in
+    * round 8 so the ANN centroid index shares it): regenerating
+    * documents.parquet in place, or two distinct source dirs colliding
+    * onto one cache path, is detected and rewritten instead of
+    * silently serving stale rows. */
   def materializeMedia(docs: DataFrame, path: String)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dest = new HPath(path)
-    val fs = dest.getFileSystem(conf)
-    val fp = sourceFingerprint(docs, conf)
-    Multimodal.synchronized {
-      if (!storeValid(fs, dest, fp)) {
-        // loud on purpose (round-6 verdict item 7): a bench/driver run
-        // that spends seconds here is paying STORE REBUILD, not decode —
-        // without this line the two are indistinguishable post-hoc
-        val reason =
-          if (!fs.exists(new HPath(dest, "_SUCCESS"))) "no store"
-          else "source fingerprint changed"
-        System.err.println(
-          s"[graft.multimodal] rebuilding media store at $dest ($reason)")
-        val tmp = new HPath(dest.getParent,
-          s".${dest.getName}_tmp_${System.nanoTime()}")
-        withSyntheticMedia(asMediaTable(docs))
-          .write.mode("overwrite").parquet(tmp.toString)
-        writeFingerprint(fs, tmp, fp) // fingerprint lands before the swap
-        fs.delete(dest, true)
-        if (!fs.rename(tmp, dest)) {
-          fs.delete(tmp, true) // another writer won; adopt its store if valid
-          require(storeValid(fs, dest, fp),
-            s"concurrent media store at $dest does not match the current source")
-        }
-      }
-    }
-    spark.read.parquet(path).as[MediaRecord]
-  }
-
-  private val FingerprintFile = "_graft_source_fp"
-
-  private def storeValid(fs: org.apache.hadoop.fs.FileSystem, dest: HPath,
-      fp: String): Boolean =
-    fs.exists(new HPath(dest, "_SUCCESS")) && {
-      val f = new HPath(dest, FingerprintFile)
-      fs.exists(f) && {
-        val in = fs.open(f)
-        val buf = new ByteArrayOutputStream()
-        try {
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8) == fp
-        } finally in.close()
-      }
-    }
-
-  private def writeFingerprint(fs: org.apache.hadoop.fs.FileSystem,
-      dir: HPath, fp: String): Unit = {
-    val out = fs.create(new HPath(dir, FingerprintFile), true)
-    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** md5 over the sorted (path, length, modification time) of every
-    * file behind `docs` — cheap driver-side metadata reads, no data
-    * scan; any rewrite of the source flips it. */
-  private def sourceFingerprint(docs: DataFrame,
-      conf: org.apache.hadoop.conf.Configuration): String = {
-    val lines = docs.inputFiles.sorted.map { f =>
-      val p = new HPath(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.digest().map("%02x".format(_)).mkString
+    graft.sources.ArtifactStore.getOrBuild(docs, path)(
+      withSyntheticMedia(asMediaTable(docs)).toDF()).as[MediaRecord]
   }
 
   /** m02: frame sampling — every `step`-th frame of each video, one

@@ -242,6 +242,23 @@ object Similarity {
     ivfTopKWith(prepared(embeddings),
       kmeansCentroids(embeddings, nCentroids, iters), queries, k, nProbe)
 
+  /** Train-once PERSISTED k-means index (round-8 verdict item 5): the
+    * committed centroid table at `path` is served as long as its
+    * recorded source fingerprint (embeddings files + training params)
+    * matches; otherwise [[kmeansCentroids]] trains and the result
+    * commits atomically ([[graft.sources.ArtifactStore]]). This is the
+    * honest 100 TB shape — an ANN index is built once on shared
+    * storage and every session (and every query in a session) reuses
+    * it, instead of re-running Lloyd iterations per search. The
+    * returned plan reads the committed FILES, so it survives cache /
+    * checkpoint hygiene sweeps and session restarts alike. */
+  def storedKmeansCentroids(embeddings: DataFrame, path: String,
+      nCentroids: Int = NCentroids, iters: Int = KmeansIters)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.sources.ArtifactStore.getOrBuild(embeddings, path,
+      salt = s"kmeans:$nCentroids:$iters")(
+      kmeansCentroids(embeddings, nCentroids, iters))
+
   /** Probe count for [[annDefault]]: 8 of [[NCentroids]] = 16 cells.
     * On the 500-vector test corpora that is what recall ≥ 0.9 needs
     * (16 centroids over 500 points underfit; measured recall@10 =
@@ -273,8 +290,12 @@ object Similarity {
     * sums in exact decimal over the 6-dp rounded cosines, so the mean
     * is order-independent and oracle-identical. */
   def clusterStats(embeddings: DataFrame, nCentroids: Int = NCentroids,
-      iters: Int = KmeansIters): DataFrame = {
-    val cents = kmeansCentroids(embeddings, nCentroids, iters)
+      iters: Int = KmeansIters): DataFrame =
+    clusterStatsWith(embeddings, kmeansCentroids(embeddings, nCentroids, iters))
+
+  /** [[clusterStats]] against an explicit (e.g. stored — see
+    * [[storedKmeansCentroids]]) centroid table. */
+  def clusterStatsWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
     assignCells(prepared(embeddings), cents)
       .join(broadcast(cents), col("cell") === cents("cent_id"))
       .withColumn("ccos",
@@ -283,7 +304,6 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         (sum(col("ccos").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
           .cast("double") / count(col("ccos"))).as("mean_cos"))
-  }
 
   /** recall@k of an approximate result against the exact one: the mean
     * over queries of |approx ∩ exact| / |exact|. Pure DataFrame compare

@@ -16,12 +16,24 @@ object MultimodalQueries {
   /** Ingest-once media store per sf dir (see
     * [[Multimodal.materializeMedia]]): payloads are encoded ONE time
     * into a parquet media table; the m-queries below decode STORED
-    * bytes — the read-many shape of a real media corpus. */
+    * bytes — the read-many shape of a real media corpus. Lives under
+    * the shared artifact root (GRAFT_STORE_ROOT on a cluster;
+    * java.io.tmpdir fallback locally) next to the ANN index. */
+  def mediaStorePath(dir: String): String =
+    graft.sources.ArtifactStore.pathFor(
+      graft.sources.ArtifactStore.defaultRoot, "media", dir)
+
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
     implicit val spark = s
-    Multimodal.materializeMedia(
-      t(s, dir, "documents"),
-      s"${sys.props("java.io.tmpdir")}/graft_media/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    Multimodal.materializeMedia(t(s, dir, "documents"), mediaStorePath(dir))
+  }
+
+  /** Ingest-or-reuse the media store for `dir` (fingerprint-guarded).
+    * Bench calls this in its UNTIMED prepare step so m-queries measure
+    * decode, not the one-time encode ingest. */
+  def ensureMediaStore(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    media(s, dir)
+    ()
   }
 
   val defs: Map[String, Q] = Map(
