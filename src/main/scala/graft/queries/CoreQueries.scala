@@ -548,8 +548,10 @@ object CoreQueries {
     // error-bounded sketch oracles: the Spark side computes the approx
     // sketch AND the exact value and ships a within-tolerance verdict;
     // DuckDB reproduces the exact columns and asserts the verdicts TRUE.
-    // events.ts is TIMESTAMP(NANOS) read as BIGINT nanos by both engines
-    // — irrelevant here (no time column in the output).
+    // events.ts physical type is fixture-vintage-dependent (plain
+    // micros currently; TIMESTAMP(NANOS)/nanos-as-long historically) —
+    // Ops.normalizeEventTs adapts on read, and it's irrelevant here
+    // anyway (no time column in the output).
     "q19_sketches" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS cnt, TRUE AS users_ok, TRUE AS median_ok

@@ -405,7 +405,17 @@ object TpchQueries {
   /** The h-queries whose runtime is most dominated by exact-decimal
     * money sums (lineitem-volume aggregates), benched in BOTH modes so
     * the production-vs-oracle-discipline ratio is a recorded number per
-    * round, not a one-off footnote. */
+    * round, not a one-off footnote.
+    *
+    * Exactness caveat (round-7 advice): [[fastMoney]] rewrites EVERY
+    * decimal sum, including sums feeding PREDICATES — h17's correlated
+    * `0.2 * avg(l_quantity)` threshold becomes a double compare, so a
+    * row whose quantity sits exactly on the threshold can flip in fast
+    * mode, changing the result SET, not just output rounding.
+    * Acceptable for a bench-only mode (FastMathSpec bounds the observed
+    * drift at 1e-9 relative on the test corpora, which cannot prove the
+    * knife-edge case away at scale); a production deployment that needs
+    * exact predicate semantics keeps threshold-position sums decimal. */
   val decimalBound: Seq[String] = Seq(
     "h01_pricing_summary", "h08_market_share", "h09_product_profit",
     "h17_small_qty_revenue", "h18_large_volume")
