@@ -114,23 +114,116 @@ object TableLayout {
     org.apache.hadoop.fs.FileContext.getFileContext(
       new HPath(tablePath).toUri, spark.sparkContext.hadoopConfiguration)
 
+  /** Schemes whose rename-with-OVERWRITE is atomic (POSIX rename(2)
+    * via the NIO branch; HDFS by contract). Everything else — s3a, gs,
+    * abfs, and the test shim's objstore — commits through the
+    * IMMUTABLE VERSIONED LOG below instead: object stores emulate
+    * rename as copy+delete, which opens a no-manifest window a racing
+    * reader can observe (pinned by ObjectStoreCommitSpec against a
+    * non-atomic-rename FileSystem shim). */
+  private def atomicRenameScheme(scheme: String): Boolean =
+    scheme == null || scheme == "file" || scheme == "hdfs" || scheme == "viewfs"
+
+  private val ManifestLogDir = ".manifest-log"
+  /** Each committed version ends with this terminator line, so a
+    * reader on a store whose writes are NOT atomic-visibility PUTs
+    * (the local-FS emulation in tests) detects a torn entry and falls
+    * back to the previous version. On a real object store PUT is
+    * all-or-nothing and the terminator never triggers. */
+  private val LogEntryEnd = "#commit"
+
   /** The manifest is the table's COMMIT LOG: one committed data-dir
-    * name per line, oldest first, LAST line = current. Every commit
-    * rewrites the whole file (it is tiny — one short line per
-    * snapshot) through the same atomic rename, so the log and the
-    * pointer are one object and can never disagree. Returns the
-    * history, oldest → newest. */
+    * name per line, oldest first, LAST line = current.
+    *
+    * On atomic-rename filesystems every commit rewrites the whole file
+    * (it is tiny — one short line per snapshot) through one atomic
+    * rename, so the log and the pointer are one object and can never
+    * disagree. On object-store schemes the history lives as IMMUTABLE
+    * numbered objects under `.manifest-log/` (one full copy of the
+    * lines per version, newest = highest number, written
+    * create-exclusive — the conditional-PUT recipe every manifest-file
+    * table format uses on S3-class stores); nothing is ever renamed or
+    * overwritten, so there is no window in which a reader can see a
+    * missing pointer. Returns the history, oldest → newest. */
   def snapshots(spark: SparkSession, tablePath: String): Seq[String] = {
     val fc = fcFor(spark, tablePath)
     val mf = new HPath(tablePath, ManifestFile)
-    require(fc.util.exists(mf), s"$tablePath is not a manifest table (no $ManifestFile)")
-    val in = fc.open(mf)
-    val buf = new java.io.ByteArrayOutputStream()
-    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-    finally in.close()
-    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (fc.util.exists(mf)) {
+      val in = fc.open(mf)
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    } else {
+      val fromLog = readNewestLogLines(fc, tablePath)
+      require(fromLog.isDefined,
+        s"$tablePath is not a manifest table (no $ManifestFile, no $ManifestLogDir)")
+      fromLog.get
+    }
   }
+
+  /** Versions present in the log dir, ascending (empty if none). */
+  private def logVersions(fc: org.apache.hadoop.fs.FileContext,
+      tablePath: String): Seq[Long] = {
+    val dir = new HPath(tablePath, ManifestLogDir)
+    if (!fc.util.exists(dir)) Seq.empty
+    else {
+      val it = fc.listStatus(dir)
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.startsWith("v")) vs += n.drop(1).toLong
+      }
+      vs.sorted.toSeq
+    }
+  }
+
+  /** Lines of the newest COMPLETE log version (terminator-checked;
+    * a torn in-flight entry falls back to its predecessor). */
+  private def readNewestLogLines(fc: org.apache.hadoop.fs.FileContext,
+      tablePath: String): Option[Seq[String]] = {
+    val dir = new HPath(tablePath, ManifestLogDir)
+    logVersions(fc, tablePath).reverse.iterator.map { v =>
+      val in = fc.open(new HPath(dir, f"v$v%020d"))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    }.collectFirst {
+      case ls if ls.lastOption.contains(LogEntryEnd) => ls.dropRight(1)
+    }
+  }
+
+  /** One conditional-PUT attempt: create log version `v` EXCLUSIVELY
+    * (no overwrite flag — the create fails if the object exists, which
+    * is the put-if-absent primitive; on real S3/GCS/ABFS this maps to
+    * a conditional PUT / If-None-Match upload, which Hadoop's
+    * committers expose and every log-structured table format relies
+    * on). Returns false on a version collision (another committer won
+    * this number — re-read and retry). */
+  private def tryWriteLogVersion(fc: org.apache.hadoop.fs.FileContext,
+      tablePath: String, v: Long, lines: Seq[String]): Boolean = {
+    val entry = new HPath(new HPath(tablePath, ManifestLogDir), f"v$v%020d")
+    val bytes = (lines :+ LogEntryEnd).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val out = fc.create(entry,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+        org.apache.hadoop.fs.Options.CreateOpts.createParent())
+      try out.write(bytes)
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.toLowerCase.contains("exist") =>
+        false
+    }
+  }
+
+  private val LogCommitRetries = 50
 
   /** The committed data directory of a manifest table — the LAST line
     * of the manifest log. Defined for simple (single-dir) snapshots;
@@ -155,20 +248,57 @@ object TableLayout {
     * external lock (last rename wins), concurrent readers need
     * nothing. */
   private def commitManifest(spark: SparkSession, tablePath: String,
-      dataDirName: String): Unit =
-    writeManifestLines(spark, tablePath, existingSnapshots(spark, tablePath) :+ dataDirName)
+      dataDirName: String): Unit = {
+    val scheme = new HPath(tablePath, ManifestFile).toUri.getScheme
+    if (atomicRenameScheme(scheme))
+      writeManifestLines(spark, tablePath,
+        existingSnapshots(spark, tablePath) :+ dataDirName)
+    else {
+      // log mode: APPEND commit with optimistic concurrency — re-read
+      // the current history on every attempt, so two racing committers
+      // both land (in either order) instead of one silently losing its
+      // read-modify-write (the Delta-on-S3 commit loop)
+      val fc = fcFor(spark, tablePath)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        require(attempt <= LogCommitRetries,
+          s"manifest log commit at $tablePath lost $LogCommitRetries races — aborting")
+        val cur = existingSnapshots(spark, tablePath)
+        val next = logVersions(fc, tablePath).lastOption.getOrElse(-1L) + 1
+        done = tryWriteLogVersion(fc, tablePath, next, cur :+ dataDirName)
+      }
+    }
+  }
 
   private def existingSnapshots(spark: SparkSession, tablePath: String): Seq[String] = {
     val fc = fcFor(spark, tablePath)
     if (fc.util.exists(new HPath(tablePath, ManifestFile)))
       snapshots(spark, tablePath)
-    else Seq.empty
+    else readNewestLogLines(fc, tablePath).getOrElse(Seq.empty)
   }
 
   private def writeManifestLines(spark: SparkSession, tablePath: String,
       lines: Seq[String]): Unit = {
     val mf = new HPath(tablePath, ManifestFile)
     val scheme = mf.toUri.getScheme
+    if (!atomicRenameScheme(scheme)) {
+      // log mode: FULL-REPLACE commit (single-writer operations —
+      // vacuum truncation, partition-scoped snapshot lines): bump the
+      // version until a create-exclusive lands these exact lines
+      val fc = fcFor(spark, tablePath)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        require(attempt <= LogCommitRetries,
+          s"manifest log write at $tablePath lost $LogCommitRetries races — aborting")
+        val next = logVersions(fc, tablePath).lastOption.getOrElse(-1L) + 1
+        done = tryWriteLogVersion(fc, tablePath, next, lines)
+      }
+      return
+    }
     val bytes = lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (scheme == null || scheme == "file") {
       // LOCAL branch runs entirely on java.nio: (a) Hadoop's local
@@ -189,9 +319,9 @@ object TableLayout {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      // HDFS: rename with OVERWRITE is atomic by contract. (Object
-      // stores without atomic rename need a metadata-service commit —
-      // the same caveat every manifest-file table format carries.)
+      // HDFS/viewfs: rename with OVERWRITE is atomic by contract.
+      // (Schemes WITHOUT that contract never reach here — they took
+      // the versioned-log branch above.)
       val fc = fcFor(spark, tablePath)
       val tmp = new HPath(tablePath, s".$ManifestFile.tmp${System.nanoTime()}")
       val out = fc.create(tmp,
@@ -524,6 +654,15 @@ object TableLayout {
     else {
       val (drop, retain) = hist.splitAt(hist.size - keep)
       writeManifestLines(spark, tablePath, retain)
+      // log mode: prune superseded log versions so even the torn-read
+      // fallback can never resolve a snapshot whose dirs this vacuum
+      // is deleting (no-op on atomic-rename schemes — no log dir)
+      locally {
+        val fcp = fcFor(spark, tablePath)
+        val vs = logVersions(fcp, tablePath)
+        vs.dropRight(1).foreach(v => fcp.delete(
+          new HPath(new HPath(tablePath, ManifestLogDir), f"v$v%020d"), false))
+      }
       // REFCOUNTED deletion: partition-scoped snapshots share data
       // dirs (an untouched bucket keeps pointing at its old dir), so
       // only dirs referenced by NO retained snapshot may go
