@@ -201,11 +201,25 @@ final class GraftEngine(val spark: SparkSession,
       // view over the committed FILES also keeps it storage-
       // independent: a cache/checkpoint hygiene sweep cannot kill it
       // (the r5 x04 failure shape).
-      val idx = indexPath.getOrElse(sources.ArtifactStore.pathFor(
-        config.storageRoot, "ann_centroids",
-        registered.getOrElse("embeddings", "embeddings")))
       implicit val s: SparkSession = spark
-      val cents = operators.Similarity.storedKmeansCentroids(embs, idx)
+      val cents =
+        if (embs.inputFiles.isEmpty) {
+          // fileless corpus (in-process/IPC frame): no file identity to
+          // fingerprint, so a SHARED store could silently serve another
+          // corpus's index — train in-session and park the centroids in
+          // a session-private dir instead (storage-independent view,
+          // just not cross-session reusable)
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ann_index")
+            .resolve("centroids").toString
+          operators.Similarity.kmeansCentroids(embs)
+            .write.mode("overwrite").parquet(tmp)
+          spark.read.parquet(tmp)
+        } else {
+          val idx = indexPath.getOrElse(sources.ArtifactStore.pathFor(
+            config.storageRoot, "ann_centroids",
+            registered.getOrElse("embeddings", "embeddings")))
+          operators.Similarity.storedKmeansCentroids(embs, idx)
+        }
       operators.Similarity.ivfTopKWith(
           operators.Similarity.preparedCorpus(embs),
           cents,
