@@ -6,7 +6,11 @@ runs each oracle in DuckDB against the same sf parquet tables, and
 compares: schema (column names), row count, and a value hash computed on
 columns sorted by name and rows sorted by all columns.
 
-Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [reportJson]
+
+The optional third arg writes the per-query verdicts as a JSON file —
+used to commit the sf1 re-certification (selfcheck_sf1.json) each
+round, so the at-scale oracle result is part of the round record.
 """
 import sys, json, glob, os
 import duckdb
@@ -37,12 +41,17 @@ def table_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, report_json=None):
+    report = {}
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (GenScale sf1 output): a DIRECTORY of
+            # part files, vs the driver fixtures' single parquet file
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_noracle = 0
@@ -53,11 +62,13 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output")
+            report[name] = {"status": "fail", "reason": "no parquet output"}
             n_bad += 1
             continue
         got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
         if name not in oracles:
             print(f"----  {name}: rows-only check, rows={len(got)}")
+            report[name] = {"status": "rows-only", "rows": len(got)}
             n_noracle += 1
             continue
         want = canon(con.execute(oracles[name]).fetchdf())
@@ -66,17 +77,25 @@ def main(sf_dir, out_dir):
         ok_hash = ok_cols and ok_rows and table_hash(got) == table_hash(want)
         if ok_hash:
             print(f"PASS  {name}: rows={len(got)}")
+            report[name] = {"status": "pass", "rows": len(got)}
             n_ok += 1
         else:
             n_bad += 1
+            report[name] = {"status": "fail", "rows_got": len(got),
+                            "rows_want": len(want)}
             print(f"FAIL  {name}: cols got={list(got.columns)} want={list(want.columns)} "
                   f"rows got={len(got)} want={len(want)}")
             if ok_cols and ok_rows:
                 diff = (got.astype(str) != want.astype(str)).any(axis=1)
                 print("  first diffs:\n", got[diff].head(3), "\n  vs\n", want[diff].head(3))
     print(f"\n{n_ok} pass, {n_bad} fail, {n_noracle} rows-only")
+    if report_json:
+        with open(report_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "pass": n_ok, "fail": n_bad,
+                       "rows_only": n_noracle, "queries": report}, f, indent=1)
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
