@@ -25,6 +25,14 @@ object PlanAudit {
       "— a shuffled join on the bucket key, no cartesian/nested-loop anywhere."),
     "s01_topk_cosine" -> ("Query side broadcast; per-query top-k is " +
       "`WindowGroupLimit`, so every task forwards only its local top-k before the shuffle."),
+    "s04_ann_kmeans" -> ("k-means IVF search over the STORED index " +
+      "(round 8): the centroid side is a 16-row parquet scan of the " +
+      "committed artifact — NO Lloyd-training subtree (aggregations, " +
+      "checkpoints) appears in the query plan; assignment stays the " +
+      "map-side broadcast fold, the probe join an equi-join on the cell id."),
+    "s05_cluster_stats" -> ("Cluster cartography over the same stored " +
+      "index: one corpus scan, map-side assignment fold, stats as one " +
+      "partial-aggregated groupBy on nCentroids keys."),
     "s03_ann_ivf" -> ("Cell assignment is a map-side fold over the one-row " +
       "broadcast centroid array — the corpus is never hash-partitioned by vec_id."),
     "t03_tokens" -> "Pure map-side projection: a single scan, no Exchange before the output sort.",
