@@ -305,6 +305,49 @@ object Similarity {
         (sum(col("ccos").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
           .cast("double") / count(col("ccos"))).as("mean_cos"))
 
+  /** Symmetric per-vector int8 quantization levels (±127). */
+  val QuantLevels = 127
+
+  /** s06: the corpus in [[prepared]] shape but with each vector
+    * SYMMETRICALLY QUANTIZED to int8 levels (q_i = round(x_i·127/amax),
+    * amax = the vector's abs-max) — the memory-side ANN primitive: a
+    * quantized corpus stores/streams 4× less than float32 (8× less
+    * than float64) per dimension, which at 10⁹ vectors is the
+    * difference between an in-memory scan and a spilled one. Values
+    * stay INTEGER-exact inside doubles, so dot products and norms are
+    * bit-reproducible and the DuckDB oracle replays the identical
+    * quantize→score arithmetic. Zero vectors (amax = 0) are dropped —
+    * they have no direction to search by. */
+  def quantized(embeddings: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    embeddings
+      .select(col("vec_id"), v.as("v0"))
+      .withColumn("amax", array_max(transform(col("v0"), x => abs(x))))
+      .filter(col("amax") > 0)
+      .select(col("vec_id"),
+        transform(col("v0"),
+          x => round(x * QuantLevels / col("amax")).cast("int").cast("double")).as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+  }
+
+  /** s06: brute-force cosine top-k over the QUANTIZED corpus — same
+    * broadcast-query, map-side-score, WindowGroupLimit shape as s01;
+    * only the vector representation changes. Queries are quantized
+    * with their own per-vector scale. QuantizedAnnSpec measures
+    * recall@10 vs the exact s01 ground truth (int8 is a ~1%-grid on
+    * the unit sphere, recall stays ≥ 0.9) and pins the per-element
+    * reconstruction bound amax/254. */
+  def quantizedTopK(embeddings: DataFrame, k: Int = K, nQueries: Int = 5): DataFrame = {
+    val corpus = quantized(embeddings)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+    scored(joined)
+      .withColumn("rank", topk)
+      .filter(col("rank") <= k)
+  }
+
   /** recall@k of an approximate result against the exact one: the mean
     * over queries of |approx ∩ exact| / |exact|. Pure DataFrame compare
     * (semi-join on (query_id, vec_id)); the driver sees ONE double —

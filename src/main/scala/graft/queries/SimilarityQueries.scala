@@ -157,7 +157,14 @@ object SimilarityQueries {
       val e = t(s, dir, "embeddings")
       Similarity.clusterStatsWith(e,
         Similarity.storedKmeansCentroids(e, annIndexPath(dir))).orderBy("cell")
-    }))
+    }),
+
+    // s06: int8-quantized brute-force top-k (§2 #34) — the 4×-smaller
+    // vector representation a 10⁹-vector scan runs on; integer-exact
+    // arithmetic keeps the whole quantize→score chain oracle-matched
+    "s06_ann_quantized" -> ((s, dir) =>
+      Similarity.quantizedTopK(t(s, dir, "embeddings"), nQueries = NQueries)
+        .orderBy("query_id", "rank")))
 
   val oracles: Map[String, String] = Map(
     "s01_topk_cosine" ->
@@ -210,6 +217,36 @@ object SimilarityQueries {
     },
 
     "s04_ann_kmeans" -> kmeansSearchOracle(Similarity.NProbe),
+
+    // s06: replay the identical quantize→score arithmetic — integer
+    // grid values are exact in doubles, so the 6-dp cosine compare
+    // carries no quantization-specific float risk
+    "s06_ann_quantized" -> {
+      val qDot = Ops.sqlListDot("q.qv", "c.v")
+      val qN = Ops.sqlListNorm("q.qv")
+      val cN = Ops.sqlListNorm("c.v")
+      s"""WITH e0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id, list_transform(v0,
+         |    x -> CAST(CAST(round(x * ${Similarity.QuantLevels} / amax) AS INTEGER) AS DOUBLE)) AS v
+         |  FROM (SELECT vec_id, v0,
+         |          list_max(list_transform(v0, x -> abs(x))) AS amax
+         |        FROM e0)
+         |  WHERE amax > 0),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    round($qDot / ($qN * $cN), 6) AS cos
+         |  FROM qz c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cos, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= ${Similarity.K}
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "s05_cluster_stats" ->
       s"""WITH $sqlPrep,

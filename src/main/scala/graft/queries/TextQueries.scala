@@ -28,6 +28,14 @@ object TextQueries {
     * joins (rare bigrams have degenerate PMI and dominate the vocab). */
   val MinBigramFreq = 5
 
+  /** t12 BM25 constants: the standard Robertson k1/b, and a fixed
+    * query-term set drawn from the corpus vocabulary (a retrieval
+    * pass's query is user input — fixed here for the oracle). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("join", "stream", "vector")
+  val Bm25TopK = 20
+
   val defs: Map[String, Q] = Map(
     // #25 language-ID: stopword-hit argmax (rows stay put; one scan)
     "t01_langid" -> ((s, dir) => {
@@ -279,6 +287,47 @@ object TextQueries {
         regexp_count(regexp_replace(aug, EmailPattern, "<EMAIL>"),
           lit(PhonePattern)).as("n_phones"))
         .orderBy("doc_id")
+    }),
+
+    // t12 BM25 retrieval scoring (§2 #35): Okapi BM25 of a fixed query
+    // term set against the corpus — the lexical-retrieval ranking a
+    // curation pipeline uses to pull topic-relevant training docs (and
+    // the baseline any embedding retriever is graded against).
+    // Scale shape: tokens are scanned ONCE; the term filter prunes to
+    // query-term hits BEFORE the (doc,word) aggregate, so the shuffle
+    // carries O(matching docs × |query|) rows, not corpus tokens; df
+    // and the corpus length stats are tiny broadcast aggregates;
+    // top-k plans as TakeOrderedAndProject (no global window).
+    // Float discipline: integer tf/df/dl through one identically-
+    // parenthesized double expression, per-term contributions rounded
+    // to 6 dp then DECIMAL-summed (order-independent, engine-identical
+    // — the t10 pattern).
+    "t12_bm25" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      val stats = toks.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+        .filter(col("word").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("word")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfq), "word")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("contrib", round(
+          col("idf") * (col("tf") * (lit(Bm25K1) + 1.0)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 6))
+        .groupBy("doc_id")
+        .agg(sum(col("contrib").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("score"),
+          count(lit(1)).cast("int").as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(Bm25TopK)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +439,32 @@ object TextQueries {
          |JOIN uf u2 ON bf.w2 = u2.word
          |CROSS JOIN tot
          |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin,
+
+    // t12: identical BM25 arithmetic — integer tf/df/dl, constants
+    // written in the same literal/parenthesis shape the Spark side
+    // evaluates, 6-dp-rounded contributions DECIMAL-summed
+    "t12_bm25" -> {
+      val termsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tl AS (SELECT doc_id, ${sqlWords("text")} AS w,
+         |    len(${sqlWords("text")}) AS dl FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM tl),
+         |tf AS (SELECT doc_id, dl, word, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS word FROM tl)
+         |  WHERE word IN ($termsSql)
+         |  GROUP BY doc_id, dl, word),
+         |dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+         |contrib AS (SELECT t.doc_id,
+         |    round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+         |      (t.tf * ($Bm25K1 + 1.0)) /
+         |      (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * t.dl / s.avgdl)), 6) AS c
+         |  FROM tf t JOIN dfq d USING (word) CROSS JOIN stats s)
+         |SELECT doc_id,
+         |  CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score,
+         |  CAST(COUNT(*) AS INTEGER) AS n_terms
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
 
     "t06_repetition" ->
       s"""SELECT doc_id,
