@@ -305,6 +305,21 @@ object Similarity {
         (sum(col("ccos").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
           .cast("double") / count(col("ccos"))).as("mean_cos"))
 
+  /** s07: admit a NEW embedding batch against the STORED index
+    * WITHOUT retraining — map-side assignment of each arriving vector
+    * to its nearest committed centroid, plus its cohesion score (the
+    * triage signal: a batch landing far from every centroid means the
+    * index no longer covers the distribution and a retrain is due).
+    * The d09 shape for ANN: admission is O(|batch|), the index and the
+    * history corpus are never rescanned — the only index-maintenance
+    * shape that survives continuous ingest at a 10⁹-vector corpus. */
+  def admitBatch(batch: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(prepared(batch), cents)
+      .join(broadcast(cents), col("cell") === cents("cent_id"))
+      .withColumn("ccos",
+        round(Dedup.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .select(col("vec_id"), col("cell"), col("ccos"))
+
   /** Symmetric per-vector int8 quantization levels (±127). */
   val QuantLevels = 127
 

@@ -164,7 +164,20 @@ object SimilarityQueries {
     // arithmetic keeps the whole quantize→score chain oracle-matched
     "s06_ann_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(t(s, dir, "embeddings"), nQueries = NQueries)
-        .orderBy("query_id", "rank")))
+        .orderBy("query_id", "rank")),
+
+    // s07: incremental admission (§2 #36) — a simulated arrival batch
+    // (every 10th vector) assigned to the STORED index map-side:
+    // O(batch) work, the index and history corpus never rescanned —
+    // d09's continuous-ingest discipline applied to ANN
+    "s07_ann_admit" -> ((s, dir) => {
+      implicit val spark = s
+      import org.apache.spark.sql.functions.col
+      val e = t(s, dir, "embeddings")
+      Similarity.admitBatch(e.filter(col("vec_id") % 10 === 7),
+          Similarity.storedKmeansCentroids(e, annIndexPath(dir)))
+        .orderBy("vec_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "s01_topk_cosine" ->
@@ -258,6 +271,18 @@ object SimilarityQueries {
          |SELECT cell, COUNT(*) AS n_vectors,
          |  CAST(SUM(CAST(ccos AS DECIMAL(28,6))) AS DOUBLE) / COUNT(ccos) AS mean_cos
          |FROM coh GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // s07: the oracle's assignF covers ALL vectors; restricting it to
+    // the batch ids reproduces what map-side admission of just the
+    // batch must compute (assignment is per-vector independent)
+    "s07_ann_admit" ->
+      s"""WITH $sqlPrep,
+         |$sqlKmeansChain,
+         |b AS (SELECT vec_id, v, cell FROM assignF WHERE vec_id % 10 = 7)
+         |SELECT b.vec_id, b.cell,
+         |  round(${sqlKmDot("b.v", "c.cv")} / (${norm("b.v")} * ${norm("c.cv")}), 6) AS ccos
+         |FROM b JOIN $cf c ON b.cell = c.cent_id
+         |ORDER BY b.vec_id""".stripMargin,
 
     "s02_ann_lsh" ->
       s"""WITH $sqlPrep,

@@ -68,6 +68,28 @@ class AnnIndexReuseSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT * FROM graft_ann_topk").count() > 0)
   }
 
+  test("batch admission (s07) matches full assignment and never retrains") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_admit").toString
+    val embs = Ops.t(spark, sfDir, "embeddings")
+    val idxPath = s"$root/ann_centroids/test"
+    val cents = Similarity.storedKmeansCentroids(embs, idxPath)
+    val committed = artifactState(idxPath)
+    val admitted = Similarity
+      .admitBatch(embs.filter(col("vec_id") % 10 === 7), cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the index is read-only under admission — no rewrite, no retrain
+    assert(artifactState(idxPath) == committed)
+    // per-vector independence: the batch lands exactly where a
+    // full-corpus assignment would put those vectors
+    val full = Similarity.admitBatch(embs, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(admitted.nonEmpty)
+    admitted.foreach { case (id, v) => assert(full(id) == v, s"vec $id diverged") }
+    assert(admitted.keySet == full.keySet.filter(_ % 10 == 7))
+  }
+
   test("a parameter change rebuilds instead of serving the stale index") {
     implicit val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft_reuse_salt").toString
