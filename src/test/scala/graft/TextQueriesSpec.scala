@@ -8,9 +8,9 @@ class TextQueriesSpec extends SparkSpec {
 
   test("every per-doc text query runs and returns one row per document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    // t07/t08/t11 aggregate across docs; t09 is a filter by design
+    // t07/t08/t11/t12 aggregate or top-k across docs; t09 is a filter
     (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate" -
-        "t11_collocations").foreach { case (name, fn) =>
+        "t11_collocations" - "t12_bm25").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
   }
