@@ -16,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.MinhashAgg.registration)
     ext.injectFunction(graft.functions.ShingleSet.registration)
     ext.injectFunction(graft.functions.RegexpCount.registration)
+    ext.injectFunction(graft.functions.BloomFilters.aggRegistration)
+    ext.injectFunction(graft.functions.BloomFilters.containsRegistration)
   }
 }

@@ -532,4 +532,84 @@ object Dedup {
         round(dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ---- d12: semantic dedup (SemDeDup) -------------------------------------
+
+  /** Cosine threshold above which two same-cluster embeddings count as
+    * semantic duplicates — aligned with d05's [[CosineThreshold]] so
+    * the two embedding-dedup families agree on "near" for this corpus
+    * (diffuse random directions; real embedding corpora run SemDeDup
+    * at 0.95+). */
+  val SemThreshold = 0.35
+
+  /** SemDeDup-style semantic dedup: cluster the embedding space with
+    * the (stored) k-means index, then mark as duplicate every vector
+    * that has cosine ≥ `threshold` with a LOWER-id vector in the SAME
+    * cluster (keep-first greedy — the standard SemDeDup policy; d06's
+    * connected components is the transitive alternative when cluster-
+    * crossing chains matter). Returns one row per vector:
+    * (vec_id, cell, is_kept).
+    *
+    * Scale shape — the reason SemDeDup clusters at all: pairwise cosine
+    * is confined to k-means cells, so the candidate stage is an
+    * equi-join on the cell id with O(Σ|cell|²) work instead of O(n²).
+    * The cluster count is the dial: nCentroids ~ n/target_cell_size
+    * keeps cells bounded as the corpus grows (the published SemDeDup
+    * setting — ~10⁵ clusters for 10⁸ points). Cell assignment itself is
+    * the map-side broadcast-centroid fold ([[Similarity.assignCells]]);
+    * the corpus is never shuffled by vector content, only by the cell
+    * key, and AQE's skew split covers an over-full cell. */
+  def semanticDedup(embeddings: DataFrame, cents: DataFrame,
+      threshold: Double = SemThreshold): DataFrame = {
+    val assigned = Similarity.assignCells(
+      Similarity.preparedCorpus(embeddings), cents)
+    val dups = assigned.as("l").join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .filter(round(dot(col("l.v"), col("r.v")) /
+        (col("l.norm") * col("r.norm")), 6) >= threshold)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup").isNull, 1).otherwise(0).cast("int").as("is_kept"))
+  }
+
+  // ---- d13: bloom-prefiltered decontamination -----------------------------
+
+  /** d13's shingle width: 4-gram verbatim runs (stricter than d07's
+    * 3-grams — longer verbatim evidence, fewer incidental collisions). */
+  val BloomShingleK = 4
+
+  /** [[decontaminate]] re-shaped for a benchmark set TOO LARGE TO
+    * BROADCAST as a hash table: the benchmark's distinct shingles
+    * collapse into a BLOOM FILTER (built by Spark's own
+    * `BloomFilterAggregate` via [[graft.functions.BloomFilters]], ~10
+    * bits per key regardless of key width), the corpus side is
+    * prefiltered MAP-SIDE by the bloom probe, and only the surviving
+    * candidate hits — true hits plus the ~1% false-positive dribble —
+    * reach the exact confirm join that makes the result EXACTLY equal
+    * to [[decontaminate]]'s semantics at the same shingle width
+    * (BloomDecontamSpec pins the equality).
+    *
+    * Scale contract: d07's broadcast of the distinct shingle SET is the
+    * right plan while the benchmark fits an executor heap (~10⁷ keys);
+    * past that, the bloom is the only shape that still streams the
+    * corpus with zero shuffle — 10⁸ benchmark windows ≈ 120 MB of
+    * bitset vs gigabytes of broadcast hash table — and the confirm join
+    * shuffles only the prefiltered sliver, not the corpus. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = BloomShingleK): DataFrame = {
+    def sh(docs: DataFrame) = docs.select(col("doc_id"),
+      graft.functions.ShingleExplode.shingleExplode(
+        words(col("text")), k).as("sh"))
+    val bench = sh(benchmark).select(col("sh")).distinct()
+    val bloom = graft.functions.BloomFilters.bloomOf(bench, "sh")
+    sh(corpus)
+      .filter(graft.functions.BloomFilters.mightContain(bloom, col("sh")))
+      .join(bench, "sh") // exact confirm: false positives die here; no
+                         // broadcast hint — the left side is the
+                         // prefiltered sliver, so AQE picks freely
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared"))
+  }
 }

@@ -156,7 +156,32 @@ object DedupQueries {
     // canonical doc per cluster (iterative min-label propagation; the
     // DuckDB twin is a recursive reachability CTE over the same edges)
     "d06_dedup_cluster" -> ((s, dir) =>
-      Dedup.clusters(t(s, dir, "documents")).orderBy("doc_id")))
+      Dedup.clusters(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // d12: SemDeDup — pairwise cosine confined to the STORED k-means
+    // cells (the same committed index s04/s05/s07 resolve), keep-first
+    // greedy within each cell; the cluster count bounds the pairwise
+    // work at any corpus size
+    "d12_semantic_dedup" -> ((s, dir) => {
+      implicit val spark = s
+      val e = t(s, dir, "embeddings")
+      Dedup.semanticDedup(e,
+          graft.operators.Similarity.storedKmeansCentroids(
+            e, SimilarityQueries.annIndexPath(dir)))
+        .orderBy("vec_id")
+    }),
+
+    // d13: decontamination with the benchmark side collapsed to a
+    // BLOOM FILTER (map-side probe + exact confirm join) — the shape
+    // that survives a benchmark set too large to broadcast; 4-gram
+    // shingles (stricter verbatim evidence than d07's 3-grams)
+    "d13_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bloomDecontaminate(
+        corpus = docs.filter(col("doc_id") >= BenchmarkDocs),
+        benchmark = docs.filter(col("doc_id") < BenchmarkDocs))
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -283,6 +308,37 @@ object DedupQueries {
          |  CAST(SUM(run) AS BIGINT) AS shared_windows,
          |  CAST(MAX(run) + $w - 1 AS BIGINT) AS longest_span
          |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // d12: the oracle replays the full k-means training chain (the
+    // stored index is value-identical to a training replay — pinned by
+    // s04), then the same within-cell pairwise keep-first policy
+    "d12_semantic_dedup" ->
+      s"""WITH ${SimilarityQueries.sqlKmeansPrelude},
+         |an AS (SELECT vec_id, v, cell, ${sqlListNorm("v")} AS nrm FROM assignF),
+         |dups AS (SELECT DISTINCT r.vec_id
+         |  FROM an l JOIN an r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE round(${sqlListDot("l.v", "r.v")} / (l.nrm * r.nrm), 6)
+         |    >= ${Dedup.SemThreshold})
+         |SELECT a.vec_id, a.cell,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+         |FROM an a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // d13: the bloom prefilter is semantically transparent (the exact
+    // confirm join removes its false positives), so the oracle is d07's
+    // exact form at the d13 shingle width
+    "d13_bloom_decontam" -> {
+      val shingle5 = s"list_distinct(${sqlShingles("words", Dedup.BloomShingleK)})"
+      s"""WITH sh5 AS (SELECT doc_id, $shingle5 AS shingles
+         |  FROM (SELECT doc_id, $sqlWordsE AS words FROM documents)),
+         |bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh5
+         |  WHERE doc_id < $BenchmarkDocs),
+         |corpus AS (SELECT doc_id, unnest(shingles) AS sh FROM sh5
+         |  WHERE doc_id >= $BenchmarkDocs)
+         |SELECT c.doc_id, CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_shared
+         |FROM corpus c JOIN bench b ON c.sh = b.sh
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
     },
 
     // signatures are per-doc independent, so banding all documents once

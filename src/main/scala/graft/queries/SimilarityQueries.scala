@@ -82,6 +82,14 @@ object SimilarityQueries {
        |    FROM e CROSS JOIN $cf c) WHERE rn = 1)""".stripMargin
   }
 
+  /** The full k-means oracle prelude (corpus/query prep + the Lloyd
+    * training chain, ending in the `assignF` per-vector cell CTE and
+    * the final-centroid CTE named [[sqlCentsFinal]]) — shared with
+    * d12's semantic-dedup oracle, which clusters with the same stored
+    * index the s04/s05/s07 family resolves. */
+  private[queries] def sqlKmeansPrelude: String = s"$sqlPrep,\n$sqlKmeansChain"
+  private[queries] def sqlCentsFinal: String = cf
+
   /** k-means IVF search oracle, parameterized on probe count — shared
     * by s04 (operator default [[Similarity.NProbe]]) and the default
     * ANN SQL surface (x06 at [[Similarity.DefaultAnnProbe]]). */

@@ -36,6 +36,10 @@ object TextQueries {
   val Bm25Terms: Seq[String] = Seq("join", "stream", "vector")
   val Bm25TopK = 20
 
+  /** t13: how many top adjacent-character pairs the BPE count step
+    * reports (one merge-candidate ranking). */
+  val BpeTopPairs = 50
+
   val defs: Map[String, Q] = Map(
     // #25 language-ID: stopword-hit argmax (rows stay put; one scan)
     "t01_langid" -> ((s, dir) => {
@@ -98,6 +102,30 @@ object TextQueries {
         .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("freq").desc, col("word"))
         .limit(100)),
+
+    // t13 BPE pair counting: the statistics step a BPE tokenizer
+    // training loop iterates — total corpus frequency of every
+    // adjacent CHARACTER pair, counted at ALL positions (overlap
+    // included). The scale trick is aggregating to the VOCABULARY
+    // first (t07's word-count shuffle — the only corpus-sized
+    // exchange), then exploding pairs per UNIQUE word weighted by its
+    // count: O(|vocab| × word_len) pair rows instead of O(corpus
+    // tokens), which at 100 TB is the difference between re-scanning
+    // petabytes per merge iteration and re-scanning a vocab table.
+    // The merge LOOP is driver-side iteration over this primitive on
+    // the (vocab-sized, cached) word-count table; top-k is
+    // TakeOrderedAndProject.
+    "t13_bpe_pairs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .filter(length(col("word")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("c")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(BpeTopPairs)),
 
     // t11 PMI collocations: bigrams ranked by pointwise mutual
     // information — log((P(ab)) / (P(a)·P(b))) over corpus token
@@ -420,6 +448,18 @@ object TextQueries {
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
          |FROM (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents)
          |GROUP BY word ORDER BY freq DESC, word LIMIT 100""".stripMargin,
+
+    // t13: identical pair enumeration — per unique word, substrings of
+    // width 2 at positions 1..len-1, weighted by the word's corpus count
+    "t13_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(${sqlWords("text")}) AS word FROM documents),
+         |wc AS (SELECT word, COUNT(*) AS c FROM w
+         |  WHERE length(word) >= 2 GROUP BY word),
+         |p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, c
+         |  FROM (SELECT word, c, unnest(range(1, length(word))) AS i FROM wc))
+         |SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+         |FROM p GROUP BY pair
+         |ORDER BY pair_count DESC, pair LIMIT $BpeTopPairs""".stripMargin,
 
     "t11_collocations" ->
       s"""WITH w AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),

@@ -200,4 +200,63 @@ class DedupSpec extends SparkSpec {
       s"corpus must not shuffle on the window hash:\n$plan")
     df.write.format("noop").mode("overwrite").save() // runs end-to-end on real docs
   }
+
+  test("d12 semantic dedup labels every vector; removal evidence is a lower-id same-cell partner") {
+    import graft.operators.Similarity
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val e = embs
+    val cents = Similarity.kmeansCentroids(e)
+    val res = Dedup.semanticDedup(e, cents)
+    assert(res.count() == e.count(), "one verdict per vector")
+    // independent recomputation of the evidence: per-pair cosine from
+    // raw vectors (Dedup.cosine recomputes norms per pair — a different
+    // arithmetic path than the operator's prepared norms)
+    val assigned = Similarity.assignCells(Similarity.preparedCorpus(e), cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val witnessed = assigned.as("l").join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .filter(round(Dedup.cosine(col("l.v"), col("r.v")), 6) >= Dedup.SemThreshold)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+    val removed = res.filter(col("is_kept") === 0).select("vec_id")
+    assert(removed.except(witnessed).isEmpty && witnessed.except(removed).isEmpty,
+      "removed set == vectors with a lower-id near-partner in their cell")
+    // the lowest vec_id of every cell can have no lower-id partner
+    val cellMins = res.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(res.join(cellMins, Seq("cell", "vec_id")).filter(col("is_kept") === 0).count() == 0)
+    // an impossible threshold keeps everything
+    assert(Dedup.semanticDedup(e, cents, threshold = 1.1)
+      .filter(col("is_kept") === 0).count() == 0)
+  }
+
+  test("d13 bloom decontamination equals the exact broadcast form; probe is in the plan") {
+    import graft.functions.TextFunctions.words
+    val d = docs
+    val bench = d.filter(col("doc_id") < DedupQueries.BenchmarkDocs)
+    val corpus = d.filter(col("doc_id") >= DedupQueries.BenchmarkDocs)
+    val viaBloom = Dedup.bloomDecontaminate(corpus, bench)
+    // exact twin at the same shingle width, no bloom anywhere
+    def sh(dd: org.apache.spark.sql.DataFrame) = dd.select(col("doc_id"),
+      graft.functions.ShingleExplode.shingleExplode(
+        words(col("text")), Dedup.BloomShingleK).as("sh"))
+    val exact = sh(corpus)
+      .join(broadcast(sh(bench).select("sh").distinct()), "sh")
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_shared"))
+    assert(viaBloom.except(exact).isEmpty && exact.except(viaBloom).isEmpty,
+      "the bloom prefilter must be semantically transparent")
+    val plan = viaBloom.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+  }
+
+  test("bloom probe admits every inserted key (no false negatives)") {
+    import graft.functions.BloomFilters
+    val vals = spark.range(0, 5000)
+      .select(concat(lit("key-"), col("id")).as("k"))
+    val bloom = BloomFilters.bloomOf(vals, "k")
+    assert(vals.filter(!BloomFilters.mightContain(bloom, col("k"))).count() == 0)
+    // and it does filter: disjoint probes mostly miss (fp rate ~1%, be lax)
+    val miss = spark.range(0, 5000)
+      .select(concat(lit("other-"), col("id")).as("k"))
+      .filter(BloomFilters.mightContain(bloom, col("k"))).count()
+    assert(miss < 500, s"bloom rejects almost all non-members, passed $miss")
+  }
 }

@@ -8,9 +8,9 @@ class TextQueriesSpec extends SparkSpec {
 
   test("every per-doc text query runs and returns one row per document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    // t07/t08/t11/t12 aggregate or top-k across docs; t09 is a filter
+    // t07/t08/t11/t12/t13 aggregate or top-k across docs; t09 is a filter
     (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate" -
-        "t11_collocations" - "t12_bm25").foreach { case (name, fn) =>
+        "t11_collocations" - "t12_bm25" - "t13_bpe_pairs").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
   }
@@ -126,5 +126,19 @@ class TextQueriesSpec extends SparkSpec {
     assert(byBigram("alpha beta")._2 > byBigram("gamma delta")._2)
     // ranked output puts the associated pair first
     assert(res.head.getString(0) == "alpha beta")
+  }
+
+  test("t13 BPE pairs: exact weighted counts on a hand-built corpus; top-k plan") {
+    import spark.implicits._
+    // words: aab×2, ab×1, banana×1, x dropped (len<2)
+    // aab → aa,ab (×2); ab → ab; banana → ba,an,na,an,na
+    val docsDf = Seq((0L, "aab ab aab"), (1L, "banana x")).toDF("doc_id", "text")
+    val tmp = new java.io.File("target/tmp/t13").getAbsolutePath
+    docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val q = TextQueries.defs("t13_bpe_pairs")(spark, tmp)
+    val res = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("ab" -> 3L, "aa" -> 2L, "an" -> 2L, "na" -> 2L, "ba" -> 1L))
+    // top-k must plan as TakeOrderedAndProject (never a global sort)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 }
