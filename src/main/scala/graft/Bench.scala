@@ -90,7 +90,9 @@ object Bench {
     base.map { case (full0, s) => full0 -> (if (counts(s) > 1) full0 else s) }
   }
 
-  /** The LAST stdout line: short keys, 3-decimal values, so the whole
+  /** The LAST stdout line: short keys, 2-decimal per-query values
+    * (10 ms resolution — the full 3-decimal detail lives in
+    * BENCH_LOCAL.json, which the legend points at), so the whole
     * line fits the driver artifact's 2000-char stdout tail (with room
     * for the sbt "[success]" footer that follows it). BenchLineSpec
     * pins the invariant against the full real query inventory. */
@@ -98,7 +100,7 @@ object Bench {
       failed: Int, sfDir: String): String = {
     val keys = shortKeys(entries.map(_._1))
     val qsShort = entries
-      .map { case (k, v) => "\"" + keys(k) + "\":" + num(v, 3) }
+      .map { case (k, v) => "\"" + keys(k) + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qsShort,""" +
       s""""failed":$failed,"sf":"$sfDir","legend":"BENCH_LOCAL.json"}"""

@@ -612,4 +612,67 @@ object Dedup {
       .groupBy("doc_id")
       .agg(countDistinct(col("sh")).as("n_shared"))
   }
+
+  // ---- d14: content-defined chunking dedup --------------------------------
+
+  /** Average CDC chunk length dial: a word opens a new chunk when its
+    * 16-bit md5 prefix ≡ 0 (mod CdcDivisor), so chunks average
+    * ~CdcDivisor words. Real CDC systems tune this to the storage
+    * block size; 8 suits the short synthetic docs. */
+  val CdcDivisor = 8
+
+  /** Chunks below this word count are dropped from the dup report —
+    * single-word chunks are vocabulary noise, not copied content
+    * (FastCDC's minimum-chunk-size rule at word granularity). */
+  val MinChunkWords = 2
+
+  /** Content-defined chunking dedup: split every document into chunks
+    * at CONTENT-DETERMINED boundaries (a word is a cut point when its
+    * hash ≡ 0 mod [[CdcDivisor]]), then report every chunk that occurs
+    * in ≥ 2 distinct documents. Because boundaries depend only on
+    * LOCAL content, an insertion or deletion re-syncs at the next cut
+    * word and every following chunk still matches — the property that
+    * makes CDC the dedup primitive of backup/storage systems (FastCDC,
+    * borg/restic) and that fixed-stride shingling (d04/d10) lacks.
+    *
+    * Scale shape: chunking is entirely MAP-SIDE — the cut positions
+    * and chunk substrings are array expressions over the word list
+    * inside the scan stage (no per-doc window, no positional shuffle);
+    * the single corpus-sized exchange is the groupBy on the chunk
+    * content (hash-partitioned, map-side partial counts), exactly
+    * d01's one-shuffle discipline at sub-document granularity. Chunk
+    * keys are content strings here for a readable report; a 100 TB run
+    * would group on md5(chunk) to bound shuffle-key width — same plan
+    * shape, one extra map-side projection.
+    *
+    * Returns (chunk, n_docs, n_copies, first_doc) for chunks seen in
+    * ≥ 2 docs, with word-count ≥ [[MinChunkWords]]. */
+  /** The chunking stage alone: one row per (doc_id, chunk position,
+    * chunk text), boundaries as described on [[cdcChunkDups]]. Pure
+    * map-side array expressions — no shuffle, no per-doc window. */
+  def cdcChunks(docs: DataFrame, divisor: Int = CdcDivisor): DataFrame = {
+    val isCut = (w: Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("long") % divisor === 0
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("cuts", filter(sequence(lit(1), size(col("w"))),
+        i => i === 1 || isCut(element_at(col("w"), i))))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("cuts"))),
+        j => array_join(slice(col("w"), element_at(col("cuts"), j),
+          when(j < size(col("cuts")),
+            element_at(col("cuts"), j + 1) - element_at(col("cuts"), j))
+            .otherwise(size(col("w")) - element_at(col("cuts"), j) + 1)),
+          " "))).as(Seq("pos", "chunk")))
+  }
+
+  def cdcChunkDups(docs: DataFrame, divisor: Int = CdcDivisor,
+      minWords: Int = MinChunkWords): DataFrame =
+    cdcChunks(docs, divisor)
+      .filter(size(split(col("chunk"), " ")) >= minWords)
+      .groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
 }

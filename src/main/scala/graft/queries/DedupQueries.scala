@@ -181,7 +181,14 @@ object DedupQueries {
         corpus = docs.filter(col("doc_id") >= BenchmarkDocs),
         benchmark = docs.filter(col("doc_id") < BenchmarkDocs))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // d14: content-defined chunking dedup — chunk boundaries are
+    // content-determined (hash-selected cut words), so shared spans
+    // still match after insertions/deletions; report every chunk seen
+    // in ≥ 2 docs. Chunking is map-side; one shuffle on chunk content.
+    "d14_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcChunkDups(t(s, dir, "documents")).orderBy("chunk")))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -355,5 +362,27 @@ object DedupQueries {
          |    ON l.bh = r.bh AND l.doc_id > r.doc_id)
          |SELECT doc_id FROM documents
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    // d14: identical chunking — cut where the 16-bit md5 prefix of the
+    // word ≡ 0 (mod divisor); chunk j spans [cuts[j], cuts[j+1]-1]
+    "d14_cdc_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $sqlWordsE AS w FROM documents),
+         |cuts AS (SELECT doc_id, w,
+         |    list_filter(range(1, len(w)+1),
+         |      i -> i = 1 OR ('0x' || substring(md5(w[i]),1,4))::BIGINT
+         |        % ${Dedup.CdcDivisor} = 0) AS cuts
+         |  FROM w),
+         |chunks AS (
+         |  SELECT doc_id, array_to_string(
+         |      w[cuts[j] : CASE WHEN j < len(cuts) THEN cuts[j+1]-1
+         |                       ELSE len(w) END], ' ') AS chunk
+         |  FROM (SELECT doc_id, w, cuts,
+         |        unnest(range(1, len(cuts)+1)) AS j FROM cuts))
+         |SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies, MIN(doc_id) AS first_doc
+         |FROM chunks
+         |WHERE len(string_split(chunk, ' ')) >= ${Dedup.MinChunkWords}
+         |GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk""".stripMargin)
 }

@@ -115,7 +115,33 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           col("sample_rank").cast("long").as("sample_rank"))
         .orderBy("doc_id")
+    }),
+
+    // p08: per-source quota curation — keep the top-CapPerSource docs
+    // per source BY QUALITY (t02's composite score), the
+    // RefinedWeb/C4-style per-domain cap that stops any one domain
+    // from dominating the training mix while keeping its best pages
+    // (p07 samples uniformly per stratum; this ranks by merit).
+    // Scale shape: the rank<=k filter plans as WindowGroupLimit, so
+    // every map task pre-trims to k rows per source BEFORE the
+    // source-key shuffle — the shuffle carries O(k × tasks × sources)
+    // rows no matter how hot a domain is, which is what makes a
+    // low-cardinality partition key safe here.
+    "p08_source_cap" -> ((s, dir) => {
+      val nw = wsTokenCount(col("text"))
+      val q = when(nw.between(10, 500), 1.0).otherwise(0.5) *
+        (lit(1.0) - punctRatio(col("text")))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), q.as("quality_score"))
+        .withColumn("cap_rank", row_number().over(w).cast("long"))
+        .filter(col("cap_rank") <= CapPerSource)
+        .orderBy("source", "cap_rank")
     }))
+
+  /** p08 quota: max docs kept per source/domain. */
+  val CapPerSource = 10
 
   val oracles: Map[String, String] = Map(
     "p01_training_prep" ->
@@ -207,5 +233,20 @@ object PipelineQueries {
         |      ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id)
         |      AS sample_rank
         |  FROM documents)
-        |WHERE sample_rank <= 40 ORDER BY doc_id""".stripMargin)
+        |WHERE sample_rank <= 40 ORDER BY doc_id""".stripMargin,
+
+    // p08: identical composite quality expression as t02's oracle so
+    // the double value (and therefore the rank order) matches bitwise
+    "p08_source_cap" ->
+      s"""WITH scored AS (
+         |  SELECT source, doc_id,
+         |    (CASE WHEN ${sqlWsTokenCount("text")} BETWEEN 10 AND 500
+         |          THEN 1.0 ELSE 0.5 END
+         |      * (1.0 - ${sqlPunctRatio("text")})) AS quality_score
+         |  FROM documents)
+         |SELECT source, doc_id, quality_score, cap_rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS cap_rank
+         |  FROM scored)
+         |WHERE cap_rank <= $CapPerSource ORDER BY source, cap_rank""".stripMargin)
 }

@@ -19,7 +19,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's 2000-char stdout tail") {
     // worst-case widths: every query slow (3 int digits) and a long sf dir
-    val entries = allBenchNames.map(_ -> 999.999)
+    val entries = allBenchNames.map(_ -> 999.99)
     val line = Bench.compactLine(entries, 99999.999, 114, "/root/testdata/sf0.1")
     assert(line.length <= 1900,
       s"compact line is ${line.length} chars — no longer fits the driver's " +
@@ -56,7 +56,7 @@ class BenchLineSpec extends AnyFunSuite {
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
       val line = Bench.compactLine(Seq("q01_scan_project" -> 1.234), 1.234, 0, "/d")
-      assert(line.contains(""""q01":1.234"""), line)
+      assert(line.contains(""""q01":1.23"""), line)
       assert(line.contains(""""value":1.234"""), line)
     } finally java.util.Locale.setDefault(prev)
   }

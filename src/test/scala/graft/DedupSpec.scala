@@ -259,4 +259,48 @@ class DedupSpec extends SparkSpec {
       .filter(BloomFilters.mightContain(bloom, col("k"))).count()
     assert(miss < 500, s"bloom rejects almost all non-members, passed $miss")
   }
+
+  test("d14 CDC chunks reconstruct every document exactly") {
+    val rebuilt = Dedup.cdcChunks(docs)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("rebuilt"))
+    val bad = docs.select(col("doc_id"), lower(col("text")).as("orig"))
+      .join(rebuilt, "doc_id")
+      .filter(col("orig") =!= col("rebuilt")).count()
+    assert(bad == 0, "chunking must partition the word sequence losslessly")
+  }
+
+  test("d14 chunk boundaries re-sync after a prefix insertion (the CDC property)") {
+    val one = docs.orderBy("doc_id").limit(1).select("doc_id", "text")
+    val edited = one.select(col("doc_id"),
+      concat(lit("zzinserted "), col("text")).as("text"))
+    def chunksOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.cdcChunks(df).orderBy("pos").collect().map(_.getAs[String]("chunk")).toSeq
+    val orig = chunksOf(one)
+    val ed = chunksOf(edited)
+    // a fixed-stride shingle scheme would shift EVERY window; CDC loses
+    // at most the chunk containing the edit point
+    assert(orig.drop(1).forall(ed.contains),
+      s"chunks after the edit must re-sync:\norig=$orig\nedited=$ed")
+  }
+
+  test("d14 dup report rows are cross-doc, min-width chunks") {
+    val rep = Dedup.cdcChunkDups(docs)
+    assert(rep.count() > 0, "planted duplicates must share chunks")
+    assert(rep.filter(col("n_docs") < 2 ||
+      col("n_copies") < col("n_docs") ||
+      col("first_doc").isNull).count() == 0)
+    assert(rep.filter(
+      size(split(col("chunk"), " ")) < Dedup.MinChunkWords).count() == 0)
+  }
+
+  test("d14 chunking is map-side: the only exchange is the chunk groupBy") {
+    val plan = Dedup.cdcChunkDups(docs).queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, // partial + final agg of one groupBy under AQE
+      s"CDC dedup must shuffle only on chunk content:\n$plan")
+    assert(!plan.contains("Window"), s"no per-doc window allowed:\n$plan")
+  }
 }
