@@ -109,7 +109,43 @@ object PlanAudit {
       "corpus-sized); the freq floor prunes the Zipf tail BEFORE the two " +
       "unigram joins (unhinted — AQE picks broadcast vs shuffle by real " +
       "vocab size); corpus total is a one-row broadcast; top-100 plans as " +
-      "TakeOrderedAndProject."))
+      "TakeOrderedAndProject."),
+    "s06_ann_quantized" -> ("int8-quantized ANN: quantization and " +
+      "dequantized scoring are map-side projections over the corpus scan " +
+      "(the 4x-smaller representation is what streams at 10^9 vectors); " +
+      "query side broadcast, per-query top-k as WindowGroupLimit — s01's " +
+      "shape with a narrower corpus."),
+    "s07_ann_admit" -> ("Incremental ANN admission: the arriving batch is " +
+      "assigned to the STORED centroids by the map-side broadcast fold — " +
+      "O(batch) work, a 16-row artifact scan, no training subtree, and the " +
+      "history corpus nowhere in the plan."),
+    "d12_semantic_dedup" -> ("SemDeDup: pairwise cosine is confined to the " +
+      "stored k-means cells — the self-join is an equi-join on the cell id " +
+      "(O(sum cell^2), cluster count the dial), never a cartesian; cell " +
+      "assignment is the map-side broadcast-centroid fold."),
+    "d13_bloom_decontam" -> ("Bloom-prefiltered decontamination: the " +
+      "benchmark collapses to a BloomFilterAggregate bitset probed " +
+      "MAP-SIDE over the corpus scan (might_contain in the scan-stage " +
+      "filter); only the surviving sliver reaches the exact confirm join, " +
+      "so the corpus is never shuffled by shingle."),
+    "t13_bpe_pairs" -> ("BPE pair counts: pairs explode per UNIQUE word " +
+      "weighted by its count — the only corpus-sized exchange is t07's " +
+      "word-count shuffle; the pair aggregate is vocabulary-sized; top-k " +
+      "plans as TakeOrderedAndProject."),
+    "p08_source_cap" -> ("Per-source quota: rank<=k plans as " +
+      "WindowGroupLimit, so each map task pre-trims to k rows per source " +
+      "BEFORE the source-key shuffle — the low-cardinality partition key " +
+      "carries O(k x tasks x sources) rows however hot a domain is."),
+    "d14_cdc_dedup" -> ("Content-defined chunking: cut positions and chunk " +
+      "substrings are array expressions inside the scan stage (no per-doc " +
+      "window, no positional shuffle); the single corpus-sized exchange is " +
+      "the partial-aggregated groupBy on chunk content — d01's one-shuffle " +
+      "discipline at sub-document granularity."),
+    "s08_hybrid_rrf" -> ("Hybrid RRF: both retrieval arms keep their " +
+      "corpus-scale shapes (BM25's vocabulary-sized shuffles; the cosine " +
+      "arm's broadcast query + WindowGroupLimit); the fusion join and " +
+      "final re-rank touch only the two top-k pools, so the single " +
+      "unpartitioned rank window is bounded at pool size by construction."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -185,7 +185,43 @@ object SimilarityQueries {
       Similarity.admitBatch(e.filter(col("vec_id") % 10 === 7),
           Similarity.storedKmeansCentroids(e, annIndexPath(dir)))
         .orderBy("vec_id")
+    }),
+
+    // s08: hybrid lexical+vector retrieval with reciprocal-rank fusion
+    // (§2 #42) — BM25's top pool (t12, the fixed query-term set) fused
+    // with the cosine top pool around an anchor embedding (doc 0) by
+    // RRF: score = Σ 1/(60+rank), the rank-only fusion that needs no
+    // score calibration between the two retrievers (Cormack et al.).
+    // Scale shape: both arms are the already-proven top-k plans
+    // (vocabulary-sized shuffles + WindowGroupLimit; broadcast query
+    // side); the fusion join and the global re-rank touch only the two
+    // top-k pools — 2k rows however large the corpus — so the
+    // unpartitioned rank window over the lexical pool is bounded by
+    // construction, never corpus-sized.
+    "s08_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val lex = TextQueries.defs("t12_bm25")(s, dir)
+        .select(col("doc_id"), row_number().over(wl).cast("int").as("r_lex"))
+      val e = t(s, dir, "embeddings")
+      val vec = Similarity
+        .bruteForceTopK(e, Similarity.defaultQueries(e, 1), RrfPool)
+        .select(col("vec_id").as("doc_id"), col("rank").cast("int").as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_vec").cast("double")), lit(0.0)),
+          6))
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(RrfPool)
     }))
+
+  /** s08 pool width: each retrieval arm contributes its top-RrfPool
+    * ranks, and the fused report keeps RrfPool rows (matches t12's
+    * Bm25TopK so the lexical arm is exactly the t12 result). */
+  val RrfPool: Int = TextQueries.Bm25TopK
 
   val oracles: Map[String, String] = Map(
     "s01_topk_cosine" ->
@@ -305,5 +341,35 @@ object SimilarityQueries {
          |    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= ${Similarity.K}
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // s08: the lexical arm embeds t12's oracle verbatim (rank = its
+    // already-deterministic output order); the vector arm is s01's
+    // brute-force scoring for the single anchor query; fusion is pure
+    // rank arithmetic in doubles, identical in both engines
+    "s08_hybrid_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |      (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r_lex
+         |  FROM (${TextQueries.oracles("t12_bm25")}) tl),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |anchor AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |vscore AS (
+         |  SELECT e.vec_id,
+         |    round(${Ops.sqlListDot("a.qv", "e.v")} /
+         |      (${Ops.sqlListNorm("a.qv")} * ${Ops.sqlListNorm("e.v")}), 6) AS cos
+         |  FROM e CROSS JOIN anchor a WHERE e.vec_id <> 0),
+         |vec AS (SELECT vec_id AS doc_id, r_vec FROM (
+         |    SELECT vec_id, CAST(ROW_NUMBER() OVER
+         |        (ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS r_vec
+         |    FROM vscore)
+         |  WHERE r_vec <= $RrfPool),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+         |    round(coalesce(1.0 / (60.0 + CAST(l.r_lex AS DOUBLE)), 0.0) +
+         |      coalesce(1.0 / (60.0 + CAST(v.r_vec AS DOUBLE)), 0.0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, r_lex, r_vec, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT $RrfPool""".stripMargin)
 }

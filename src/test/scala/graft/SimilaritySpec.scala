@@ -124,4 +124,35 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(!p2.contains("CartesianProduct"), s"cartesian in ANN path:\n$p2")
   }
+
+  test("s08 RRF fusion: scores are consistent rank arithmetic, order is fused") {
+    val rows = graft.queries.SimilarityQueries.defs("s08_hybrid_rrf")(spark, sfDir)
+      .collect()
+    assert(rows.length == graft.queries.SimilarityQueries.RrfPool)
+    def term(r: org.apache.spark.sql.Row, c: String): Double =
+      if (r.isNullAt(r.fieldIndex(c))) 0.0 else 1.0 / (60.0 + r.getAs[Int](c))
+    rows.foreach { r =>
+      val expect = BigDecimal(term(r, "r_lex") + term(r, "r_vec"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-9,
+        s"rrf mismatch on $r")
+      assert(!(r.isNullAt(r.fieldIndex("r_lex")) && r.isNullAt(r.fieldIndex("r_vec"))),
+        "a fused row must come from at least one arm")
+    }
+    // fused order: rrf descending with doc_id tie-break
+    val rrfs = rows.map(r => (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    assert(rrfs.sameElements(rrfs.sorted), "output not in fused rank order")
+    // both arms actually contribute to the pool
+    assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("r_lex"))))
+    assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("r_vec"))))
+  }
+
+  test("s08 plan: the corpus-sized work stays in the two top-k arms") {
+    val plan = graft.queries.SimilarityQueries.defs("s08_hybrid_rrf")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    // vector arm keeps s01's pre-shuffle top-k; no cartesian anywhere;
+    // the only unpartitioned window ranks the 20-row lexical pool
+    assert(plan.contains("WindowGroupLimit"), s"vector arm lost its top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in fusion:\n$plan")
+  }
 }
