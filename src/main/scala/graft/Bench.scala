@@ -168,6 +168,7 @@ object Bench {
     }
     val prepMediaSec = prepSec(queries.MultimodalQueries.ensureMediaStore(spark, sfDir))
     val prepAnnSec = prepSec(queries.SimilarityQueries.ensureAnnIndex(spark, sfDir))
+    val prepClusterSec = prepSec(queries.DedupQueries.ensureClusterIndex(spark, sfDir))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -271,6 +272,7 @@ object Bench {
       s"""{"cpus":$cpus,"heapMaxMb":$heapMax,"gcTotalMs":${gcMillis()},""" +
         s""""wallSec":${(System.currentTimeMillis() - startMs) / 1000.0},""" +
         s""""prepMediaSec":${num(prepMediaSec, 3)},"prepAnnSec":${num(prepAnnSec, 3)},""" +
+        s""""prepClusterSec":${num(prepClusterSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

@@ -146,6 +146,20 @@ object Dedup {
   def clusters(docs: DataFrame, maxIters: Int = 25): DataFrame =
     resolveComponents(docs.select(col("doc_id")), minhashCandidates(docs), maxIters)
 
+  /** [[clusters]] resolved through the build-once artifact store: the
+    * near-dup cluster labels are an ingest-once property of a corpus
+    * snapshot — a production pipeline resolves them once and every
+    * downstream consumer (canonical-doc selection, leakage-safe
+    * splitting, dup-degree reporting) reads the committed labels
+    * instead of re-running the iterative propagation. Same
+    * fingerprint-guard discipline as the stored ANN index: a
+    * regenerated corpus or changed LSH parameters force a rebuild. */
+  def storedClusters(docs: DataFrame, path: String, maxIters: Int = 25)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.sources.ArtifactStore.getOrBuild(docs, path,
+      salt = s"clusters:$NumHashes:$Bands:$ShingleK:$maxIters")(
+      clusters(docs, maxIters))
+
   /** Connected components over an explicit candidate-pair graph: each
     * vertex gets the minimum doc_id of its component as `cluster_rep`.
     * Extracted from [[clusters]] so any pair family (d02/d03/d05/d08)

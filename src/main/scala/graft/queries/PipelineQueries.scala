@@ -40,12 +40,15 @@ object PipelineQueries {
     // p02: the NEAR-dup curation flow — cluster resolution (d06) keeps
     // one canonical doc per near-dup cluster, survivors are PII-redacted
     // (t05), quality-gated (t02) and token-budgeted (t03) per language.
-    // Scale shape: clustering is the iterative bucketed d06 plan; the
+    // Scale shape: the keep set reads the STORED cluster-label artifact
+    // (built once per corpus snapshot — see Dedup.storedClusters); the
     // keep-set join is a semi-join on doc_id; everything after is
     // map-side until the final partial-aggregated groupBy(lang).
     "p02_neardup_prep" -> ((s, dir) => {
+      implicit val spark = s
       val docs = t(s, dir, "documents")
-      val kept = graft.operators.Dedup.clusters(docs)
+      val kept = graft.operators.Dedup
+        .storedClusters(docs, DedupQueries.clusterIndexPath(dir))
         .filter(col("is_kept") === 1).select("doc_id")
       docs.join(kept, Seq("doc_id"), "left_semi")
         .withColumn("clean_text", piiRedact(col("text")))
@@ -97,7 +100,9 @@ object PipelineQueries {
     // splitting). Pure composition: d06's cluster labels + p03's
     // deterministic hash split, keyed on cluster_rep.
     "p06_leakage_safe_split" -> ((s, dir) => {
-      val labels = graft.operators.Dedup.clusters(t(s, dir, "documents"))
+      implicit val spark = s
+      val labels = graft.operators.Dedup.storedClusters(
+        t(s, dir, "documents"), DedupQueries.clusterIndexPath(dir))
       graft.operators.Splits.assignSplit(labels, col("cluster_rep"))
         .select("doc_id", "cluster_rep", "split").orderBy("doc_id")
     }),

@@ -260,6 +260,27 @@ class DedupSpec extends SparkSpec {
     assert(miss < 500, s"bloom rejects almost all non-members, passed $miss")
   }
 
+  test("stored cluster labels: committed once, reused untouched, value-identical") {
+    implicit val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft_clu").toString
+    val path = s"$root/dedup_clusters/test"
+    def state = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(st =>
+        (st.getPath.getName, st.getLen, st.getModificationTime)).toSeq.sortBy(_._1)
+    }
+    Dedup.storedClusters(docs, path)
+    val committed = state
+    assert(committed.exists(_._1 == "_SUCCESS"), "label commit incomplete")
+    val second = Dedup.storedClusters(docs, path)
+    assert(state == committed,
+      "second resolution modified the committed labels — it re-propagated")
+    val fresh = Dedup.clusters(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val served = second.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(served == fresh, "stored labels diverge from a fresh resolution")
+  }
+
   test("d14 CDC chunks reconstruct every document exactly") {
     val rebuilt = Dedup.cdcChunks(docs)
       .groupBy("doc_id")
