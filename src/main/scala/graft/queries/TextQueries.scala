@@ -40,6 +40,16 @@ object TextQueries {
     * reports (one merge-candidate ranking). */
   val BpeTopPairs = 50
 
+  /** t14 Gopher-rule thresholds (Rae et al. 2021 §A1.1, the published
+    * heuristic filter battery). Word-count floor adapted to the short
+    * synthetic docs (the paper uses 50; the RULE STRUCTURE is the
+    * capability, the thresholds are corpus tuning); the rest are the
+    * paper's values: mean word length in [3,10], symbol-to-word ratio
+    * ≤ 0.1, ≥ 80 % of words with an alphabetic character, ≥ 2
+    * stopword hits. */
+  val GopherMinWords = 10
+  val GopherMaxWords = 100000
+
   val defs: Map[String, Q] = Map(
     // #25 language-ID: stopword-hit argmax (rows stay put; one scan)
     "t01_langid" -> ((s, dir) => {
@@ -126,6 +136,35 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("c")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("pair"))
         .limit(BpeTopPairs)),
+
+    // t14 Gopher rules: the published heuristic filter battery as
+    // per-document boolean flags + the conjunction. Every rule is
+    // INTEGER arithmetic (mean-word-length [3,10] becomes
+    // 3·nw ≤ nonspace ≤ 10·nw, the 0.1 symbol ratio becomes
+    // 10·punct ≤ nw, the 80 % alpha fraction 5·alphaw ≥ 4·nw), so the
+    // cross-engine verdicts cannot flip on a float boundary. One scan,
+    // fully map-side — the filter battery a 100 TB curation pass runs
+    // inside the read stage.
+    "t14_gopher_rules" -> ((s, dir) => {
+      val ws = words(col("text"))
+      val nw = size(ws)
+      val nonspace = length(regexp_replace(col("text"), "\\s", ""))
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      val alphaw = size(filter(ws, w => w.rlike("[a-z]")))
+      val stopHits = stopwordHits(ws, Stopwords.toMap.apply("en"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nw.as("n_words"),
+        nw.between(GopherMinWords, GopherMaxWords).as("r_words"),
+        (nonspace >= nw * 3 && nonspace <= nw * 10).as("r_word_len"),
+        (punct * 10 <= nw).as("r_symbols"),
+        (alphaw * 5 >= nw * 4).as("r_alpha"),
+        (stopHits >= 2).as("r_stopwords"))
+        .withColumn("passes",
+          col("r_words") && col("r_word_len") && col("r_symbols") &&
+            col("r_alpha") && col("r_stopwords"))
+        .orderBy("doc_id")
+    }),
 
     // t11 PMI collocations: bigrams ranked by pointwise mutual
     // information — log((P(ab)) / (P(a)·P(b))) over corpus token
@@ -505,6 +544,28 @@ object TextQueries {
          |FROM contrib GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
+
+    // t14: identical integer-arithmetic rules; nonspace/punct reuse
+    // t06's regex character classes verbatim
+    "t14_gopher_rules" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    len(${sqlWords("text")}) AS nw,
+         |    length(regexp_replace(text, '[$SqlWs]', '', 'g')) AS nonspace,
+         |    length(regexp_replace(lower(text), '[a-z0-9$SqlWs]', '', 'g')) AS punct,
+         |    len(list_filter(${sqlWords("text")}, x -> regexp_matches(x, '[a-z]'))) AS alphaw,
+         |    ${sqlStopwordHits(sqlWords("text"), Stopwords.toMap.apply("en"))} AS sh
+         |  FROM documents)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  (nw BETWEEN $GopherMinWords AND $GopherMaxWords) AS r_words,
+         |  (nonspace >= nw * 3 AND nonspace <= nw * 10) AS r_word_len,
+         |  (punct * 10 <= nw) AS r_symbols,
+         |  (alphaw * 5 >= nw * 4) AS r_alpha,
+         |  (sh >= 2) AS r_stopwords,
+         |  ((nw BETWEEN $GopherMinWords AND $GopherMaxWords)
+         |    AND (nonspace >= nw * 3 AND nonspace <= nw * 10)
+         |    AND (punct * 10 <= nw) AND (alphaw * 5 >= nw * 4)
+         |    AND (sh >= 2)) AS passes
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "t06_repetition" ->
       s"""SELECT doc_id,

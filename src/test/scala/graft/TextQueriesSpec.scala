@@ -141,4 +141,31 @@ class TextQueriesSpec extends SparkSpec {
     // top-k must plan as TakeOrderedAndProject (never a global sort)
     assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
+
+  test("t14 Gopher rules: exact verdicts on hand-built edge docs, passes is the conjunction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t14").toString
+    Seq(
+      // 0: clean doc — all rules pass (12 words, all alpha, has stopwords)
+      (0L, "the quick brown fox and the lazy dog jump over the fence"),
+      // 1: too short (3 words) and stopword-free
+      (1L, "quick brown fox"),
+      // 2: symbol-heavy — 12 words but every other token is punctuation
+      (2L, "the ### fox $$$ dog %%% runs &&& far @@@ away ((("),
+      // 3: numeric soup — words carry no alphabetic chars
+      (3L, "111 222 333 444 555 666 777 888 999 000 111 222"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextQueries.defs("t14_gopher_rules")(spark, tmp).collect()
+    def row(id: Long) = rows.find(_.getLong(0) == id).get
+    assert(row(0).getAs[Boolean]("passes"), "clean doc must pass the battery")
+    assert(!row(1).getAs[Boolean]("r_words") && !row(1).getAs[Boolean]("r_stopwords"))
+    assert(!row(2).getAs[Boolean]("r_symbols") && !row(2).getAs[Boolean]("r_alpha"))
+    assert(!row(3).getAs[Boolean]("r_alpha") && !row(3).getAs[Boolean]("passes"))
+    rows.foreach { r =>
+      val conj = Seq("r_words", "r_word_len", "r_symbols", "r_alpha", "r_stopwords")
+        .forall(c => r.getAs[Boolean](c))
+      assert(r.getAs[Boolean]("passes") == conj, s"passes != conjunction on $r")
+    }
+  }
 }
