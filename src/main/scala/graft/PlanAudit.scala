@@ -141,6 +141,12 @@ object PlanAudit {
       "window, no positional shuffle); the single corpus-sized exchange is " +
       "the partial-aggregated groupBy on chunk content — d01's one-shuffle " +
       "discipline at sub-document granularity."),
+    "q20_rollup" -> ("ROLLUP as hierarchical re-aggregation: NO Expand " +
+      "operator (native rollup would scan-multiply the corpus once per " +
+      "grouping set); the corpus aggregates once to the finest grain and " +
+      "the coarser levels re-aggregate the group-cardinality table, " +
+      "reusing the base exchange (ReusedExchange/stage reuse in the " +
+      "executed plan). Decimal sums stay exact through every level."),
     "s08_hybrid_rrf" -> ("Hybrid RRF: both retrieval arms keep their " +
       "corpus-scale shapes (BM25's vocabulary-sized shuffles; the cosine " +
       "arm's broadcast query + WindowGroupLimit); the fusion join and " +

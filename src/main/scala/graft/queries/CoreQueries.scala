@@ -228,18 +228,41 @@ object CoreQueries {
     // bits (gflag/gstatus) rather than a sentinel key value, so a
     // genuine NULL or literal 'ALL' in the data stays distinguishable
     // from rollup-generated subtotals.
+    // q20: ROLLUP as hierarchical RE-AGGREGATION, not Expand. Spark
+    // executes a native rollup by Expand-ing every input row once per
+    // grouping set — a 3× corpus scan cost at 100 TB. SUM/COUNT are
+    // re-aggregable, so the corpus is aggregated ONCE to the finest
+    // (flag, status) grain and the coarser levels roll up from that
+    // group-cardinality table (re-aggs on ~6 rows). The base aggregate
+    // is shared via the lazy-localCheckpoint idiom (d10's discipline —
+    // the union's three branches prune differently, which defeats
+    // exchange-reuse canonicalization, so without materialization the
+    // corpus would scan three times anyway). The quantity sum stays
+    // DECIMAL through every level (exact, associative — the double
+    // cast happens only on output), so the result is bitwise the
+    // oracle's single-pass ROLLUP.
     "q20_rollup" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
-      l.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          grouping(col("l_returnflag")).cast("int").as("gflag"),
-          grouping(col("l_linestatus")).cast("int").as("gstatus"),
-          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
-        .select(
-          col("gflag"), col("gstatus"),
-          when(col("gflag") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("flag"),
-          when(col("gstatus") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("status"),
-          col("sum_qty"), col("cnt"))
+      val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+      val base = l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec)).as("dq"), count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false)
+      val lvl0 = base.select(
+        lit(0).as("gflag"), lit(0).as("gstatus"),
+        col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        col("dq"), col("cnt"))
+      val lvl1 = base.groupBy(col("l_returnflag"))
+        .agg(sum(col("dq")).as("dq"), sum(col("cnt")).as("cnt"))
+        .select(lit(0).as("gflag"), lit(1).as("gstatus"),
+          col("l_returnflag").as("flag"), lit("ALL").as("status"),
+          col("dq"), col("cnt"))
+      val lvl2 = base
+        .agg(sum(col("dq")).as("dq"), sum(col("cnt")).as("cnt"))
+        .select(lit(1).as("gflag"), lit(1).as("gstatus"),
+          lit("ALL").as("flag"), lit("ALL").as("status"), col("dq"), col("cnt"))
+      lvl0.union(lvl1).union(lvl2)
+        .select(col("gflag"), col("gstatus"), col("flag"), col("status"),
+          col("dq").cast("double").as("sum_qty"), col("cnt"))
         .orderBy("gflag", "gstatus", "flag", "status")
     }),
 

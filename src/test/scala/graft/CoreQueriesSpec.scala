@@ -144,4 +144,13 @@ class CoreQueriesSpec extends SparkSpec {
     // codegen'd operators print as "*(n) Op" in the physical plan tree
     assert(df.queryExecution.executedPlan.toString().contains("*("))
   }
+
+  test("q20 rollup: no Expand, corpus aggregated once, levels re-aggregate") {
+    val df = CoreQueries.defs("q20_rollup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Expand"),
+      s"native rollup Expand would scan-multiply the corpus:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length <= 1,
+      s"lineitem must feed the levels through ONE base aggregate:\n$plan")
+  }
 }
