@@ -25,22 +25,36 @@ object ExtQueries {
   val AsOfToleranceMs: Long = 30 * 60 * 1000L
 
   val defs: Map[String, Q] = Map(
-    // CUBE: all 2^k grouping-set subtotals in ONE pass (a single Expand
-    // + shuffle — not 2^k separate aggregations). Subtotals are tagged
-    // with explicit GROUPING() bits, same contract as q20_rollup.
+    // CUBE as hierarchical re-aggregation (q20's discipline): native
+    // cube Expands every input row once per grouping set (4× the
+    // corpus at k=2). COUNT/SUM re-aggregate, so the corpus aggregates
+    // ONCE to the finest (event_type, year) grain and all 2^k
+    // subtotal levels roll up from that tiny table — shared via the
+    // lazy localCheckpoint, decimal-exact until the output cast.
+    // Subtotals are tagged with explicit GROUPING() bits, same
+    // output contract as before.
     "q24_cube" -> ((s, dir) => {
-      val e = events(s, dir).withColumn("y", year(col("ts")))
-      e.cube(col("event_type"), col("y"))
-        .agg(
-          grouping(col("event_type")).cast("int").as("gtype"),
-          grouping(col("y")).cast("int").as("gy"),
-          count(lit(1)).as("cnt"),
-          dsum(col("value")).as("sum_value"))
-        .select(
-          col("gtype"), col("gy"),
-          when(col("gtype") === 1, lit("ALL")).otherwise(col("event_type")).as("etype"),
-          when(col("gy") === 1, lit(-1)).otherwise(col("y")).as("y"),
-          col("cnt"), col("sum_value"))
+      val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+      val base = events(s, dir).withColumn("y", year(col("ts")))
+        .groupBy(col("event_type"), col("y"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value").cast(dec)).as("dv"))
+        .localCheckpoint(eager = false)
+      val l00 = base.select(lit(0).as("gtype"), lit(0).as("gy"),
+        col("event_type").as("etype"), col("y"), col("cnt"), col("dv"))
+      val l01 = base.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("dv")).as("dv"))
+        .select(lit(0).as("gtype"), lit(1).as("gy"),
+          col("event_type").as("etype"), lit(-1).as("y"), col("cnt"), col("dv"))
+      val l10 = base.groupBy(col("y"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("dv")).as("dv"))
+        .select(lit(1).as("gtype"), lit(0).as("gy"),
+          lit("ALL").as("etype"), col("y"), col("cnt"), col("dv"))
+      val l11 = base.agg(sum(col("cnt")).as("cnt"), sum(col("dv")).as("dv"))
+        .select(lit(1).as("gtype"), lit(1).as("gy"),
+          lit("ALL").as("etype"), lit(-1).as("y"), col("cnt"), col("dv"))
+      l00.union(l01).union(l10).union(l11)
+        .select(col("gtype"), col("gy"), col("etype"), col("y"),
+          col("cnt"), col("dv").cast("double").as("sum_value"))
         .orderBy("gtype", "gy", "etype", "y")
     }),
 

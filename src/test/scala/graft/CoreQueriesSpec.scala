@@ -145,12 +145,14 @@ class CoreQueriesSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString().contains("*("))
   }
 
-  test("q20 rollup: no Expand, corpus aggregated once, levels re-aggregate") {
-    val df = CoreQueries.defs("q20_rollup")(spark, sfDir)
-    val plan = df.queryExecution.executedPlan.toString()
-    assert(!plan.contains("Expand"),
-      s"native rollup Expand would scan-multiply the corpus:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).length <= 1,
-      s"lineitem must feed the levels through ONE base aggregate:\n$plan")
+  test("q20 rollup / q24 cube: no Expand, corpus aggregated once, levels re-aggregate") {
+    Seq("q20_rollup" -> CoreQueries.defs, "q24_cube" -> graft.queries.ExtQueries.defs)
+      .foreach { case (name, defs) =>
+        val plan = defs(name)(spark, sfDir).queryExecution.executedPlan.toString()
+        assert(!plan.contains("Expand"),
+          s"$name: grouping-set Expand would scan-multiply the corpus:\n$plan")
+        assert("Scan parquet".r.findAllIn(plan).length <= 1,
+          s"$name: corpus must feed the levels through ONE base aggregate:\n$plan")
+      }
   }
 }
