@@ -83,6 +83,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(noVecs, q).count() == 0)
     assert(Similarity.annTopK(noVecs, q).count() == 0)
     assert(Similarity.ivfTopK(noVecs, q).count() == 0)
+    assert(Dedup.cdcChunkDups(noDocs).count() == 0)
+  }
+
+  test("CDC chunking degenerate docs: single word, all-cut words, duplicate docs") {
+    import spark.implicits._
+    // "hash" is a cut word at CdcDivisor=8 on this vocab (spec'd in
+    // DedupSpec); a doc of ONLY cut words chunks to singletons, which
+    // the min-width filter drops from the dup report but which must
+    // still reconstruct the doc in the chunk stage
+    val docs = Seq(
+      (1L, "solo"),
+      (2L, "hash hash hash"),
+      (3L, "copy of a shared span here"),
+      (4L, "copy of a shared span here")).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs).collect()
+    assert(chunks.count(_.getLong(0) == 1L) == 1, "single word = one chunk")
+    assert(chunks.filter(_.getLong(0) == 2L).sortBy(_.getInt(1))
+      .map(_.getString(2)).toSeq ==
+      Seq("hash", "hash", "hash"), "all-cut doc chunks to singletons")
+    val dups = Dedup.cdcChunkDups(docs).collect()
+    assert(dups.nonEmpty && dups.forall(_.getAs[Long]("n_docs") == 2),
+      "exact-duplicate docs must share every min-width chunk")
   }
 
   test("resolveComponents converges on a path graph with diameter far above maxIters") {

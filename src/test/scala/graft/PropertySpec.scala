@@ -191,4 +191,35 @@ class PropertySpec extends SparkSpec {
     }
     check("components", 8, prop)
   }
+
+  test("property: CDC chunking equals the brute-force in-memory chunker") {
+    import spark.implicits._
+    // same boundary rule as the operator: first 4 md5 hex chars mod D
+    def isCut(w: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % Dedup.CdcDivisor == 0
+    }
+    def bfChunks(ws: List[String]): List[String] = {
+      val cuts = ws.indices.filter(i => i == 0 || isCut(ws(i)))
+      cuts.zipAll(cuts.drop(1), -1, ws.length)
+        .map { case (a, b) => ws.slice(a, b).mkString(" ") }.toList
+    }
+    // small vocab mixing known cut words (hash, line) with non-cut ones
+    val word = Gen.oneOf("hash", "line", "agg", "scan", "key", "part", "row")
+    val genDoc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(Gen.listOfN(4, genDoc)) { docsW =>
+      val df = docsW.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.cdcChunks(df).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toList }
+      val want = docsW.zipWithIndex
+        .map { case (ws, i) => i.toLong -> bfChunks(ws) }.toMap
+      got == want
+    }
+    check("cdc-chunks", 8, prop)
+  }
 }
