@@ -162,6 +162,8 @@ final class GraftEngine(val spark: SparkSession,
     operators.Similarity.bruteForceTopK(embs,
       operators.Similarity.defaultQueries(embs))
       .createOrReplaceTempView("graft_topk_cosine")
+    queries.TextQueries.gopherRules(docs)
+      .createOrReplaceTempView("graft_gopher_rules")
   }
 
   // shared (multi-consumer) relations pinned by registered views; a

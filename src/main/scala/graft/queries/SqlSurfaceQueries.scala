@@ -134,7 +134,20 @@ object SqlSurfaceQueries {
           |FROM graft_customer_tt n
           |LEFT JOIN graft_customer_tt_v0 o ON o.c_custkey = n.c_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin)
-    }))
+    }),
+
+    // per-source quality report over the Gopher-rule view: pass rates
+    // and the failing-rule histogram — the curation dashboard query a
+    // data engineer writes in plain SQL against the operator view
+    "x09_sql_quality_report" -> ((s, dir) => engine(s, dir).sql(
+      """SELECT d.source,
+        |  COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN g.passes THEN 1 ELSE 0 END) AS n_pass,
+        |  SUM(CASE WHEN NOT g.r_symbols THEN 1 ELSE 0 END) AS fail_symbols,
+        |  SUM(CASE WHEN NOT g.r_alpha THEN 1 ELSE 0 END) AS fail_alpha,
+        |  SUM(CASE WHEN NOT g.r_stopwords THEN 1 ELSE 0 END) AS fail_stopwords
+        |FROM graft_gopher_rules g JOIN documents d ON d.doc_id = g.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)))
 
   // one temp root per (session, view), reused across invocations and
   // WIPED before each rebuild: a fresh createTempDirectory per call
@@ -238,7 +251,22 @@ object SqlSurfaceQueries {
          |  CAST(SUM(CAST(n.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
          |FROM merged n
          |LEFT JOIN customer o ON o.c_custkey = n.c_custkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x09: wraps t14's oracle verbatim as the rule source
+    "x09_sql_quality_report" ->
+      s"""SELECT d.source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(SUM(CASE WHEN NOT g.r_symbols THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fail_symbols,
+         |  CAST(SUM(CASE WHEN NOT g.r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fail_alpha,
+         |  CAST(SUM(CASE WHEN NOT g.r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fail_stopwords
+         |FROM (${TextQueries.oracles("t14_gopher_rules")}) g
+         |JOIN documents d ON d.doc_id = g.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)
 
   /** DuckDB twin of [[mergedCustomerView]]'s merge, as CTEs: the anti-
     * join + union IS the MERGE semantics, so the oracle states it

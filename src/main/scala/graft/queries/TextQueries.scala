@@ -50,6 +50,28 @@ object TextQueries {
   val GopherMinWords = 10
   val GopherMaxWords = 100000
 
+  /** The t14 rule battery as a reusable projection (also registered as
+    * the `graft_gopher_rules` SQL view). */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ws = words(col("text"))
+    val nw = size(ws)
+    val nonspace = length(regexp_replace(col("text"), "\\s", ""))
+    val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+    val alphaw = size(filter(ws, w => w.rlike("[a-z]")))
+    val stopHits = stopwordHits(ws, Stopwords.toMap.apply("en"))
+    docs.select(
+      col("doc_id"),
+      nw.as("n_words"),
+      nw.between(GopherMinWords, GopherMaxWords).as("r_words"),
+      (nonspace >= nw * 3 && nonspace <= nw * 10).as("r_word_len"),
+      (punct * 10 <= nw).as("r_symbols"),
+      (alphaw * 5 >= nw * 4).as("r_alpha"),
+      (stopHits >= 2).as("r_stopwords"))
+      .withColumn("passes",
+        col("r_words") && col("r_word_len") && col("r_symbols") &&
+          col("r_alpha") && col("r_stopwords"))
+  }
+
   val defs: Map[String, Q] = Map(
     // #25 language-ID: stopword-hit argmax (rows stay put; one scan)
     "t01_langid" -> ((s, dir) => {
@@ -145,26 +167,8 @@ object TextQueries {
     // cross-engine verdicts cannot flip on a float boundary. One scan,
     // fully map-side — the filter battery a 100 TB curation pass runs
     // inside the read stage.
-    "t14_gopher_rules" -> ((s, dir) => {
-      val ws = words(col("text"))
-      val nw = size(ws)
-      val nonspace = length(regexp_replace(col("text"), "\\s", ""))
-      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
-      val alphaw = size(filter(ws, w => w.rlike("[a-z]")))
-      val stopHits = stopwordHits(ws, Stopwords.toMap.apply("en"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        nw.as("n_words"),
-        nw.between(GopherMinWords, GopherMaxWords).as("r_words"),
-        (nonspace >= nw * 3 && nonspace <= nw * 10).as("r_word_len"),
-        (punct * 10 <= nw).as("r_symbols"),
-        (alphaw * 5 >= nw * 4).as("r_alpha"),
-        (stopHits >= 2).as("r_stopwords"))
-        .withColumn("passes",
-          col("r_words") && col("r_word_len") && col("r_symbols") &&
-            col("r_alpha") && col("r_stopwords"))
-        .orderBy("doc_id")
-    }),
+    "t14_gopher_rules" -> ((s, dir) =>
+      gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
 
     // t11 PMI collocations: bigrams ranked by pointwise mutual
     // information — log((P(ab)) / (P(a)·P(b))) over corpus token
