@@ -132,4 +132,42 @@ object Splits {
       .withColumn("n_tokens", col("__tokens"))
       .drop("__block", "__id", "__tokens", "__offset", "__cum")
   }
+
+  /** Token-budget corpus selection: keep the maximal SEEDED-HASH-order
+    * prefix of documents whose cumulative token count stays ≤ budget —
+    * "train on exactly N tokens", drawn unbiased (hash order is a
+    * uniform shuffle, reproducible across reruns and backfills like
+    * [[assignSplit]]).
+    *
+    * Scale shape: the same blocked distributed prefix sum as
+    * [[packShards]], except blocks are the first two hex chars of the
+    * seeded hash (256 ordered blocks) since hash order has no dense
+    * integer key. Block totals aggregate map-side; the only global
+    * window runs over the 256-row block-total table; in-block running
+    * sums are per-block partitions. No corpus-sized single-partition
+    * window anywhere.
+    *
+    * Returns (doc_id, n_tokens, cum_tokens) for the selected docs. */
+  def tokenBudgetSample(df: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Long, seed: String = "budget"): DataFrame = {
+    require(budget > 0)
+    val blocked = df
+      .withColumn("__tokens", tokensCol.cast("long"))
+      .withColumn("__h", md5(concat(lit(s"$seed|"), idCol.cast("string"))))
+      .withColumn("__block", substring(col("__h"), 1, 2))
+    val totals = blocked.groupBy("__block").agg(sum("__tokens").as("__block_sum"))
+    val offsets = totals
+      .withColumn("__offset", coalesce(
+        sum("__block_sum").over(
+          Window.orderBy("__block").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__block", "__offset")
+    val inBlock = Window.partitionBy("__block").orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocked.join(offsets, "__block")
+      .withColumn("cum_tokens", sum("__tokens").over(inBlock) + col("__offset"))
+      .filter(col("cum_tokens") <= budget)
+      .select(idCol.as("doc_id"), col("__tokens").as("n_tokens"),
+        col("cum_tokens"))
+  }
 }

@@ -143,10 +143,24 @@ object PipelineQueries {
         .withColumn("cap_rank", row_number().over(w).cast("long"))
         .filter(col("cap_rank") <= CapPerSource)
         .orderBy("source", "cap_rank")
-    }))
+    }),
+
+    // p09: token-budget corpus selection — the maximal seeded-hash-
+    // order prefix whose cumulative whitespace-token count stays under
+    // the budget ("train on exactly N tokens", unbiased and rerun-
+    // stable). Blocked prefix sum keyed on the hash prefix; no
+    // corpus-sized global window (see Splits.tokenBudgetSample).
+    "p09_token_budget" -> ((s, dir) =>
+      graft.operators.Splits.tokenBudgetSample(
+        t(s, dir, "documents"), col("doc_id"), wsTokenCount(col("text")),
+        budget = TokenBudget)
+        .orderBy("doc_id")))
 
   /** p08 quota: max docs kept per source/domain. */
   val CapPerSource = 10
+
+  /** p09 budget: absolute token cap for the selected sub-corpus. */
+  val TokenBudget = 8000L
 
   val oracles: Map[String, String] = Map(
     "p01_training_prep" ->
@@ -253,5 +267,18 @@ object PipelineQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
          |      ORDER BY quality_score DESC, doc_id) AS cap_rank
          |  FROM scored)
-         |WHERE cap_rank <= $CapPerSource ORDER BY source, cap_rank""".stripMargin)
+         |WHERE cap_rank <= $CapPerSource ORDER BY source, cap_rank""".stripMargin,
+
+    // p09: the oracle's single global running sum IS the semantics the
+    // blocked Spark plan reproduces piecewise
+    "p09_token_budget" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    CAST(${sqlWsTokenCount("text")} AS BIGINT) AS n_tokens,
+         |    md5('budget|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum_tokens
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin)
 }

@@ -171,4 +171,40 @@ class SplitsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"no WindowGroupLimit — a giant stratum would fully sort through the window:\n$plan")
   }
+
+  test("p09 token budget: maximal hash-order prefix, equals the global running sum") {
+    import graft.functions.TextFunctions.wsTokenCount
+    val budget = 700L
+    val got = Splits.tokenBudgetSample(docs.select(col("doc_id"), col("text")),
+        col("doc_id"), wsTokenCount(col("text")), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force oracle: one global running sum in seeded-hash order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = docs.select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (id, n) => (md5hex(s"budget|$id"), id, n) }
+      .sortBy(t => (t._1, t._2))
+    val want = all.scanLeft(("", 0L, 0L, 0L)) { case ((_, _, _, cum), (h, id, n)) =>
+      (h, id, n, cum + n)
+    }.drop(1).takeWhile(_._4 <= budget)
+      .map(t => (t._2, t._3, t._4)).sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq == want.toSeq,
+      "blocked prefix selection must equal the single global running sum")
+    // maximality: the next hash-order doc would blow the budget
+    val selected = got.map(_._1).toSet
+    val next = all.find(t => !selected(t._2))
+    next.foreach { n =>
+      assert(got.map(_._2).sum + n._3 > budget, "selection is not maximal")
+    }
+  }
+
+  test("p09 plan is blocked: corpus running sum partitions by the hash-prefix block") {
+    import graft.functions.TextFunctions.wsTokenCount
+    val plan = Splits.tokenBudgetSample(docs.select(col("doc_id"), col("text")),
+        col("doc_id"), wsTokenCount(col("text")), 700L)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("hashpartitioning(__block"),
+      s"corpus running sum must shuffle on the block key only:\n$plan")
+  }
 }
