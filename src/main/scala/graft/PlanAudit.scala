@@ -136,6 +136,11 @@ object PlanAudit {
       "WindowGroupLimit, so each map task pre-trims to k rows per source " +
       "BEFORE the source-key shuffle — the low-cardinality partition key " +
       "carries O(k x tasks x sources) rows however hot a domain is."),
+    "p09_token_budget" -> ("Token-budget selection: the corpus running " +
+      "sum shuffles on the 2-hex-char hash-prefix block key " +
+      "(hashpartitioning(__block)); the only unpartitioned window runs " +
+      "over the 256-row block-total aggregate — no corpus-sized " +
+      "single-partition window anywhere."),
     "d14_cdc_dedup" -> ("Content-defined chunking: cut positions and chunk " +
       "substrings are array expressions inside the scan stage (no per-doc " +
       "window, no positional shuffle); the single corpus-sized exchange is " +
