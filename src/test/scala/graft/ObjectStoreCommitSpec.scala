@@ -148,4 +148,37 @@ class ObjectStoreCommitSpec extends AnyFunSuite with SparkSpec
     assert(n == 1, s"superseded log versions survived vacuum ($n left)")
     assert(TableLayout.readManifested(spark, table).count() == 1)
   }
+
+  test("artifact store commits by create-exclusive pointer on the object-store scheme") {
+    implicit val s = spark
+    val root = tmpTable("artifact")
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    @volatile var renamedPointer = false
+    ObjStoreHooks.onRename = (_, dst) =>
+      if (dst.getName.startsWith("ptr_")) renamedPointer = true
+    val served = graft.sources.ArtifactStore.getOrBuild(src, root, "t") {
+      src.select("vec_id").limit(5)
+    }
+    assert(served.count() == 5)
+    assert(!renamedPointer,
+      "the artifact commit must be a create-exclusive pointer, never a rename")
+    val p = new HPath(root)
+    val fs = p.getFileSystem(conf)
+    def state = fs.listStatus(p).map(st =>
+      (st.getPath.getName, st.getLen, st.getModificationTime)).toSeq.sortBy(_._1)
+    val committed = state
+    assert(committed.exists(_._1.startsWith("ptr_")), "pointer missing")
+    // a second resolution serves the committed version UNTOUCHED and
+    // never evaluates the build thunk
+    val again = graft.sources.ArtifactStore.getOrBuild(src, root, "t")(
+      fail("second resolution must not rebuild"))
+    assert(again.count() == 5)
+    assert(state == committed, "reuse modified the committed artifact")
+    // a parameter change commits a NEW immutable version alongside
+    val v2 = graft.sources.ArtifactStore.getOrBuild(src, root, "t2")(
+      src.select("vec_id").limit(3))
+    assert(v2.count() == 3)
+    assert(fs.listStatus(p).count(_.getPath.getName.startsWith("ptr_")) == 2,
+      "the old fingerprint's commit must remain immutable")
+  }
 }
