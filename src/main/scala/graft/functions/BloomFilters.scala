@@ -93,4 +93,13 @@ object BloomFilters {
     * any downstream exact confirmation). */
   def mightContain(bloom: Column, value: Column): Column =
     call_function("graft_might_contain", bloom, value)
+
+  /** The bloom bitset MATERIALIZED to driver bytes — for embedding as
+    * a literal in plans where a scalar subquery cannot go (a streaming
+    * query probing a STATIC reference set: the bitset is built once in
+    * batch at stream start and rides the plan as a constant). */
+  def bloomBytesOf(ref: org.apache.spark.sql.DataFrame, valueCol: String,
+      expectedItems: Long = DefaultExpectedItems): Array[Byte] =
+    ref.agg(bloomAgg(org.apache.spark.sql.functions.col(valueCol), expectedItems)
+      .as("b")).head().getAs[Array[Byte]]("b")
 }

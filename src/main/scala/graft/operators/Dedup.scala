@@ -87,6 +87,43 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.bh"))
 
+  /** Per-doc band-hash ARRAY computed with pure array expressions — no
+    * explode, no aggregation, so the whole signature+banding chain is
+    * STATELESS and a readStream plans it with zero state. Value-
+    * identical to [[bandedBuckets]] (spec-pinned): md5 hex strings are
+    * fixed-width lowercase, so `array_min`'s lexicographic string min
+    * IS MinhashAgg's raw-byte min. Doc columns pass through; `bhs`
+    * carries the [[Bands]] band hashes. */
+  def bandHashArray(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sigEntry = (h: Int) => array_min(transform(col("__shingles"),
+      x => md5(concat(lit(s"$h|"), x))))
+    docs
+      .withColumn("__shingles", graft.functions.ShingleSet.shingleSet(
+        words(col(textCol)), ShingleK))
+      .withColumn("__sig", array((0 until NumHashes).map(sigEntry): _*))
+      .withColumn("bhs", array((0 until Bands).map { b =>
+        md5(concat((lit(s"$b|") +: (0 until RowsPerBand).map(j =>
+          element_at(col("__sig"), b * RowsPerBand + j + 1))): _*))
+      }: _*))
+      .drop("__shingles", "__sig")
+  }
+
+  /** Stateless streaming ingest gate: admit only arriving docs with NO
+    * band hash probing positive against the stored index's bloom
+    * bitset ([[graft.functions.BloomFilters]], d13's discipline). The
+    * whole gate is a map-side filter over [[bandHashArray]] — a
+    * readStream plans it with ZERO state, no stream-static join, no
+    * watermark. The bloom's ~1 % false positives over-DROP slightly
+    * (the conservative direction for an ingest gate); pipelines that
+    * need the exact decision run [[incrementalKeep]]'s confirm joins
+    * in batch on the admitted sliver. */
+  def streamAdmitGate(docs: DataFrame, indexBloom: Array[Byte],
+      textCol: String = "text"): DataFrame =
+    bandHashArray(docs, textCol)
+      .filter(!exists(col("bhs"), b =>
+        graft.functions.BloomFilters.mightContain(lit(indexBloom), b)))
+      .drop("bhs")
+
   /** Candidate near-dup pairs: equi-join on the band-bucket key — the
     * scale-safe path; pair generation happens within buckets only. */
   def minhashCandidates(docs: DataFrame): DataFrame = {

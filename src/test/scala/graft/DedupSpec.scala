@@ -260,6 +260,16 @@ class DedupSpec extends SparkSpec {
     assert(miss < 500, s"bloom rejects almost all non-members, passed $miss")
   }
 
+  test("bandHashArray: the stateless array form is value-identical to bandedBuckets") {
+    val fromAgg = Dedup.bandedBuckets(docs).select("doc_id", "bh")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fromArr = Dedup.bandHashArray(docs)
+      .select(col("doc_id"), explode(col("bhs")).as("bh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromArr == fromAgg,
+      "array_min lexicographic signature must equal MinhashAgg's raw-byte min")
+  }
+
   test("stored cluster labels: committed once, reused untouched, value-identical") {
     implicit val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft_clu").toString

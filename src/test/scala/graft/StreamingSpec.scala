@@ -422,6 +422,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_.getAs[String]("clean_text").contains("<PHONE>")))
   }
 
+  test("streaming ingest gate: stateless bloom admit equals the batch form, drops true dups") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val history = all.filter(col("doc_id") % 2 === 0)
+    val arriving = all.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the index bloom: built ONCE in batch from the stored LSH bands
+    val bloom = graft.functions.BloomFilters.bloomBytesOf(
+      Dedup.bandedBuckets(history).select("bh").distinct(), "bh")
+    val stream = MemoryStream[(Long, String)]
+    val q = Dedup.streamAdmitGate(stream.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(arriving.take(arriving.length / 2)); q.processAllAvailable()
+      stream.addData(arriving.drop(arriving.length / 2)); q.processAllAvailable()
+      // the gate is a pure map-side filter: the stream holds ZERO state
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "the stateless gate must not create a state operator")
+    } finally q.stop()
+    val streamed = spark.table("gate_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = Dedup.streamAdmitGate(
+      arriving.toDF("doc_id", "text"), bloom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "streamed admit must equal the batch form")
+    // soundness: no false negatives in the bloom → every TRUE band
+    // collision with history is dropped (admitted ⊆ exact keep set)
+    val exactKeep = Dedup.bandHashArray(arriving.toDF("doc_id", "text"))
+      .select(col("doc_id"), explode(col("bhs")).as("bh")).as("n")
+      .join(Dedup.bandedBuckets(history).select("bh").distinct().as("h"), "bh")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.intersect(exactKeep).isEmpty,
+      "a doc with a true index collision slipped through the gate")
+    assert(streamed.nonEmpty, "the gate admitted nothing — degenerate fixture")
+  }
+
   test("sessionization state is one open session per user (bounded state)") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
