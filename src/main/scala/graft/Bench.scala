@@ -169,6 +169,7 @@ object Bench {
     val prepMediaSec = prepSec(queries.MultimodalQueries.ensureMediaStore(spark, sfDir))
     val prepAnnSec = prepSec(queries.SimilarityQueries.ensureAnnIndex(spark, sfDir))
     val prepClusterSec = prepSec(queries.DedupQueries.ensureClusterIndex(spark, sfDir))
+    val prepPqSec = prepSec(queries.SimilarityQueries.ensurePqIndex(spark, sfDir))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -273,6 +274,7 @@ object Bench {
         s""""wallSec":${(System.currentTimeMillis() - startMs) / 1000.0},""" +
         s""""prepMediaSec":${num(prepMediaSec, 3)},"prepAnnSec":${num(prepAnnSec, 3)},""" +
         s""""prepClusterSec":${num(prepClusterSec, 3)},""" +
+        s""""prepPqSec":${num(prepPqSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

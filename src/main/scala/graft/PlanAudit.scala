@@ -152,6 +152,12 @@ object PlanAudit {
       "the coarser levels re-aggregate the group-cardinality table, " +
       "reusing the base exchange (ReusedExchange/stage reuse in the " +
       "executed plan). Decimal sums stay exact through every level."),
+    "s09_ann_pq" -> ("Product-quantized ANN: the corpus-sized scan reads " +
+      "the STORED codes artifact (the 32-bit-per-vector compressed " +
+      "corpus) — no training subtree, no float-vector scan before the " +
+      "shortlist; codebooks and per-query dot tables ride broadcast " +
+      "joins; full-precision vectors join in only for the R-row " +
+      "shortlist re-rank; final top-k is WindowGroupLimit."),
     "s08_hybrid_rrf" -> ("Hybrid RRF: both retrieval arms keep their " +
       "corpus-scale shapes (BM25's vocabulary-sized shuffles; the cosine " +
       "arm's broadcast query + WindowGroupLimit); the fusion join and " +

@@ -363,6 +363,161 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---- s09: product quantization + exact re-rank --------------------------
+
+  /** PQ layout: the vector splits into [[PqSubspaces]] contiguous
+    * subvectors, each quantized to one of [[PqCodebook]] trained
+    * codewords — log2(16) × 8 = 32 BITS per vector regardless of
+    * dimension, the representation a 10⁹-vector scan streams while the
+    * full-precision vectors stay cold until the re-rank. */
+  val PqSubspaces = 8
+  val PqCodebook = 16
+
+  /** ADC shortlist width: the exact re-rank touches only this many
+    * full-precision rows per query. The recall dial: R/n trades recall
+    * for full-precision reads (PqRecallSpec pins ≥ 0.9 at this
+    * setting on the test corpus). */
+  val PqShortlist = 150
+
+  /** Unit-normalized corpus (vec_id, u): PQ for cosine operates on the
+    * unit sphere so ADC dot sums approximate cosine directly. */
+  private def pqNormalized(embeddings: DataFrame): DataFrame =
+    prepared(embeddings).select(col("vec_id"),
+      transform(col("v"), x => x / col("norm")).as("u"))
+
+  /** Subspace m as an `embedding`-shaped frame, feeding the EXISTING
+    * [[kmeansCentroids]]/[[assignCells]] machinery unchanged. */
+  private def pqSubspace(normed: DataFrame, m: Int, subDim: Int): DataFrame =
+    normed.select(col("vec_id"),
+      slice(col("u"), m * subDim + 1, subDim).as("embedding"))
+
+  /** s09: product-quantized ANN — train [[PqSubspaces]] independent
+    * codebooks (the same deterministic decimal-exact Lloyd chain as
+    * s04, one per subspace), encode every corpus vector as its
+    * per-subspace nearest codeword, score queries by ASYMMETRIC
+    * DISTANCE COMPUTATION (per-subspace query·codeword dot tables,
+    * summed over subspaces), keep the top-[[PqShortlist]] ADC
+    * candidates, and EXACT-re-rank only that shortlist — the
+    * IVF-PQ-style memory recipe: the corpus-sized scan reads codes
+    * (32 bits/vector here vs 512 bytes of float64), codebooks and dot
+    * tables are broadcast (PqSubspaces × PqCodebook rows), and full
+    * vectors are touched for R rows per query, never n.
+    *
+    * Determinism (full value oracle): codebook training replays
+    * s04's decimal-exact chain per subspace; ADC terms round to 6 dp
+    * and SUM AS DECIMAL (order-independent), so the shortlist — and
+    * therefore the exact-re-ranked result — is engine-identical. */
+  private def pqDim(embeddings: DataFrame, m: Int): Int = {
+    // dimension read from one corpus row (driver-side metadata probe)
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"PQ needs dim % subspaces == 0 (dim=$dim, m=$m)")
+    dim
+  }
+
+  /** Trained PQ codebooks: one row per (subspace, codeword) —
+    * PqSubspaces × PqCodebook rows total, each codeword a subDim
+    * vector. Training replays s04's decimal-exact Lloyd chain per
+    * subspace, so a stored copy is value-identical to a fresh run. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = PqSubspaces,
+      codebook: Int = PqCodebook, iters: Int = KmeansIters): DataFrame = {
+    val sub = pqDim(embeddings, m) / m
+    // the normalized corpus feeds M training chains: share one
+    // materialization. persist(), NOT a localCheckpoint —
+    // kmeansCentroids releases its superseded centroid checkpoints via
+    // Checkpoints.release, whose LogicalRDD-collectFirst would find
+    // (and kill) a checkpoint sitting in the TRAINING INPUT's lineage;
+    // a persisted plan just recomputes if anything sweeps it
+    val normed = pqNormalized(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (0 until m).map { s =>
+      kmeansCentroids(pqSubspace(normed, s, sub), codebook, iters)
+        .select(lit(s).as("m"), col("cent_id"), col("cv"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The corpus ENCODED against explicit codebooks: (vec_id, m, cell)
+    * — the PQ-compressed corpus itself (log2(k)·M bits of information
+    * per vector; the stored form a 10⁹-vector ADC scan streams). Each
+    * subspace's assignment is the map-side broadcast-codebook fold. */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
+      m: Int = PqSubspaces): DataFrame = {
+    val sub = pqDim(embeddings, m) / m
+    val normed = pqNormalized(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (0 until m).map { s =>
+      val cb = codebooks.filter(col("m") === s)
+        .select(col("cent_id"), col("cv"))
+        .withColumn("cnorm", sqrt(Dedup.dot(col("cv"), col("cv"))))
+      assignCells(preparedCorpus(pqSubspace(normed, s, sub)), cb)
+        .select(col("vec_id"), lit(s).as("m"), col("cell"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Train-once PERSISTED PQ index: codebooks + encoded corpus, both
+    * committed through [[graft.sources.ArtifactStore]] under the
+    * caller's paths (same build-once discipline as the s04 centroid
+    * index; the codes artifact IS the compressed corpus, so a later
+    * session's ADC scan never touches the float vectors until
+    * re-rank). The codes build reads the STORED codebooks — training
+    * runs at most once per (corpus, params). */
+  def storedPqIndex(embeddings: DataFrame, cbPath: String, codesPath: String,
+      m: Int = PqSubspaces, codebook: Int = PqCodebook,
+      iters: Int = KmeansIters)(
+      implicit spark: org.apache.spark.sql.SparkSession): (DataFrame, DataFrame) = {
+    val salt = s"pq:$m:$codebook:$iters"
+    val cbs = graft.sources.ArtifactStore.getOrBuild(embeddings, cbPath,
+      salt = salt)(pqCodebooks(embeddings, m, codebook, iters))
+    val codes = graft.sources.ArtifactStore.getOrBuild(embeddings, codesPath,
+      salt = salt)(pqEncode(embeddings, cbs, m))
+    (cbs, codes)
+  }
+
+  /** s09 search path against an explicit (e.g. stored) PQ index:
+    * per-query dot TABLES against the broadcast codebooks, ADC as one
+    * corpus-sized aggregate over the codes, top-[[PqShortlist]]
+    * shortlist, exact re-rank of the shortlist only. ADC terms round
+    * to 6 dp and sum as DECIMAL (order-independent) so the shortlist
+    * is engine-identical. */
+  def pqTopKWith(embeddings: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, nQueries: Int = 5, k: Int = K,
+      m: Int = PqSubspaces, shortlist: Int = PqShortlist): DataFrame = {
+    val sub = pqDim(embeddings, m) / m
+    val q = pqNormalized(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val tables = q.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("m"), col("cent_id").as("cell"),
+        round(Dedup.dot(
+          slice(col("qu"), col("m") * sub + 1, lit(sub)), col("cv")), 6)
+          .as("t"))
+    val adc = codes
+      .join(broadcast(tables), Seq("m", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("t").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("adc"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    // exact re-rank of the shortlist only — s01's scoring verbatim
+    val joined = short
+      .join(prepared(embeddings), "vec_id")
+      .join(broadcast(defaultQueries(embeddings, nQueries)), "query_id")
+    scored(joined)
+      .withColumn("rank", topk)
+      .filter(col("rank") <= k)
+  }
+
+  /** s09 with in-session training (specs / one-shot callers). */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = K,
+      m: Int = PqSubspaces, codebook: Int = PqCodebook,
+      shortlist: Int = PqShortlist, iters: Int = KmeansIters): DataFrame = {
+    val cbs = pqCodebooks(embeddings, m, codebook, iters)
+    pqTopKWith(embeddings, cbs, pqEncode(embeddings, cbs, m),
+      nQueries, k, m, shortlist)
+  }
+
   /** recall@k of an approximate result against the exact one: the mean
     * over queries of |approx ∩ exact| / |exact|. Pure DataFrame compare
     * (semi-join on (query_id, vec_id)); the driver sees ONE double —

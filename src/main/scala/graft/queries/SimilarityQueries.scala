@@ -31,6 +31,24 @@ object SimilarityQueries {
     ()
   }
 
+  /** Canonical stored-PQ-index locations (codebooks + encoded corpus)
+    * for a corpus dir. */
+  def pqIndexPaths(dir: String): (String, String) = {
+    def p(kind: String) = graft.sources.ArtifactStore.pathFor(
+      graft.sources.ArtifactStore.defaultRoot, kind,
+      s"$dir/embeddings.parquet")
+    (p("pq_codebooks"), p("pq_codes"))
+  }
+
+  /** Train-or-reuse the stored PQ index for `dir` (Bench's untimed
+    * prepare; s09 then measures ADC search + re-rank, not training). */
+  def ensurePqIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    implicit val spark = s
+    val (cb, codes) = pqIndexPaths(dir)
+    Similarity.storedPqIndex(t(s, dir, "embeddings"), cb, codes)
+    ()
+  }
+
   private val sqlDot = Ops.sqlListDot("q.qv", "c.v")
   private val sqlQNorm = Ops.sqlListNorm("q.qv")
   private val sqlCNorm = Ops.sqlListNorm("c.v")
@@ -88,6 +106,89 @@ object SimilarityQueries {
     * d12's semantic-dedup oracle, which clusters with the same stored
     * index the s04/s05/s07 family resolves. */
   private[queries] def sqlKmeansPrelude: String = s"$sqlPrep,\n$sqlKmeansChain"
+
+  /** [[sqlKmeansChain]] parameterized by source CTE, name prefix, and
+    * codebook size — one instance per PQ subspace. Ends with
+    * `${pfx}cents$iters` and `${pfx}assignF`. */
+  private def sqlKmeansChainFor(src: String, pfx: String,
+      n: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"${pfx}cents${i - 1}"
+      s"""${pfx}assign$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${sqlKmDot("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
+         |          c.cent_id ASC) AS rn
+         |    FROM $src e CROSS JOIN $prev c) WHERE rn = 1),
+         |${pfx}sums$i AS (
+         |  SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM ${pfx}assign$i)
+         |  GROUP BY cell, pos),
+         |${pfx}means$i AS (SELECT cell, list(m ORDER BY pos) AS new_cv FROM ${pfx}sums$i GROUP BY cell),
+         |${pfx}cents$i AS (
+         |  SELECT c.cent_id, coalesce(m.new_cv, c.cv) AS cv
+         |  FROM ${pfx}cents${i - 1} c LEFT JOIN ${pfx}means$i m ON c.cent_id = m.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM $src
+       |  WHERE vec_id < $n),
+       |$iterCtes,
+       |${pfx}assignF AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${sqlKmDot("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
+       |          c.cent_id ASC) AS rn
+       |    FROM $src e CROSS JOIN ${pfx}cents$iters c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** s09 oracle: unit-normalize, replay one decimal-exact Lloyd chain
+    * per subspace, encode, ADC via 6-dp-rounded decimal-summed dot
+    * tables, shortlist, exact re-rank — term-for-term the Spark plan. */
+  private def sqlPqOracle: String = {
+    import graft.operators.Similarity.{PqSubspaces, PqCodebook, PqShortlist, KmeansIters, K}
+    val sub = 64 / PqSubspaces // fixture embedding dim; the Spark side derives it
+    val subspaces = (0 until PqSubspaces).map { m =>
+      val lo = m * sub + 1
+      val hi = m * sub + sub
+      s"""sm$m AS (SELECT vec_id, u[$lo:$hi] AS v FROM u),
+         |${sqlKmeansChainFor(s"sm$m", s"m${m}_", PqCodebook, KmeansIters)}""".stripMargin
+    }.mkString(",\n")
+    val terms = (0 until PqSubspaces).map { m =>
+      val lo = m * sub + 1
+      val hi = m * sub + sub
+      s"""SELECT q.query_id, a.vec_id,
+         |  round(${sqlKmDot(s"q.qu[$lo:$hi]", "c.cv")}, 6) AS t
+         |FROM m${m}_assignF a
+         |JOIN m${m}_cents$KmeansIters c ON a.cell = c.cent_id
+         |CROSS JOIN qn q""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(v, x -> x / ${norm("v")}) AS u FROM e),
+       |qn AS (SELECT vec_id AS query_id, u AS qu FROM u WHERE vec_id < $NQueries),
+       |$subspaces,
+       |terms AS (
+       |$terms),
+       |adc AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS adc
+       |  FROM terms WHERE vec_id <> query_id GROUP BY 1, 2),
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, vec_id ASC) AS srank FROM adc)
+       |  WHERE srank <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(${sqlKmDot("qe.v", "ce.v")} / (${norm("qe.v")} * ${norm("ce.v")}), 6) AS cos
+       |  FROM short s
+       |  JOIN e ce ON ce.vec_id = s.vec_id
+       |  JOIN e qe ON qe.vec_id = s.query_id)
+       |SELECT query_id, vec_id, cos, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank FROM rer)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
   private[queries] def sqlCentsFinal: String = cf
 
   /** k-means IVF search oracle, parameterized on probe count — shared
@@ -185,6 +286,21 @@ object SimilarityQueries {
       Similarity.admitBatch(e.filter(col("vec_id") % 10 === 7),
           Similarity.storedKmeansCentroids(e, annIndexPath(dir)))
         .orderBy("vec_id")
+    }),
+
+    // s09: product-quantized ANN + exact re-rank (§2 #45) — per-
+    // subspace trained codebooks, ADC shortlist, full-precision math
+    // only on the shortlist; the 32-bit-per-vector memory recipe.
+    // Served from the STORED index (codebooks + encoded corpus —
+    // training once per corpus; the oracle replays it, so stored vs
+    // fresh must stay value-identical or the hash fails)
+    "s09_ann_pq" -> ((s, dir) => {
+      implicit val spark = s
+      val e = t(s, dir, "embeddings")
+      val (cbPath, codesPath) = pqIndexPaths(dir)
+      val (cbs, codes) = Similarity.storedPqIndex(e, cbPath, codesPath)
+      Similarity.pqTopKWith(e, cbs, codes, nQueries = NQueries)
+        .orderBy("query_id", "rank")
     }),
 
     // s08: hybrid lexical+vector retrieval with reciprocal-rank fusion
@@ -342,6 +458,8 @@ object SimilarityQueries {
          |  FROM scored)
          |WHERE rank <= ${Similarity.K}
          |ORDER BY query_id, rank""".stripMargin,
+
+    "s09_ann_pq" -> sqlPqOracle,
 
     // s08: the lexical arm embeds t12's oracle verbatim (rank = its
     // already-deterministic output order); the vector arm is s01's
