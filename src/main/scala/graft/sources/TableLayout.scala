@@ -179,21 +179,27 @@ object TableLayout {
     }
   }
 
+  /** Raw (trimmed, non-empty) lines of log version `v`, terminator
+    * included if present. */
+  private def readLogVersion(fc: org.apache.hadoop.fs.FileContext,
+      tablePath: String, v: Long): Seq[String] = {
+    val in = fc.open(new HPath(new HPath(tablePath, ManifestLogDir), f"v$v%020d"))
+    val buf = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+    finally in.close()
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Lines of the newest COMPLETE log version (terminator-checked;
     * a torn in-flight entry falls back to its predecessor). */
   private def readNewestLogLines(fc: org.apache.hadoop.fs.FileContext,
       tablePath: String): Option[Seq[String]] = {
-    val dir = new HPath(tablePath, ManifestLogDir)
-    logVersions(fc, tablePath).reverse.iterator.map { v =>
-      val in = fc.open(new HPath(dir, f"v$v%020d"))
-      val buf = new java.io.ByteArrayOutputStream()
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      finally in.close()
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
-    }.collectFirst {
-      case ls if ls.lastOption.contains(LogEntryEnd) => ls.dropRight(1)
-    }
+    logVersions(fc, tablePath).reverse.iterator
+      .map(v => readLogVersion(fc, tablePath, v))
+      .collectFirst {
+        case ls if ls.lastOption.contains(LogEntryEnd) => ls.dropRight(1)
+      }
   }
 
   /** One conditional-PUT attempt: create log version `v` EXCLUSIVELY
@@ -257,7 +263,14 @@ object TableLayout {
       // log mode: APPEND commit with optimistic concurrency — re-read
       // the current history on every attempt, so two racing committers
       // both land (in either order) instead of one silently losing its
-      // read-modify-write (the Delta-on-S3 commit loop)
+      // read-modify-write (the Delta-on-S3 commit loop). The version
+      // to attempt and the content it extends come from ONE listing
+      // ([[logReadForCommit]]): deriving them from two separate reads
+      // opens a lost-update window — read old content, list AFTER the
+      // rival's create, take the next FREE number, and the
+      // create-exclusive happily lands a snapshot that silently drops
+      // the rival's commit (caught by ObjectStoreCommitSpec's racing-
+      // committers test under load).
       val fc = fcFor(spark, tablePath)
       var attempt = 0
       var done = false
@@ -265,10 +278,40 @@ object TableLayout {
         attempt += 1
         require(attempt <= LogCommitRetries,
           s"manifest log commit at $tablePath lost $LogCommitRetries races — aborting")
-        val cur = existingSnapshots(spark, tablePath)
-        val next = logVersions(fc, tablePath).lastOption.getOrElse(-1L) + 1
+        val (next, fromLog) = logReadForCommit(fc, tablePath)
+        val cur = fromLog.getOrElse {
+          // no complete log version yet: file-era content (migration)
+          // or a brand-new table
+          if (fc.util.exists(new HPath(tablePath, ManifestFile)))
+            snapshots(spark, tablePath)
+          else Seq.empty
+        }
         done = tryWriteLogVersion(fc, tablePath, next, cur :+ dataDirName)
       }
+    }
+  }
+
+  /** The commit-anchored read: (version to ATTEMPT, lines of the newest
+    * COMPLETE version) derived from a single log listing. The attempt
+    * number is anchored to the listing the content came from, so a
+    * commit built on stale content can only target an already-taken
+    * version (create-exclusive fails → retry), never a fresh number.
+    * A TORN newest entry (no terminator — a dead writer; real
+    * object-store PUTs are atomic, this exists only under non-atomic
+    * test filesystems) is skipped past: the attempt goes one beyond
+    * the torn number. */
+  private def logReadForCommit(fc: org.apache.hadoop.fs.FileContext,
+      tablePath: String): (Long, Option[Seq[String]]) = {
+    val vs = logVersions(fc, tablePath)
+    val newestComplete = vs.reverse.iterator
+      .map(v => v -> readLogVersion(fc, tablePath, v))
+      .collectFirst {
+        case (v, ls) if ls.lastOption.contains(LogEntryEnd) =>
+          (v, ls.dropRight(1))
+      }
+    newestComplete match {
+      case Some((_, lines)) => (vs.last + 1, Some(lines))
+      case None => (vs.lastOption.getOrElse(-1L) + 1, None)
     }
   }
 

@@ -107,30 +107,40 @@ class ObjectStoreCommitSpec extends AnyFunSuite with SparkSpec
     assert(TableLayout.snapshots(spark, table).size == 6)
   }
 
-  test("racing committers both land via the create-exclusive retry loop") {
+  test("racing committers all land via the create-exclusive retry loop") {
     import spark.implicits._
     val table = tmpTable("cas")
     TableLayout.writeManifested(Seq((0, "x")).toDF("k", "v"), table)
-    // two committers, rendezvoused so their read-modify-write windows
-    // overlap: both read the same current version, one wins the
-    // create-exclusive, the other must retry — not silently lose
-    val gate = new CountDownLatch(2)
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val ts = (1 to 2).map { i =>
-      new Thread(() => {
-        try {
-          val df = Seq((i, s"writer$i")).toDF("k", "v")
-          gate.countDown()
-          gate.await(10, TimeUnit.SECONDS)
-          TableLayout.writeManifested(df, table)
-        } catch { case t: Throwable => errs.add(t) }
-      })
+    // Rendezvoused committers with overlapping read-modify-write
+    // windows, several rounds: every loser of the create-exclusive
+    // must retry and land — never silently lose. The version a commit
+    // attempts is anchored to the SAME listing its content was read
+    // from (TableLayout.logReadForCommit); deriving them from two
+    // reads once lost a commit under load (read stale content, list
+    // AFTER the rival's create, land on a fresh number) — this test
+    // with 3 committers × 3 rounds is the regression net for that.
+    val rounds = 3
+    val writers = 3
+    for (r <- 0 until rounds) {
+      val gate = new CountDownLatch(writers)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to writers).map { i =>
+        new Thread(() => {
+          try {
+            val df = Seq((i, s"writer$r-$i")).toDF("k", "v")
+            gate.countDown()
+            gate.await(10, TimeUnit.SECONDS)
+            TableLayout.writeManifested(df, table)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      assert(errs.isEmpty, s"committer failed in round $r: ${errs.peek()}")
     }
-    ts.foreach(_.start()); ts.foreach(_.join(60000))
-    assert(errs.isEmpty, s"committer failed: ${errs.peek()}")
     val hist = TableLayout.snapshots(spark, table)
-    assert(hist.size == 3, s"a racing commit was lost: history=$hist")
-    assert(hist.toSet.size == 3)
+    assert(hist.size == 1 + rounds * writers,
+      s"a racing commit was lost: history=$hist")
+    assert(hist.toSet.size == hist.size)
   }
 
   test("vacuum prunes superseded log versions with the history") {
