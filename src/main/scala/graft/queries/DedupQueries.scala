@@ -211,7 +211,25 @@ object DedupQueries {
     // still match after insertions/deletions; report every chunk seen
     // in ≥ 2 docs. Chunking is map-side; one shuffle on chunk content.
     "d14_cdc_dedup" -> ((s, dir) =>
-      Dedup.cdcChunkDups(t(s, dir, "documents")).orderBy("chunk")))
+      Dedup.cdcChunkDups(t(s, dir, "documents")).orderBy("chunk")),
+
+    // d15: fuzzy entity resolution — a deterministically corrupted copy
+    // of part names (one md5-positioned char deleted, prefix preserved)
+    // resolved back against the clean name registry by blocked
+    // levenshtein ≤ 1. Blocking = 2-char prefix equi-join; the distance
+    // runs only inside blocks; best-match picked by a single string-min
+    // aggregate (no window). Registry side is DISTINCT + tiny →
+    // broadcast; the general shape is a bounded equi-join either way.
+    "d15_fuzzy_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val dirty = p.select(
+        col("p_partkey"),
+        graft.operators.Resolve
+          .deleteOneChar(col("p_name"), "fz", col("p_partkey")).as("dirty_name"))
+      graft.operators.Resolve
+        .resolve(dirty, p, "p_partkey", "dirty_name", "p_name")
+        .orderBy("p_partkey")
+    }))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -407,5 +425,36 @@ object DedupQueries {
          |FROM chunks
          |WHERE len(string_split(chunk, ' ')) >= ${Dedup.MinChunkWords}
          |GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
-         |ORDER BY chunk""".stripMargin)
+         |ORDER BY chunk""".stripMargin,
+
+    // d15: identical deterministic corruption (delete the char at
+    // pos = 3 + md5 % (len-3)), then blocked levenshtein resolution;
+    // best match = string-min of dist||'|'||name (dist is one digit).
+    "d15_fuzzy_join" ->
+      s"""WITH dirty AS (
+         |  SELECT p_partkey,
+         |    CAST(3 + ('0x' || substr(md5('fz|' || CAST(p_partkey AS VARCHAR)), 1, 4))::BIGINT
+         |      % (length(p_name) - 3) AS INT) AS pos,
+         |    p_name
+         |  FROM part),
+         |d2 AS (SELECT p_partkey,
+         |    substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS dirty_name
+         |  FROM dirty),
+         |reg AS (SELECT DISTINCT p_name AS rname FROM part),
+         |cand AS (SELECT d.p_partkey, d.dirty_name, r.rname,
+         |    levenshtein(d.dirty_name, r.rname) AS dist
+         |  FROM d2 d JOIN reg r
+         |    ON substr(d.dirty_name, 1, ${graft.operators.Resolve.BlockPrefix})
+         |     = substr(r.rname, 1, ${graft.operators.Resolve.BlockPrefix})
+         |  WHERE levenshtein(d.dirty_name, r.rname) <= ${graft.operators.Resolve.MaxEdits}),
+         |best AS (SELECT p_partkey,
+         |    min(CAST(dist AS VARCHAR) || '|' || rname) AS bk,
+         |    CAST(count(*) AS BIGINT) AS n_cand
+         |  FROM cand GROUP BY p_partkey)
+         |SELECT d.p_partkey, d.dirty_name,
+         |  CAST(substr(b.bk, 1, 1) AS INT) AS best_dist,
+         |  substr(b.bk, 3) AS matched_name,
+         |  coalesce(b.n_cand, 0) AS n_cand
+         |FROM d2 d LEFT JOIN best b USING (p_partkey)
+         |ORDER BY d.p_partkey""".stripMargin)
 }

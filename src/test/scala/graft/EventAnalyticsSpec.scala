@@ -1,0 +1,150 @@
+package graft
+
+import graft.queries.EventQueries
+import graft.operators.Resolve
+import org.apache.spark.sql.functions._
+
+/** q47 funnel, q48 retention, d15 fuzzy entity resolution. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- q47 funnel -----------------------------------------------------
+
+  test("q47 funnel counts hand-built sequences exactly") {
+    // u1 completes the funnel; u2 clicks before viewing (click must not
+    // count); u3 views only; u4 has click+purchase but no view (stage 0);
+    // u5 view and click at the SAME timestamp (strict > rejects the click).
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "click"), (2L, 200L, "view"), (2L, 300L, "click"), // stage 2
+      (3L, 100L, "view"),
+      (4L, 100L, "click"), (4L, 200L, "purchase"),
+      (5L, 100L, "view"), (5L, 100L, "click"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"),
+        lit(0L).as("event_id"), lit(0.0).as("value"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q47_funnel")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // stage 1: u1,u2,u3,u5 viewed; stage 2: u1,u2 (u5's same-ts click
+    // rejected); stage 3: u1 only
+    assert(out == Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("q47 always reports every stage, even unreached ones") {
+    val rows = Seq((1L, 100L, "view"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"),
+        lit(0L).as("event_id"), lit(0.0).as("value"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel0").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q47_funnel")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 0L, 3 -> 0L))
+  }
+
+  test("q47 plans a single exchange for the per-user fold (no per-stage self-join)") {
+    val plan = EventQueries.defs("q47_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one shuffle for the user grouping + the 3-row stage rollup side;
+    // the funnel itself must not add per-stage joins over the corpus
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "funnel must not self-join the event log")
+  }
+
+  // --- q48 retention --------------------------------------------------
+
+  test("q48 retention matches a hand-computed cohort table") {
+    // two users: u1 first active week 0, returns week 2; u2 first active
+    // week 1 only. Weeks are Monday-truncated: 2024-01-01 is a Monday.
+    def ts(day: Int): Long = {
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    }
+    val rows = Seq(
+      (1L, ts(0)), (1L, ts(15)),  // Mon wk0, Tue wk2
+      (2L, ts(8)))                // Tue wk1
+      .toDF("user_id", "t")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        lit("view").as("event_type"), lit(0L).as("event_id"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("retention").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q48_retention")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-08", 0) -> 1L))
+  }
+
+  test("q48 offsets are whole weeks and cohort week 0 covers every user") {
+    val out = EventQueries.defs("q48_retention")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every user's first-activity week contributes at offset 0, so the
+    // sum of offset-0 active_users equals the distinct user count
+    val users = queries.Ops.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val atZero = rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    assert(atZero == users, s"offset-0 total $atZero != $users users")
+    assert(rows.forall(_.getInt(1) >= 0))
+  }
+
+  // --- d15 fuzzy resolution -------------------------------------------
+
+  test("d15 resolve matches corrupted names back to the registry") {
+    val registry = Seq("red widget", "blue bolt", "small ring")
+      .toDF("name")
+    val dirty = Seq(
+      (1L, "red wdget"),   // deletion of 'i' → dist 1 to "red widget"
+      (2L, "blue bolt"),   // exact → dist 0
+      (3L, "smal ring"),   // dist 1 to "small ring"
+      (4L, "zzz unknown")) // no block match at all
+      .toDF("id", "dname")
+    val out = Resolve.resolve(dirty, registry, "id", "dname", "name")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.getString(3)), r.getLong(4))).toMap
+    assert(out(1L) == (Some(1), Some("red widget"), 1L))
+    assert(out(2L) == (Some(0), Some("blue bolt"), 1L))
+    assert(out(3L) == (Some(1), Some("small ring"), 1L))
+    assert(out(4L) == (None, None, 0L))
+  }
+
+  test("d15 best-match encoding prefers lower distance, then lexicographic name") {
+    val registry = Seq("aa red", "aa rod").toDF("name")
+    val dirty = Seq((1L, "aa redd")).toDF("id", "dname") // dist1 to "aa red", 2+ to "aa rod"
+    val out1 = Resolve.resolve(dirty, registry, "id", "dname", "name").collect()(0)
+    assert(out1.getString(3) == "aa red" && out1.getInt(2) == 1)
+    // equal distance → lexicographically first name wins
+    val registry2 = Seq("aa bcd", "aa bce").toDF("name")
+    val dirty2 = Seq((1L, "aa bc")).toDF("id", "dname") // dist 1 to both
+    val out2 = Resolve.resolve(dirty2, registry2, "id", "dname", "name").collect()(0)
+    assert(out2.getString(3) == "aa bcd" && out2.getLong(4) == 2L)
+  }
+
+  test("d15 perturbation preserves the blocking prefix and deletes exactly one char") {
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+    val checked = p.select(
+      col("p_name"),
+      Resolve.deleteOneChar(col("p_name"), "fz", col("p_partkey")).as("d"))
+      .withColumn("okLen", length(col("d")) === length(col("p_name")) - 1)
+      .withColumn("okPrefix",
+        substring(col("d"), 1, Resolve.BlockPrefix) ===
+          substring(col("p_name"), 1, Resolve.BlockPrefix))
+    assert(checked.filter(!col("okLen") || !col("okPrefix")).count() == 0)
+  }
+
+  test("d15 on the fixture resolves every part and the query is deterministic") {
+    val out = queries.DedupQueries.defs("d15_fuzzy_join")(spark, sfDir)
+    val rows = out.collect()
+    val parts = spark.read.parquet(s"$sfDir/part.parquet").count()
+    assert(rows.length == parts)
+    // every corrupted name is within 1 edit of its source name, which
+    // shares its block, so nothing may go unmatched
+    assert(rows.forall(_.getLong(4) >= 1L), "unmatched dirty rows")
+    assert(rows.forall(r => r.getInt(2) <= Resolve.MaxEdits))
+  }
+}
