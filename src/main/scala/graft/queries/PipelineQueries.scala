@@ -154,13 +154,59 @@ object PipelineQueries {
       graft.operators.Splits.tokenBudgetSample(
         t(s, dir, "documents"), col("doc_id"), wsTokenCount(col("text")),
         budget = TokenBudget)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // p10 DSIR-style importance selection (Data Selection via
+    // Importance Resampling, Xie et al. 2023): rank raw docs by how
+    // target-like their hashed-unigram distribution is. Each token
+    // hashes into DsirBuckets features; bucket probabilities for the
+    // TARGET slice (lang = en) and the RAW corpus come from ONE
+    // conditional aggregate over one token scan; the per-doc importance
+    // weight is Σ log(p_target(b)/p_raw(b)), Laplace-smoothed. The
+    // 64-row weight table broadcasts into the scoring join, so the
+    // corpus-side work is two token scans (stats pass + scoring pass —
+    // the alternative materializes corpus-sized token rows) and ONE
+    // doc-keyed shuffle; top-k plans as TakeOrderedAndProject. Per-term
+    // logs round to 6 dp and sum in exact decimal (t10's discipline),
+    // so the top-k cut is engine-identical.
+    "p10_dsir_select" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === DsirTargetLang).as("is_target"),
+          explode(words(col("text"))).as("word"))
+        .withColumn("b",
+          conv(substring(md5(concat(lit("dsir|"), col("word"))), 1, 4), 16, 10)
+            .cast("long") % DsirBuckets)
+      val stats = toks.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint(eager = false) // 64 rows, read twice below
+      val tot = stats.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+      val wts = stats.crossJoin(broadcast(tot))
+        .select(col("b"), round(log(
+          ((col("ct") + lit(1)).cast("double") / (col("t") + lit(DsirBuckets)).cast("double")) /
+            ((col("cr") + lit(1)).cast("double") / (col("r") + lit(DsirBuckets)).cast("double"))),
+          6).as("w"))
+      toks.join(broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("w").cast(dec)).cast("double").as("logw"))
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(DsirTopK)
+    }))
 
   /** p08 quota: max docs kept per source/domain. */
   val CapPerSource = 10
 
   /** p09 budget: absolute token cap for the selected sub-corpus. */
   val TokenBudget = 8000L
+
+  /** p10 DSIR: hashed-feature width, target slice, and selection size.
+    * 64 buckets keeps the weight table broadcast-trivial; the published
+    * method uses 10⁴–10⁵ hashed n-gram buckets — still broadcast-sized. */
+  val DsirBuckets = 64
+  val DsirTargetLang = "en"
+  val DsirTopK = 50
 
   val oracles: Map[String, String] = Map(
     "p01_training_prep" ->
@@ -280,5 +326,27 @@ object PipelineQueries {
          |    SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum_tokens
          |  FROM tk)
          |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-         |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin)
+         |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
+
+    // p10: identical hash/smoothing/log parenthesization — all inputs
+    // integer-exact, one double expression, 6-dp round, exact-decimal
+    // per-doc sum → identical top-k cut
+    "p10_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang = '$DsirTargetLang' AS is_target,
+         |    unnest(${sqlWords("text")}) AS word FROM documents),
+         |tb AS (SELECT doc_id, is_target,
+         |    ('0x' || substr(md5('dsir|' || word), 1, 4))::BIGINT % $DsirBuckets AS b
+         |  FROM toks),
+         |stats AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+         |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tb GROUP BY b),
+         |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM stats),
+         |w AS (SELECT b, round(ln(
+         |      ((ct + 1) / CAST(t + $DsirBuckets AS DOUBLE))
+         |    / ((cr + 1) / CAST(r + $DsirBuckets AS DOUBLE))), 6) AS w
+         |  FROM stats CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS logw
+         |FROM tb JOIN w USING (b) GROUP BY doc_id
+         |ORDER BY logw DESC, doc_id LIMIT $DsirTopK""".stripMargin)
 }

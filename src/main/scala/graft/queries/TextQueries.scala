@@ -28,6 +28,10 @@ object TextQueries {
     * joins (rare bigrams have degenerate PMI and dominate the vocab). */
   val MinBigramFreq = 5
 
+  /** t15 feature-hash width. A production fastText-style model uses
+    * 2^20+ buckets; the chain is bucket-count-agnostic. */
+  val ClfBuckets = 64
+
   /** t12 BM25 constants: the standard Robertson k1/b, and a fixed
     * query-term set drawn from the corpus vocabulary (a retrieval
     * pass's query is user input — fixed here for the oracle). */
@@ -169,6 +173,34 @@ object TextQueries {
     // inside the read stage.
     "t14_gopher_rules" -> ((s, dir) =>
       gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // t15 hashed linear classifier inference — the fastText-style
+    // quality-classifier scoring pass (CCNet/LLaMA-style curation):
+    // hash each token into ClfBuckets features, look up a weight, and
+    // score the doc as the mean feature weight; label = score > 0.
+    // The weights here are md5-derived stand-ins (deterministic, so the
+    // whole chain is value-oracled); a trained model swaps in a real
+    // weight table — broadcast, or in-expression exactly like this.
+    // Scale shape: hashing AND the weight lookup are in-expression
+    // (zero joins, no model shuffle); the only shuffle is the per-doc
+    // aggregate. Inference over 100 TB is embarrassingly parallel.
+    "t15_classifier" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val b = conv(substring(md5(concat(lit("clf|"), col("word"))), 1, 4), 16, 10)
+        .cast("long") % ClfBuckets
+      val w = round(
+        (conv(substring(md5(concat(lit("w|"), b.cast("string"))), 1, 4), 16, 10)
+          .cast("double") - 32767.5) / 65535.0, 6)
+      toks.withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          (sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double") / count(lit(1))).as("score"))
+        .withColumn("label", col("score") > 0)
+        .orderBy("doc_id")
+    }),
 
     // t11 PMI collocations: bigrams ranked by pointwise mutual
     // information — log((P(ab)) / (P(a)·P(b))) over corpus token
@@ -570,6 +602,22 @@ object TextQueries {
          |    AND (punct * 10 <= nw) AND (alphaw * 5 >= nw * 4)
          |    AND (sh >= 2)) AS passes
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // t15: identical hash → bucket → md5-derived weight → exact decimal
+    // mean; label compares the same double in both engines
+    "t15_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents),
+         |tb AS (SELECT doc_id,
+         |    ('0x' || substr(md5('clf|' || word), 1, 4))::BIGINT % $ClfBuckets AS b
+         |  FROM toks),
+         |tw AS (SELECT doc_id,
+         |    round((('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 4))::BIGINT
+         |      - 32767.5) / 65535.0, 6) AS w
+         |  FROM tb)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS score,
+         |  (CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) > 0) AS label
+         |FROM tw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t06_repetition" ->
       s"""SELECT doc_id,
