@@ -95,6 +95,32 @@ object EventQueries {
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct(col("user_id")).as("active_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // q49 event-path transitions: the first-order Markov transition
+    // matrix over per-user event sequences — counts and conditional
+    // probabilities of src→dst steps (the Sankey/path-analysis query).
+    //
+    // Scale shape: ONE corpus shuffle — the lead() window partitions by
+    // user_id (never a global window), then the transition rollup and
+    // its probability normalization run on the event-type×event-type
+    // key space (25 rows here; bounded by the type vocabulary, not the
+    // corpus).
+    "q49_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val perUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = e.withColumn("nxt", lead(col("event_type"), 1).over(perUser))
+        .filter(col("nxt").isNotNull)
+      val counts = steps
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val perSrc = Window.partitionBy("src")
+      counts
+        .withColumn("p",
+          round(col("cnt").cast("double") / sum(col("cnt")).over(perSrc).cast("double"), 6))
+        .orderBy("src", "dst")
     })
   )
 
@@ -123,6 +149,16 @@ object EventQueries {
         |    AS week_offset,
         |  count(DISTINCT e.user_id) AS active_users
         |FROM events e JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q49_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS cnt
+        |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY src, dst""".stripMargin
   )
 }

@@ -32,6 +32,9 @@ object TextQueries {
     * 2^20+ buckets; the chain is bucket-count-agnostic. */
   val ClfBuckets = 64
 
+  /** t16 add-k smoothing constant for the bigram LM. */
+  val BigramK = 0.5
+
   /** t12 BM25 constants: the standard Robertson k1/b, and a fixed
     * query-term set drawn from the corpus vocabulary (a retrieval
     * pass's query is user input — fixed here for the oracle). */
@@ -199,6 +202,45 @@ object TextQueries {
           (sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
             .cast("double") / count(lit(1))).as("score"))
         .withColumn("label", col("score") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // t16 bigram-LM perplexity — the CCNet/KenLM-style quality filter:
+    // train an add-k-smoothed bigram model ON the corpus
+    // (P(w2|w1) = (c12+k)/(c1+k·V), c1 = w1's count as a bigram left,
+    // V = unigram vocab size) and score each doc by mean conditional
+    // NLL and perplexity. Extends t10 from unigram to conditional
+    // probabilities — the ranking a perplexity-gated curation pass
+    // uses.
+    // Scale shape: bigrams generate inside the scan stage; the model
+    // tables are VOCABULARY-sized aggregates (bigram counts shared via
+    // lazy localCheckpoint so the left-count derivation re-reads 40k
+    // rows, not the corpus); the scoring joins are vocab-keyed and
+    // unhinted (AQE sizes them); the doc rollup is the one corpus
+    // shuffle. Per-term NLLs round at 6 dp and sum in exact decimal.
+    "t16_bigram_ppl" -> ((s, dir) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val docsW = t(s, dir, "documents").select(col("doc_id"), words(col("text")).as("w"))
+      val bi = docsW.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+            element_at(col("w"), i + 2).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bf = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(eager = false) // vocab-sized; read twice below
+      val leftCounts = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val vocab = docsW.select(explode(col("w")).as("word"))
+        .agg(countDistinct(col("word")).as("v"))
+      bi.join(bf, Seq("w1", "w2"))
+        .join(leftCounts, "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("nll", round(-log(
+          (col("c12").cast("double") + lit(BigramK)) /
+            (col("c1").cast("double") + lit(BigramK) * col("v").cast("double"))), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("nll").cast(dec6)).cast("double") / count(lit(1))).as("mean_nll"))
+        .withColumn("ppl", round(exp(col("mean_nll")), 4))
         .orderBy("doc_id")
     }),
 
@@ -602,6 +644,27 @@ object TextQueries {
          |    AND (punct * 10 <= nw) AND (alphaw * 5 >= nw * 4)
          |    AND (sh >= 2)) AS passes
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // t16: identical bigram generation (t11's), identical smoothing
+    // arithmetic and parenthesization; integer counts → one double
+    // expression → 6-dp round → exact decimal sum
+    "t16_bigram_ppl" ->
+      s"""WITH w AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+         |bi AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+         |        FROM w WHERE len(w) >= 2)),
+         |bf AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+         |lc AS (SELECT w1, SUM(c12) AS c1 FROM bf GROUP BY w1),
+         |voc AS (SELECT COUNT(DISTINCT word) AS v
+         |  FROM (SELECT unnest(w) AS word FROM w)),
+         |nlls AS (SELECT doc_id, round(-ln(
+         |      (CAST(c12 AS DOUBLE) + $BigramK)
+         |    / (CAST(c1 AS DOUBLE) + $BigramK * CAST(v AS DOUBLE))), 6) AS nll
+         |  FROM bi JOIN bf USING (w1, w2) JOIN lc USING (w1) CROSS JOIN voc)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_nll,
+         |  round(exp(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)), 4) AS ppl
+         |FROM nlls GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // t15: identical hash → bucket → md5-derived weight → exact decimal
     // mean; label compares the same double in both engines

@@ -93,6 +93,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getInt(1) >= 0))
   }
 
+  // --- q49 transitions ------------------------------------------------
+
+  test("q49 transition counts and probabilities on hand-built sequences") {
+    val rows = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), // A→B, B→A
+      (2L, 1L, "A"), (2L, 2L, "A"))                // A→A
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"),
+        monotonically_increasing_id().as("event_id"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q49_transitions")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("A", "B") -> (1L, 0.5), ("A", "A") -> (1L, 0.5), ("B", "A") -> (1L, 1.0)))
+  }
+
+  test("q49 fixture invariants: per-source probabilities sum to 1, counts to n-users") {
+    val rows = EventQueries.defs("q49_transitions")(spark, sfDir).collect()
+    val e = queries.Ops.events(spark, sfDir)
+    val total = e.count()
+    val users = e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == total - users,
+      "each user contributes exactly (events-1) transitions")
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"src=$src probabilities sum to $p")
+    }
+  }
+
   // --- d15 fuzzy resolution -------------------------------------------
 
   test("d15 resolve matches corrupted names back to the registry") {

@@ -168,4 +168,36 @@ class TextQueriesSpec extends SparkSpec {
       assert(r.getAs[Boolean]("passes") == conj, s"passes != conjunction on $r")
     }
   }
+
+  test("t16 bigram perplexity matches a hand-computed add-k model") {
+    import spark.implicits._
+    // "a b a b": bigrams (a,b)x2, (b,a)x1; c1: a→2, b→1; V=2, k=0.5
+    //   P(b|a) = 2.5/3,  P(a|b) = 1.5/2
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    Seq((1L, "a b a b", "en"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"), lit("src0").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.defs("t16_bigram_ppl")(spark, dir).collect()(0)
+    def nll(p: Double) = BigDecimal(-math.log(p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (2 * nll(2.5 / 3.0) + nll(1.5 / 2.0)) / 3.0
+    assert(out.getLong(1) == 3L)
+    assert(math.abs(out.getDouble(2) - expected) < 1e-9,
+      s"mean_nll ${out.getDouble(2)} != $expected")
+    assert(math.abs(out.getDouble(3) - math.exp(out.getDouble(2))) < 1e-4)
+  }
+
+  test("t16 on the fixture: one row per doc, positive NLL, ppl consistent") {
+    val rows = TextQueries.defs("t16_bigram_ppl")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == docs)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0, s"mean_nll must be positive: $r")
+      val ppl = BigDecimal(math.exp(r.getDouble(2)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - ppl) < 1e-9, s"ppl != round(exp(mean_nll)): $r")
+    }
+  }
 }
