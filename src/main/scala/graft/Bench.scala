@@ -90,17 +90,30 @@ object Bench {
     base.map { case (full0, s) => full0 -> (if (counts(s) > 1) full0 else s) }
   }
 
-  /** The LAST stdout line: short keys, 2-decimal per-query values
-    * (10 ms resolution — the full 3-decimal detail lives in
-    * BENCH_LOCAL.json, which the legend points at), so the whole
-    * line fits the driver artifact's 2000-char stdout tail (with room
-    * for the sbt "[success]" footer that follows it). BenchLineSpec
-    * pins the invariant against the full real query inventory. */
+  /** Per-query seconds at TWO SIGNIFICANT FIGURES, ≥100 s clamped to
+    * "99" (full 3-decimal detail lives in BENCH_LOCAL.json): at 140+
+    * inventory entries, fixed 2-decimal rendering outgrew the driver
+    * artifact's 2000-char stdout tail in its worst case; 2 sf bounds
+    * every value at 4 chars (and "-1" failure markers pass through),
+    * which keeps ~30 queries of growth headroom. */
+  private[graft] def sig2(v: Double): String =
+    if (v < 0) "-1"
+    else if (v >= 99.5) "99"
+    else if (v >= 9.95) num(v, 0)
+    else if (v >= 0.995) num(v, 1)
+    else num(v, 2)
+
+  /** The LAST stdout line: short keys, 2-significant-figure per-query
+    * values (the full 3-decimal detail lives in BENCH_LOCAL.json,
+    * which the legend points at), so the whole line fits the driver
+    * artifact's 2000-char stdout tail (with room for the sbt
+    * "[success]" footer that follows it). BenchLineSpec pins the
+    * invariant against the full real query inventory. */
   def compactLine(entries: Seq[(String, Double)], total: Double,
       failed: Int, sfDir: String): String = {
     val keys = shortKeys(entries.map(_._1))
     val qsShort = entries
-      .map { case (k, v) => "\"" + keys(k) + "\":" + num(v, 2) }
+      .map { case (k, v) => "\"" + keys(k) + "\":" + sig2(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qsShort,""" +
       s""""failed":$failed,"sf":"$sfDir","legend":"BENCH_LOCAL.json"}"""

@@ -164,6 +164,17 @@ final class GraftEngine(val spark: SparkSession,
       .createOrReplaceTempView("graft_topk_cosine")
     queries.TextQueries.gopherRules(docs)
       .createOrReplaceTempView("graft_gopher_rules")
+    // ANALYZE-style per-column statistics view (exactCheck mode so the
+    // x10 oracle can value-check it; the production call is the
+    // one-pass approx-only Profile.profile(df)). persist-share, not
+    // the default checkpoint-share: registration must stay lazy.
+    operators.Profile.profile(spark.table("orders"), exactCheck = true,
+      share = { one =>
+        val p = one.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sharedPlans += p
+        p
+      })
+      .createOrReplaceTempView("graft_profile_orders")
   }
 
   // shared (multi-consumer) relations pinned by registered views; a

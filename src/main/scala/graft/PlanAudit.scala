@@ -162,7 +162,28 @@ object PlanAudit {
       "corpus-scale shapes (BM25's vocabulary-sized shuffles; the cosine " +
       "arm's broadcast query + WindowGroupLimit); the fusion join and " +
       "final re-rank touch only the two top-k pools, so the single " +
-      "unpartitioned rank window is bounded at pool size by construction."))
+      "unpartitioned rank window is bounded at pool size by construction."),
+    "q47_funnel" -> ("Ordered funnel: ONE hash exchange on user_id; the " +
+      "whole stage sequence evaluates map-side per user (sort_array + " +
+      "aggregate fold) — no per-stage self-join of the event log, no global window."),
+    "q49_transitions" -> ("Markov transitions: the lead() window partitions " +
+      "by user_id (one corpus exchange); the probability-normalization window " +
+      "runs on the event-type×event-type rollup, never the corpus."),
+    "d15_fuzzy_join" -> ("Fuzzy resolution: candidates via equi-join on the " +
+      "blocking prefix (registry side DISTINCT, broadcast at this size); " +
+      "levenshtein only inside blocks; best match is one groupBy string-min, no window."),
+    "p10_dsir_select" -> ("DSIR selection: bucket stats from ONE conditional " +
+      "aggregate; the 64-row weight table joins back BROADCAST (corpus never " +
+      "shuffled by bucket); top-k is TakeOrderedAndProject."),
+    "t15_classifier" -> ("Classifier inference: hash and weight lookup are " +
+      "in-expression — the plan has NO join at all; the only exchange is the " +
+      "per-doc aggregate."),
+    "t16_bigram_ppl" -> ("Bigram-LM scoring: model tables are vocabulary-" +
+      "sized aggregates (bigram counts checkpoint-shared); scoring joins are " +
+      "vocab-keyed and AQE-sized; ONE doc-keyed corpus shuffle."),
+    "x10_sql_profile" -> ("Profiling via the SQL view: per-column stats from " +
+      "one pass + HLL sketches; the exact-distinct subtrees exist only in the " +
+      "oracle-gate mode the view registers (q42-style verdict)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

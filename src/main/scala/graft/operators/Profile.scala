@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ANALYZE-style table profiling: one row per column with null counts,
+  * distinct cardinality, and min/max — the catalog surface
+  * (reference: catalog.rs row_count/schema) extended to the statistics
+  * a warehouse ANALYZE collects.
+  *
+  * Scale shape: the production pass (`exactCheck = false`) is ONE
+  * aggregation over ONE scan — nulls/min/max per column plus an HLL
+  * sketch per column (`approx_count_distinct`, rsd 1%); no Expand, no
+  * per-column rescans, no exact distinct anywhere. The single result
+  * row is shared via a lazy localCheckpoint and unpivoted into
+  * per-column rows driver-free.
+  *
+  * `exactCheck = true` (the oracle-gate mode) additionally computes the
+  * EXACT per-column distinct count — one small aggregate per column —
+  * and ships `approx_ok`, the q42-style error-bound verdict: the HLL
+  * estimate must land within `relErr` of exact (rsd 0.01 makes the
+  * default 5% bound a 5σ budget). The DuckDB oracle recomputes the
+  * exact columns and asserts TRUE; a sketch gone wrong hash-mismatches.
+  */
+object Profile {
+
+  private def isNum(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** The one-pass single-row statistics aggregate (pre-checkpoint) —
+    * exposed so specs can assert its plan shape (one scan, no Expand,
+    * sketches not exact distincts), which the lazy checkpoint wrapper
+    * hides behind a LogicalRDD. */
+  def statsRow(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs = Seq(count(lit(1)).as("__n")) ++ fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"cnt_${f.name}"),
+        approx_count_distinct(c, rsd = 0.01).as(s"ad_${f.name}"),
+        (if (isNum(f.dataType)) round(min(c).cast("double"), 4)
+         else lit(null).cast("double")).as(s"mn_${f.name}"),
+        (if (isNum(f.dataType)) round(max(c).cast("double"), 4)
+         else lit(null).cast("double")).as(s"mx_${f.name}"),
+        (if (isNum(f.dataType)) lit(null).cast("string")
+         else min(c).cast("string")).as(s"mns_${f.name}"),
+        (if (isNum(f.dataType)) lit(null).cast("string")
+         else max(c).cast("string")).as(s"mxs_${f.name}"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `share` controls how the single stats row is reused across the
+    * per-column unpivot branches. The default lazy localCheckpoint is
+    * right for one-shot queries; a long-lived VIEW must pass a persist-
+    * based share instead — with AQE, planning a checkpoint (toRdd)
+    * materializes query stages, i.e. runs jobs at registration time
+    * (StorageLifecycleSpec pins registration at zero jobs). */
+  def profile(df: DataFrame, exactCheck: Boolean = false,
+              relErr: Double = 0.05,
+              share: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val one = share(statsRow(df))
+    val base = fields.map { f =>
+      one.select(
+        lit(f.name).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"cnt_${f.name}")).as("n_nulls"),
+        col(s"ad_${f.name}").as("__approx"),
+        col(s"mn_${f.name}").as("min_num"),
+        col(s"mx_${f.name}").as("max_num"),
+        col(s"mns_${f.name}").as("min_s"),
+        col(s"mxs_${f.name}").as("max_s"))
+    }.reduce(_.union(_))
+    if (!exactCheck) {
+      base.withColumnRenamed("__approx", "approx_distinct")
+    } else {
+      val exact = fields.map { f =>
+        df.agg(lit(f.name).as("col_name"),
+          countDistinct(col(f.name)).as("n_distinct"))
+      }.reduce(_.union(_))
+      base.join(exact, "col_name")
+        .select(
+          col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          (abs(col("__approx") - col("n_distinct")) <= col("n_distinct") * relErr)
+            .as("approx_ok"),
+          col("min_num"), col("max_num"), col("min_s"), col("max_s"))
+    }
+  }
+}

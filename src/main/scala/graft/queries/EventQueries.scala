@@ -33,6 +33,12 @@ object EventQueries {
     // window over the global stream, no per-stage self-join — the
     // 3-join CTE form the oracle uses would be 3 corpus shuffles).
     // The stage→count rollup then aggregates 1 row per user.
+    // Robustness: the isin() filter prunes to funnel-step types before
+    // the collect, so per-user state is funnel events only; a log with
+    // pathological single-user fan-in (bot traffic, 10^7+ rows/user)
+    // would switch to the k-sequential-conditional-aggregate shape the
+    // oracle runs — same semantics, k co-partitioned shuffles instead
+    // of one, O(1) state per user.
     "q47_funnel" -> ((s, dir) => {
       val e = events(s, dir)
         .filter(col("event_type").isin(FunnelSteps: _*))

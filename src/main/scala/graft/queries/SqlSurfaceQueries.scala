@@ -147,7 +147,22 @@ object SqlSurfaceQueries {
         |  SUM(CASE WHEN NOT g.r_alpha THEN 1 ELSE 0 END) AS fail_alpha,
         |  SUM(CASE WHEN NOT g.r_stopwords THEN 1 ELSE 0 END) AS fail_stopwords
         |FROM graft_gopher_rules g JOIN documents d ON d.doc_id = g.doc_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin)))
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // x10 ANALYZE-style catalog statistics from SQL: per-column null
+    // counts, exact distinct cardinality, min/max, and the q42-style
+    // HLL verdict (approx_ok must be TRUE for the row to hash-match —
+    // the oracle recomputes exact stats and asserts it). The underlying
+    // production operator (Profile.profile) is one scan, one aggregate,
+    // sketches instead of exact distincts.
+    "x10_sql_profile" -> ((s, dir) => engine(s, dir).sql(
+      """SELECT * FROM graft_profile_orders ORDER BY col_name""".stripMargin)))
+
+  /** x10's profiled columns: (name, numeric?). Timestamps profile as
+    * strings (both engines render '1995-01-01 00:00:00'). */
+  private val OrdersProfileCols = Seq(
+    "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+    "o_totalprice" -> true, "o_orderdate" -> false, "o_orderpriority" -> false)
 
   // one temp root per (session, view), reused across invocations and
   // WIPED before each rebuild: a fresh createTempDirectory per call
@@ -266,7 +281,25 @@ object SqlSurfaceQueries {
          |    AS fail_stopwords
          |FROM (${TextQueries.oracles("t14_gopher_rules")}) g
          |JOIN documents d ON d.doc_id = g.doc_id
-         |GROUP BY d.source ORDER BY d.source""".stripMargin)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // x10: the oracle computes the exact statistics per column and
+    // asserts the sketch verdict literally TRUE — a Spark HLL estimate
+    // outside the 5% bound flips approx_ok and hash-mismatches.
+    "x10_sql_profile" -> (OrdersProfileCols.map { case (name, num) =>
+      val minNum = if (num) s"round(CAST(MIN($name) AS DOUBLE), 4)" else "CAST(NULL AS DOUBLE)"
+      val maxNum = if (num) s"round(CAST(MAX($name) AS DOUBLE), 4)" else "CAST(NULL AS DOUBLE)"
+      val minS = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(MIN($name) AS VARCHAR)"
+      val maxS = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(MAX($name) AS VARCHAR)"
+      s"""SELECT '$name' AS col_name,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($name) AS n_nulls,
+         |  COUNT(DISTINCT $name) AS n_distinct,
+         |  TRUE AS approx_ok,
+         |  $minNum AS min_num, $maxNum AS max_num,
+         |  $minS AS min_s, $maxS AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
 
   /** DuckDB twin of [[mergedCustomerView]]'s merge, as CTEs: the anti-
     * join + union IS the MERGE semantics, so the oracle states it

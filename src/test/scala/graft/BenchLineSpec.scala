@@ -18,12 +18,28 @@ class BenchLineSpec extends AnyFunSuite {
       graft.queries.TpchQueries.decimalBound.map(_.takeWhile(_ != '_') + "_fast_double")
 
   test("compact bench line fits the driver's 2000-char stdout tail") {
-    // worst-case widths: every query slow (3 int digits) and a long sf dir
+    // worst-case widths: every query at the "99"-second clamp — the 2-sf
+    // render bounds every value at 4 chars, whatever the runtime was
     val entries = allBenchNames.map(_ -> 999.99)
     val line = Bench.compactLine(entries, 99999.999, 114, "/root/testdata/sf0.1")
     assert(line.length <= 1900,
       s"compact line is ${line.length} chars — no longer fits the driver's " +
         "2000-char tail with footer headroom; shorten keys or values")
+  }
+
+  test("2-significant-figure values: bounded width, failure marker intact") {
+    assert(Bench.sig2(-1.0) == "-1")
+    assert(Bench.sig2(0.0) == "0.00")
+    assert(Bench.sig2(0.274) == "0.27")
+    assert(Bench.sig2(0.996) == "1.0")
+    assert(Bench.sig2(1.34) == "1.3")
+    assert(Bench.sig2(9.96) == "10")
+    assert(Bench.sig2(42.7) == "43")
+    assert(Bench.sig2(99.5) == "99")
+    assert(Bench.sig2(12345.6) == "99", "clamp: detail belongs to BENCH_LOCAL.json")
+    Seq(-1.0, 0.0, 0.05, 0.55, 1.05, 5.5, 10.5, 55.0, 98.0, 1e6).foreach { v =>
+      assert(Bench.sig2(v).length <= 4, s"sig2($v) wider than 4 chars")
+    }
   }
 
   test("short keys are unique and structurally valid JSON keys") {
@@ -56,7 +72,7 @@ class BenchLineSpec extends AnyFunSuite {
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
       val line = Bench.compactLine(Seq("q01_scan_project" -> 1.234), 1.234, 0, "/d")
-      assert(line.contains(""""q01":1.23"""), line)
+      assert(line.contains(""""q01":1.2"""), line)
       assert(line.contains(""""value":1.234"""), line)
     } finally java.util.Locale.setDefault(prev)
   }
