@@ -78,10 +78,14 @@ object Profile {
     if (!exactCheck) {
       base.withColumnRenamed("__approx", "approx_distinct")
     } else {
-      val exact = fields.map { f =>
+      // the exact-distinct union is a per-column corpus pass; share its
+      // 1-row-per-column result the same way as the stats row so a
+      // long-lived view (x10) computes the statistics once — the
+      // ANALYZE semantics — instead of rescanning per query
+      val exact = share(fields.map { f =>
         df.agg(lit(f.name).as("col_name"),
           countDistinct(col(f.name)).as("n_distinct"))
-      }.reduce(_.union(_))
+      }.reduce(_.union(_)))
       base.join(exact, "col_name")
         .select(
           col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
