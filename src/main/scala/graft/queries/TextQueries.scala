@@ -227,10 +227,14 @@ object TextQueries {
             element_at(col("w"), i + 2).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val bf = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint(eager = false) // vocab-sized; read twice below
+        .localCheckpoint(eager = false) // vocab-sized; read 3x below
       val leftCounts = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      val vocab = docsW.select(explode(col("w")).as("word"))
-        .agg(countDistinct(col("word")).as("v"))
+      // model vocabulary = words observable in bigram events, derived
+      // from the (already aggregated) bigram table — the corpus is
+      // scanned exactly TWICE (bigram counting, scoring), never a
+      // third time for a unigram pass
+      val vocab = bf.select(col("w1").as("t")).union(bf.select(col("w2").as("t")))
+        .agg(countDistinct(col("t")).as("v"))
       bi.join(bf, Seq("w1", "w2"))
         .join(leftCounts, "w1")
         .crossJoin(broadcast(vocab))
@@ -655,8 +659,8 @@ object TextQueries {
          |        FROM w WHERE len(w) >= 2)),
          |bf AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
          |lc AS (SELECT w1, SUM(c12) AS c1 FROM bf GROUP BY w1),
-         |voc AS (SELECT COUNT(DISTINCT word) AS v
-         |  FROM (SELECT unnest(w) AS word FROM w)),
+         |voc AS (SELECT COUNT(*) AS v
+         |  FROM (SELECT w1 FROM bf UNION SELECT w2 FROM bf)),
          |nlls AS (SELECT doc_id, round(-ln(
          |      (CAST(c12 AS DOUBLE) + $BigramK)
          |    / (CAST(c1 AS DOUBLE) + $BigramK * CAST(v AS DOUBLE))), 6) AS nll
