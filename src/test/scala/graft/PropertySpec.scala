@@ -222,4 +222,43 @@ class PropertySpec extends SparkSpec {
     }
     check("cdc-chunks", 8, prop)
   }
+
+  test("property: fuzzy resolution equals the brute-force blocked matcher") {
+    import spark.implicits._
+    import graft.operators.Resolve
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val word = Gen.oneOf("abc", "abd", "abcd", "abde", "xyz", "xy", "abce")
+    val genReg = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, word))
+    val genDirty = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(genReg, genDirty) { (reg, dirty) =>
+      val regD = reg.distinct
+      val dirtyIdx = dirty.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Resolve.resolve(
+        dirtyIdx.toDF("id", "dname"), reg.toDF("name"), "id", "dname", "name")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None
+           else Some((r.getInt(2), r.getString(3), r.getLong(4))))).toMap
+      val want = dirtyIdx.map { case (id, s) =>
+        val cands = regD.filter(n =>
+          n.take(Resolve.BlockPrefix) == s.take(Resolve.BlockPrefix) &&
+            lev(s, n) <= Resolve.MaxEdits)
+        id -> (if (cands.isEmpty) None
+               else {
+                 val best = cands.map(n => (lev(s, n), n)).min
+                 Some((best._1, best._2, cands.size.toLong))
+               })
+      }.toMap
+      got == want
+    }
+    check("fuzzy-resolve", 10, prop)
+  }
 }
