@@ -18,6 +18,14 @@ final case class Session(user_id: Long, session_start: Timestamp,
 /** Open-session state carried between triggers. */
 final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
 
+/** A funnel advance: user reached `stage` (1-based) at `at` (q47's
+  * streaming twin). */
+final case class FunnelProgress(user_id: Long, stage: Int, at: Timestamp)
+
+/** Per-user funnel state carried between triggers: highest stage
+  * reached and the event time it was reached at. */
+final case class FunnelState(stage: Int, at: Long)
+
 /** Structured Streaming operators q30/q31 (SURVEY.md §2 #30–#31).
   *
   * Both transforms are written against plain `DataFrame`/`Dataset`, so
@@ -287,5 +295,62 @@ object EventStreams {
       .agg(
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+  }
+
+  /** How long a user may sit idle mid-funnel before their state is
+    * evicted (no emission — their last progress row already went out).
+    * Bounds the state store at O(users active within the horizon). */
+  val FunnelIdleMs: Long = 24L * 3600 * 1000
+
+  /** q47's streaming twin: per-user funnel progress maintained
+    * incrementally. State is O(1) per user — (stage, reached-at) — and
+    * each advance emits an immutable progress fact, so Append mode is
+    * correct. A user who completes the funnel is evicted immediately
+    * (no further advance is possible); idle users evict at
+    * watermark + [[FunnelIdleMs]].
+    *
+    * Equivalence contract (same trade as q32/d09): the incremental
+    * greedy fold equals the batch q47 fold whenever events arrive in
+    * event-time order ACROSS triggers (intra-trigger disorder is
+    * sorted out locally); a cross-trigger late event that should have
+    * advanced an earlier stage cannot be applied retroactively. The
+    * MemoryStream spec pins stream ≡ batch under in-order feeding. */
+  def funnelProgress(events: Dataset[Event],
+      steps: Seq[String] = graft.queries.EventQueries.FunnelSteps,
+      watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            state.remove() // idle past the horizon; nothing new to emit
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = Seq.newBuilder[FunnelProgress]
+            it.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val t = micros(e.ts)
+              if (cur.stage < steps.size &&
+                  stepIdx(e.event_type) == cur.stage && t > cur.at) {
+                cur = FunnelState(cur.stage + 1, t)
+                out += FunnelProgress(userId, cur.stage, toTimestamp(t))
+              }
+            }
+            if (cur.stage >= steps.size) {
+              state.remove() // funnel complete: no further advance possible
+            } else if (cur.stage > 0 || state.exists) {
+              state.update(cur)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(cur.at + FunnelIdleMs * 1000L + 999L, 1000L))
+            }
+            out.result().iterator
+          }
+      }
   }
 }

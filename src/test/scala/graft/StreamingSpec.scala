@@ -478,4 +478,73 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("q31_state").count() == 0)
     } finally q.stop()
   }
+
+  test("q47 streaming funnel progress matches the batch fold under in-order arrival") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // u1 completes across two triggers; u2 clicks before viewing (the
+    // out-of-order-by-TYPE path — click must not advance until a view
+    // exists); u3 stalls at view; u5 has a same-instant view+click
+    // (strict > rejects the click, exactly like the batch fold)
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "view", 0), Event(2, ts(1), 1, "click", 0),
+      Event(3, ts(0), 2, "click", 0), Event(4, ts(1), 2, "view", 0),
+      Event(5, ts(2), 3, "view", 0),
+      Event(6, ts(3), 5, "view", 0), Event(7, ts(3), 5, "click", 0))
+    val batch2 = Seq(
+      Event(8, ts(10), 1, "purchase", 0),
+      Event(9, ts(11), 2, "click", 0))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.funnelProgress(stream.toDS())
+      .writeStream.format("memory").queryName("q47_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val progressed = spark.table("q47_stream").as[graft.streaming.FunnelProgress]
+      .collect().toSeq
+    // every advance is an immutable fact: stages per user are 1..max
+    val byUser = progressed.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.map(_.stage).sorted }
+    assert(byUser == Map(1L -> Seq(1, 2, 3), 2L -> Seq(1, 2), 3L -> Seq(1), 5L -> Seq(1)))
+    // and the final stages equal the batch q47 fold over the same events
+    val all = (batch1 ++ batch2)
+      .map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("funnelstream").toString
+    all.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchCounts = graft.queries.EventQueries.defs("q47_funnel")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val streamCounts = (1 to 3).map(k =>
+      k -> byUser.values.count(_.contains(k)).toLong).toMap
+    assert(streamCounts == batchCounts)
+  }
+
+  test("q47 streaming funnel evicts completed users immediately") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val ds = EventStreams.funnelProgress(stream.toDS())
+    val q = ds.writeStream.format("memory").queryName("q47_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Seq(
+        Event(1, ts(0), 1, "view", 0), Event(2, ts(1), 1, "click", 0),
+        Event(3, ts(2), 1, "purchase", 0)))
+      q.processAllAvailable()
+      // a SECOND purchase after completion: state was removed, and a
+      // fresh state can't advance past stage 0 on a purchase — silence
+      stream.addData(Seq(Event(4, ts(10), 1, "purchase", 0)))
+      q.processAllAvailable()
+      val p = q.lastProgress
+      assert(spark.table("q47_evict").count() == 3)
+      // state store holds no rows once the only user completed
+      assert(p.stateOperators.isEmpty ||
+        p.stateOperators.head.numRowsTotal == 0,
+        s"state not evicted: ${p.stateOperators.headOption}")
+    } finally q.stop()
+  }
 }
