@@ -1,17 +1,22 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
 import Ops._
 
 /** Event-sequence analytics over the `events` stream table: ordered
-  * conversion funnels and cohort retention — the product-analytics
-  * queries (Amplitude/Mixpanel-style) an OLAP engine over an event log
-  * is asked for daily. Reference evidence: the reference's events
-  * examples stop at per-type aggregation (examples/python_usage.py
-  * windowed counts); sequence analytics is part of the deferred "future
-  * work" surface we include, like windows and subqueries.
+  * conversion funnels, cohort retention, and path transitions — the
+  * product-analytics queries (Amplitude/Mixpanel-style) an OLAP engine
+  * over an event log is asked for daily. Reference evidence: the
+  * reference's events examples stop at per-type aggregation
+  * (examples/python_usage.py windowed counts); sequence analytics is
+  * part of the deferred "future work" surface we include, like windows
+  * and subqueries.
   *
-  * Both queries have full DuckDB value oracles.
+  * The reusable column-parametric operators live in
+  * [[graft.operators.EventAnalytics]]; this file wires them to the
+  * fixture tables and carries the DuckDB value oracles. Scale-shape
+  * documentation sits on the operator methods.
   */
 object EventQueries {
 
@@ -19,115 +24,30 @@ object EventQueries {
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
   val defs: Map[String, Q] = Map(
-    // q47 ordered funnel: how many users have a view, then a click
-    // strictly after it, then a purchase strictly after that. The
-    // greedy earliest-match fold is optimal for subsequence matching,
-    // so it computes exactly the min-timestamp CTE chain the oracle
-    // runs (stage k's timestamp is the earliest qualifying event after
-    // stage k-1's).
-    //
-    // Scale shape: ONE shuffle — events project to (user_id, t, type),
-    // group by user, and the whole funnel evaluates map-side per user
-    // as sort_array + a linear aggregate() fold over that user's
-    // events (per-user event counts are bounded in any real log; no
-    // window over the global stream, no per-stage self-join — the
-    // 3-join CTE form the oracle uses would be 3 corpus shuffles).
-    // The stage→count rollup then aggregates 1 row per user.
-    // Robustness: the isin() filter prunes to funnel-step types before
-    // the collect, so per-user state is funnel events only; a log with
-    // pathological single-user fan-in (bot traffic, 10^7+ rows/user)
-    // would switch to the k-sequential-conditional-aggregate shape the
-    // oracle runs — same semantics, k co-partitioned shuffles instead
-    // of one, O(1) state per user.
-    "q47_funnel" -> ((s, dir) => {
-      val e = events(s, dir)
-        .filter(col("event_type").isin(FunnelSteps: _*))
-        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
-      val perUser = e.groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("t"), col("event_type")))).as("seq"))
-      // Fold state: (stage reached so far, timestamp it was reached at).
-      // Advance on the first event of the next step type strictly after
-      // the current stage's timestamp. The initial -1 sentinel is below
-      // any post-epoch timestamp (events fixtures are 2024 micros).
-      val stage = expr(
-        s"""aggregate(
-           |  seq,
-           |  struct(CAST(0 AS INT) AS stage, CAST(-1 AS BIGINT) AS at),
-           |  (acc, x) -> CASE
-           |    WHEN acc.stage = 0 AND x.event_type = '${FunnelSteps(0)}' AND x.t > acc.at
-           |      THEN struct(CAST(1 AS INT) AS stage, x.t AS at)
-           |    WHEN acc.stage = 1 AND x.event_type = '${FunnelSteps(1)}' AND x.t > acc.at
-           |      THEN struct(CAST(2 AS INT) AS stage, x.t AS at)
-           |    WHEN acc.stage = 2 AND x.event_type = '${FunnelSteps(2)}' AND x.t > acc.at
-           |      THEN struct(CAST(3 AS INT) AS stage, x.t AS at)
-           |    ELSE acc END,
-           |  acc -> acc.stage)""".stripMargin)
-      val counts = perUser.select(stage.as("user_stage"))
-        .filter(col("user_stage") >= 1)
-        .select(explode(sequence(lit(1), col("user_stage"))).as("stage"))
-        .groupBy("stage").agg(count(lit(1)).as("users"))
-      // A stage nobody reaches must still report 0 (the oracle's UNION
-      // form always emits 3 rows).
-      s.range(1, FunnelSteps.size + 1)
-        .select(col("id").cast("int").as("stage"))
-        .join(counts, Seq("stage"), "left")
-        .na.fill(0L, Seq("users"))
-        .orderBy("stage")
-    }),
+    // q47 ordered funnel: greedy earliest-match fold ≡ the oracle's
+    // min-timestamp CTE chain (strict > between stages, both engines).
+    "q47_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(events(s, dir), FunnelSteps,
+        col("user_id"), col("ts"), col("event_type"))
+        .orderBy("stage")),
 
-    // q48 weekly cohort retention: users bucketed by the week of their
-    // first event; for each (cohort week, week offset) the count of
-    // distinct users active that week. Weeks are date_trunc Mondays in
-    // both engines, so the day difference is exactly divisible by 7 and
-    // the offset division is exact (no rounding-mode divergence).
-    //
-    // Scale shape: groupBy(user) for the cohort week and the
-    // events-to-cohort join shuffle on the SAME key (user_id), so AQE
-    // plans them back-to-back on one co-partitioning; the final
-    // count-distinct shuffles only (cohort, offset, user) triples after
-    // map-side partial-distinct. No global window anywhere.
-    "q48_retention" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("ts"))
-      val first = e.groupBy("user_id")
-        .agg(date_trunc("week", min(col("ts"))).as("cw"))
-      e.join(first, "user_id")
-        .select(
-          col("user_id"),
-          // ISO string, not DATE: the physical date type round-trips
-          // differently through the two engines' result paths.
-          date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
-          (datediff(date_trunc("week", col("ts")).cast("date"), col("cw").cast("date")) / 7)
-            .cast("int").as("week_offset"))
-        .groupBy("cohort_week", "week_offset")
-        .agg(countDistinct(col("user_id")).as("active_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
+    // q48 weekly cohort retention. Weeks are date_trunc Mondays in both
+    // engines, so the day difference is exactly divisible by 7 and the
+    // offset division is exact (no rounding-mode divergence); the
+    // cohort week is emitted as an ISO string because the physical DATE
+    // type round-trips differently through the two engines' result
+    // paths.
+    "q48_retention" -> ((s, dir) =>
+      EventAnalytics.retention(events(s, dir), col("user_id"), col("ts"))
+        .orderBy("cohort_week", "week_offset")),
 
-    // q49 event-path transitions: the first-order Markov transition
-    // matrix over per-user event sequences — counts and conditional
-    // probabilities of src→dst steps (the Sankey/path-analysis query).
-    //
-    // Scale shape: ONE corpus shuffle — the lead() window partitions by
-    // user_id (never a global window), then the transition rollup and
-    // its probability normalization run on the event-type×event-type
-    // key space (25 rows here; bounded by the type vocabulary, not the
-    // corpus).
-    "q49_transitions" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      val perUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val steps = e.withColumn("nxt", lead(col("event_type"), 1).over(perUser))
-        .filter(col("nxt").isNotNull)
-      val counts = steps
-        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
-        .agg(count(lit(1)).as("cnt"))
-      val perSrc = Window.partitionBy("src")
-      counts
-        .withColumn("p",
-          round(col("cnt").cast("double") / sum(col("cnt")).over(perSrc).cast("double"), 6))
-        .orderBy("src", "dst")
-    })
+    // q49 event-path transitions: the first-order Markov matrix (the
+    // Sankey/path-analysis query); event_id breaks same-instant ties
+    // identically in both engines.
+    "q49_transitions" -> ((s, dir) =>
+      EventAnalytics.transitions(events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .orderBy("src", "dst"))
   )
 
   val oracles: Map[String, String] = Map(
