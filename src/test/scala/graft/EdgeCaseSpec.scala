@@ -84,6 +84,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.annTopK(noVecs, q).count() == 0)
     assert(Similarity.ivfTopK(noVecs, q).count() == 0)
     assert(Dedup.cdcChunkDups(noDocs).count() == 0)
+    // round-8 continuation families
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String, Long)]
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val funnel = operators.EventAnalytics.funnel(noEvents,
+      Seq("view", "click", "purchase"),
+      col("user_id"), col("ts"), col("event_type")).collect()
+    assert(funnel.length == 3 && funnel.forall(_.getLong(1) == 0),
+      "empty log must still report every stage at zero")
+    assert(operators.EventAnalytics.retention(noEvents,
+      col("user_id"), col("ts")).count() == 0)
+    assert(operators.EventAnalytics.transitions(noEvents,
+      col("user_id"), col("ts"), col("event_type"), col("event_id")).count() == 0)
+    val noDirty = Seq.empty[(Long, String)].toDF("id", "dname")
+    val res = operators.Resolve.resolve(noDirty,
+      Seq("red widget").toDF("name"), "id", "dname", "name")
+    assert(res.count() == 0)
+    val prof = operators.Profile.profile(noDocs, exactCheck = true).collect()
+    assert(prof.length == 2, "one profile row per column, even when empty")
+    assert(prof.forall(r => r.getLong(1) == 0 && r.getBoolean(4)),
+      "empty table: zero rows and a vacuously green sketch verdict")
   }
 
   test("CDC chunking degenerate docs: single word, all-cut words, duplicate docs") {
