@@ -92,4 +92,50 @@ object EventAnalytics {
     counts.withColumn("p",
       round(col("cnt").cast("double") / sum(col("cnt")).over(perSrc).cast("double"), 6))
   }
+
+  /** Two-proportion z-test over a deterministic 50/50 experiment split:
+    * users hash into arms (md5 — rerun-stable, uncorrelated with any
+    * business key), convert if they ever emit `convertType`, and the
+    * pooled z-statistic compares the arms' conversion rates.
+    *
+    * Scale shape: one user-keyed aggregate (corpus shuffle) → a 2-row
+    * arm rollup → scalar arithmetic. Every input to the z expression is
+    * an exact integer count, and the expression is one fixed
+    * parenthesization of double ops, so the statistic is
+    * engine-identical to the oracle's bit for bit. */
+  def abTest(events: DataFrame, userCol: Column, typeCol: Column,
+             convertType: String, minCount: Int = 1, salt: String = "ab"): DataFrame = {
+    val perUser = events
+      .groupBy(userCol.as("__u"))
+      .agg((sum(when(typeCol === convertType, 1).otherwise(0)) >= minCount)
+        .cast("int").as("converted"))
+      .withColumn("arm",
+        conv(substring(md5(concat(lit(s"$salt|"), col("__u").cast("string"))), 1, 2), 16, 10)
+          .cast("long") % 2)
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val one = arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n0"),
+      sum(when(col("arm") === 0, col("c"))).as("c0"),
+      sum(when(col("arm") === 1, col("n"))).as("n1"),
+      sum(when(col("arm") === 1, col("c"))).as("c1"))
+    val (n0, c0, n1, c1) = (col("n0").cast("double"), col("c0").cast("double"),
+      col("n1").cast("double"), col("c1").cast("double"))
+    val p0 = c0 / n0
+    val p1 = c1 / n1
+    val pp = (c0 + c1) / (n0 + n1)
+    // degenerate experiments (everyone or no-one converts) have zero
+    // pooled variance: the z-test is undefined and must emit NULL.
+    // The zero is nulled out IN the denominator (not via an outer
+    // CASE): subexpression elimination may hoist a shared z above any
+    // wrapping conditional, and ANSI mode then throws on the 0/0
+    // before the guard is consulted.
+    val denom = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1))
+    val z = (p1 - p0) / when(denom > 0.0, denom)
+    one.select(
+      col("n0"), col("c0"), col("n1"), col("c1"),
+      round(p0, 6).as("rate0"), round(p1, 6).as("rate1"),
+      round(z, 6).as("z"),
+      (abs(z) > 1.96).as("significant"))
+  }
 }

@@ -47,8 +47,25 @@ object EventQueries {
     "q49_transitions" -> ((s, dir) =>
       EventAnalytics.transitions(events(s, dir),
         col("user_id"), col("ts"), col("event_type"), col("event_id"))
-        .orderBy("src", "dst"))
+        .orderBy("src", "dst")),
+
+    // q50 A/B experiment readout: md5-hash arm split, conversion =
+    // (>= AbConvThreshold purchases), pooled two-proportion z-test.
+    // The synthetic log gives every user some purchases, so a count
+    // threshold near the per-user median is what makes conversion a
+    // non-degenerate ~50% outcome. Every z input is an exact integer
+    // count through one fixed parenthesization, so the statistic is
+    // bit-identical in both engines.
+    "q50_ab_test" -> ((s, dir) =>
+      EventAnalytics.abTest(events(s, dir),
+        col("user_id"), col("event_type"),
+        convertType = "purchase", minCount = AbConvThreshold))
   )
+
+  /** q50 conversion bar: users with at least this many purchases
+    * convert (the fixture's per-user purchase count is ~Binomial(67,
+    * 0.2) ≈ 13, so 14 splits the population near the median). */
+  val AbConvThreshold = 14
 
   val oracles: Map[String, String] = Map(
     "q47_funnel" ->
@@ -85,6 +102,37 @@ object EventQueries {
         |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
         |SELECT src, dst, cnt,
         |  round(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
-        |FROM c ORDER BY src, dst""".stripMargin
+        |FROM c ORDER BY src, dst""".stripMargin,
+
+    // q50: identical hash split, identical conversion threshold, one
+    // identically-parenthesized z expression over exact integer counts
+    // (NULLIF on the denominator mirrors the Spark-side degenerate
+    // guard)
+    "q50_ab_test" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      >= $AbConvThreshold AS INT) AS converted,
+         |    ('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |arms AS (SELECT arm, COUNT(*) AS n, SUM(converted) AS c FROM pu GROUP BY arm),
+         |one AS (SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c1
+         |  FROM arms),
+         |d AS (SELECT n0, c0, n1, c1,
+         |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+         |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         |    (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+         |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pp
+         |  FROM one)
+         |SELECT n0, c0, n1, c1,
+         |  round(p0, 6) AS rate0, round(p1, 6) AS rate1,
+         |  round((p1 - p0) / NULLIF(sqrt(pp * (1.0 - pp)
+         |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0), 6) AS z,
+         |  (abs((p1 - p0) / NULLIF(sqrt(pp * (1.0 - pp)
+         |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0)) > 1.96) AS significant
+         |FROM d""".stripMargin
   )
 }

@@ -124,6 +124,49 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  // --- q50 A/B test ---------------------------------------------------
+
+  test("q50 z-statistic matches a from-first-principles computation") {
+    import graft.operators.EventAnalytics
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def arm(u: Long): Long = java.lang.Long.parseLong(md5hex(s"ab|$u").take(2), 16) % 2
+    // 40 users; user u converts iff u % 3 == 0 (1 purchase vs none,
+    // minCount = 1) — conversion correlates with nothing but u
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      val base = Seq((u, u * 1000L, "view"))
+      if (u % 3 == 0) base :+ ((u, u * 1000L + 1, "purchase")) else base
+    }.toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"))
+    val out = EventAnalytics.abTest(rows, col("user_id"), col("event_type"),
+      convertType = "purchase", minCount = 1).collect()(0)
+    val byArm = users.groupBy(arm)
+    val (n0, n1) = (byArm(0L).size.toDouble, byArm(1L).size.toDouble)
+    val (c0, c1) = (byArm(0L).count(_ % 3 == 0).toDouble, byArm(1L).count(_ % 3 == 0).toDouble)
+    val (p0, p1) = (c0 / n0, c1 / n1)
+    val pp = (c0 + c1) / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(out.getLong(0) == n0.toLong && out.getLong(2) == n1.toLong)
+    assert(out.getLong(1) == c0.toLong && out.getLong(3) == c1.toLong)
+    val zExp = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(6) == zExp, s"z ${out.getDouble(6)} != $zExp")
+    assert(out.getBoolean(7) == (math.abs(z) > 1.96))
+  }
+
+  test("q50 degenerate experiment (everyone converts) emits NULL z, not an error") {
+    import graft.operators.EventAnalytics
+    val rows = (1L to 10L).map(u => (u, u * 1000L, "purchase"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"))
+    val out = EventAnalytics.abTest(rows, col("user_id"), col("event_type"),
+      convertType = "purchase", minCount = 1).collect()(0)
+    assert(out.isNullAt(6) && out.isNullAt(7),
+      "zero pooled variance must yield NULL z/significant")
+    assert(out.getDouble(4) == 1.0 && out.getDouble(5) == 1.0)
+  }
+
   // --- d15 fuzzy resolution -------------------------------------------
 
   test("d15 resolve matches corrupted names back to the registry") {
