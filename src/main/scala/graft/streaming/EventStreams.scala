@@ -26,6 +26,13 @@ final case class FunnelProgress(user_id: Long, stage: Int, at: Timestamp)
   * reached and the event time it was reached at. */
 final case class FunnelState(stage: Int, at: Long)
 
+/** One observed src→dst step in a user's event path (q49's streaming
+  * twin emits these as immutable facts). */
+final case class Transition(user_id: Long, src: String, dst: String, at: Timestamp)
+
+/** Per-user path state: the last event seen (type + time). */
+final case class LastEvent(tpe: String, at: Long)
+
 /** Structured Streaming operators q30/q31 (SURVEY.md §2 #30–#31).
   *
   * Both transforms are written against plain `DataFrame`/`Dataset`, so
@@ -348,6 +355,52 @@ object EventStreams {
               state.update(cur)
               state.setTimeoutTimestamp(
                 Math.floorDiv(cur.at + FunnelIdleMs * 1000L + 999L, 1000L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** q49's streaming twin: per-user path steps emitted incrementally.
+    * State is the user's LAST event only — O(1) per user — and each
+    * consecutive (src, dst) pair goes out as an immutable append-mode
+    * fact; the Markov rollup (counts, conditional probabilities) is
+    * ordinary downstream aggregation over these facts (the q45
+    * foreachBatch pattern). Same in-order-arrival equivalence contract
+    * as [[funnelProgress]]; idle users evict at
+    * watermark + [[FunnelIdleMs]] (dropping a path tail that long
+    * cannot pair with anything the batch form would pair it with,
+    * because eviction requires the watermark itself to have moved that
+    * far past the last event). */
+  def transitionSteps(events: Dataset[Event], watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // intra-trigger disorder sorts locally; ties break on
+            // event_id like the batch lead() window
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[Transition]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              last.foreach { l =>
+                out += Transition(userId, l.tpe, e.event_type, toTimestamp(t))
+              }
+              last = Some(LastEvent(e.event_type, t))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(l.at + FunnelIdleMs * 1000L + 999L, 1000L))
             }
             out.result().iterator
           }

@@ -124,6 +124,18 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q48/q49 plan shapes: no window for retention, no global exchange for transitions") {
+    val p48 = EventQueries.defs("q48_retention")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p48.contains("Window"), s"retention needs no window operator:\n$p48")
+    val p49 = EventQueries.defs("q49_transitions")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the lead() window partitions by user and the normalization by src —
+    // a GLOBAL window would demand an Exchange SinglePartition
+    assert(!p49.contains("Exchange SinglePartition"),
+      s"transitions must never single-partition the corpus:\n$p49")
+  }
+
   // --- q50 A/B test ---------------------------------------------------
 
   test("q50 z-statistic matches a from-first-principles computation") {

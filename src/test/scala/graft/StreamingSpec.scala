@@ -522,6 +522,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamCounts == batchCounts)
   }
 
+  test("q49 streaming transition steps equal the batch consecutive pairs") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "A", 0), Event(2, ts(1), 1, "B", 0),
+      Event(3, ts(0), 2, "A", 0))
+    val batch2 = Seq(
+      Event(4, ts(5), 1, "A", 0),   // crosses the trigger boundary: B→A
+      Event(5, ts(2), 2, "A", 0))   // A→A for user 2
+    val stream = MemoryStream[Event]
+    val q = EventStreams.transitionSteps(stream.toDS())
+      .writeStream.format("memory").queryName("q49_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("q49_stream")
+      .select("user_id", "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    // batch semantics: consecutive pairs per user over the full log
+    val all = batch1 ++ batch2
+    val want = all.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      val sortedE = es.sortBy(e => (e.ts.getTime, e.event_id))
+      sortedE.zip(sortedE.drop(1)).map { case (a, b) => (u, a.event_type, b.event_type) }
+    }.sorted
+    assert(got == want)
+  }
+
   test("q47 streaming funnel evicts completed users immediately") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
