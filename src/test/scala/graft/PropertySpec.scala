@@ -261,4 +261,98 @@ class PropertySpec extends SparkSpec {
     }
     check("fuzzy-resolve", 10, prop)
   }
+
+  test("property: funnel stage counts equal the brute-force subsequence matcher") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val steps = Seq("v", "c", "p")
+    def bfStage(evts: Seq[(Long, String)]): Int = {
+      // greedy earliest-match with strict time increase — optimal for
+      // subsequence matching, so it IS the semantics
+      var stage = 0
+      var at = Long.MinValue
+      evts.sortBy(_._1).foreach { case (t, tp) =>
+        if (stage < steps.size && tp == steps(stage) && t > at) { stage += 1; at = t }
+      }
+      stage
+    }
+    val genEvt = for {
+      u <- Gen.choose(1, 4)
+      t <- Gen.choose(1L, 20L) // small range: same-instant collisions likely
+      tp <- Gen.oneOf(steps :+ "x")
+    } yield (u.toLong, t, tp)
+    val prop = Prop.forAll(Gen.listOfN(18, genEvt)) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((u, t, tp), i) => (u, t, tp, i.toLong) }
+        .toDF("user_id", "t", "event_type", "event_id")
+        .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+          col("event_type"), col("event_id"))
+      val got = EventAnalytics.funnel(df, steps,
+        col("user_id"), col("ts"), col("event_type"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val stages = rows.groupBy(_._1).values
+        .map(es => bfStage(es.map(e => (e._2, e._3)))).toSeq
+      val want = (1 to steps.size)
+        .map(k => k -> stages.count(_ >= k).toLong).toMap
+      got == want
+    }
+    check("funnel", 10, prop)
+  }
+
+  test("property: transitions equal the brute-force consecutive-pair counter") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val genEvt = for {
+      u <- Gen.choose(1, 3)
+      t <- Gen.choose(1L, 10L)
+      tp <- Gen.oneOf("A", "B", "C")
+    } yield (u.toLong, t, tp)
+    val prop = Prop.forAll(Gen.listOfN(14, genEvt)) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((u, t, tp), i) => (u, t, tp, i.toLong) }
+      val df = rows.toDF("user_id", "t", "event_type", "event_id")
+        .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+          col("event_type"), col("event_id"))
+      val got = EventAnalytics.transitions(df,
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._1).values.flatMap { es =>
+        val s = es.sortBy(e => (e._2, e._4))
+        s.zip(s.drop(1)).map { case (a, b) => (a._3, b._3) }
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got == want
+    }
+    check("transitions", 10, prop)
+  }
+
+  test("property: A/B arm counts and conversions equal the brute-force split") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def arm(u: Long): Long = java.lang.Long.parseLong(md5hex(s"ab|$u").take(2), 16) % 2
+    val genUser = for {
+      u <- Gen.choose(1, 30)
+      purchases <- Gen.choose(0, 3)
+    } yield (u.toLong, purchases)
+    val prop = Prop.forAll(Gen.listOfN(12, genUser)) { users0 =>
+      val users = users0.distinctBy(_._1)
+      val rows = users.flatMap { case (u, np) =>
+        (1 to np).map(i => (u, u * 100L + i, "purchase")) :+ ((u, u * 100L, "view"))
+      }
+      val df = rows.toDF("user_id", "t", "event_type")
+        .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"))
+      val out = EventAnalytics.abTest(df, col("user_id"), col("event_type"),
+        convertType = "purchase", minCount = 2).collect()(0)
+      val byArm = users.groupBy(u => arm(u._1)).withDefaultValue(Nil)
+      def n(a: Long) = byArm(a).size.toLong
+      def c(a: Long) = byArm(a).count(_._2 >= 2).toLong
+      // an absent arm surfaces as NULL counts
+      def got(i: Int): Long = if (out.isNullAt(i)) -1L else out.getLong(i)
+      def wantN(a: Long): Long = if (byArm(a).isEmpty) -1L else n(a)
+      def wantC(a: Long): Long = if (byArm(a).isEmpty) -1L else c(a)
+      got(0) == wantN(0) && got(1) == wantC(0) && got(2) == wantN(1) && got(3) == wantC(1)
+    }
+    check("ab-test", 8, prop)
+  }
 }
