@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** The default funnel step types, in order (the fixture's
+    * view→click→purchase journey); queries and the streaming twin
+    * share this definition. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
   /** Ordered conversion funnel: for each user the highest step of
     * `steps` reached by a strictly-time-increasing subsequence, rolled
     * up to per-stage user counts (every stage reported, unreached = 0).

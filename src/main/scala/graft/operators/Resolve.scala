@@ -67,11 +67,14 @@ object Resolve {
   /** Deterministic one-character deletion at an md5-derived position in
     * [3, length-1] — the harness's "dirty" generator (prefix-preserving
     * so the blocker holds; production callers bring real dirty data).
-    * Requires strings of length ≥ 4. SQL twin in the d15 oracle. */
+    * Meaningful for strings of length ≥ 4; shorter strings delete their
+    * last character (the `greatest` keeps the modulus total — a length-3
+    * input must not throw a remainder-by-zero under ANSI if a future
+    * fixture carries one). SQL twin in the d15 oracle. */
   def deleteOneChar(c: Column, salt: String, keyCol: Column): Column = {
     val h = conv(substring(md5(concat(lit(s"$salt|"), keyCol.cast("string"))), 1, 4), 16, 10)
       .cast("long")
-    val pos = (lit(3) + h % (length(c) - lit(3)).cast("long")).cast("int")
+    val pos = (lit(3) + h % greatest(length(c) - lit(3), lit(1)).cast("long")).cast("int")
     concat(substr(c, lit(1), pos - 1), substr(c, pos + 1, length(c)))
   }
 }

@@ -434,7 +434,7 @@ object DedupQueries {
       s"""WITH dirty AS (
          |  SELECT p_partkey,
          |    CAST(3 + ('0x' || substr(md5('fz|' || CAST(p_partkey AS VARCHAR)), 1, 4))::BIGINT
-         |      % (length(p_name) - 3) AS INT) AS pos,
+         |      % greatest(length(p_name) - 3, 1) AS INT) AS pos,
          |    p_name
          |  FROM part),
          |d2 AS (SELECT p_partkey,

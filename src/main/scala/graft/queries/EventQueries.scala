@@ -20,8 +20,8 @@ import Ops._
   */
 object EventQueries {
 
-  /** Funnel step types, in order. */
-  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+  /** Funnel step types, in order (shared with the streaming twin). */
+  val FunnelSteps: Seq[String] = EventAnalytics.FunnelSteps
 
   val defs: Map[String, Q] = Map(
     // q47 ordered funnel: greedy earliest-match fold ≡ the oracle's

@@ -323,7 +323,7 @@ object EventStreams {
     * advanced an earlier stage cannot be applied retroactively. The
     * MemoryStream spec pins stream ≡ batch under in-order feeding. */
   def funnelProgress(events: Dataset[Event],
-      steps: Seq[String] = graft.queries.EventQueries.FunnelSteps,
+      steps: Seq[String] = graft.operators.EventAnalytics.FunnelSteps,
       watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[FunnelProgress] = {
     import spark.implicits._
