@@ -115,6 +115,39 @@ object SkewProbe {
       .join(naiveDistinctPerUser(ev).as("n"), Seq("user_id"))
       .filter(col("s.n_distinct") =!= col("n.n_distinct")).count()
     println(s"""{"op":"distinct_salted_check","mismatches":$diff}""")
+
+    // 3. funnel under the hot user (q47's documented worst case: one
+    // user owns ~20 % of events, so one task sorts+folds that whole
+    // slice). Measured against the k-sequential-conditional-aggregate
+    // fallback (the oracle's shape: k co-partitioned shuffles, O(1)
+    // state per user) on the SAME data — and both must agree exactly.
+    val steps = operators.EventAnalytics.FunnelSteps
+    def funnelFold() = operators.EventAnalytics.funnel(
+      evJ, steps, col("user_id"), col("ts"), col("event_type"))
+    def kAggCounts(): Seq[Long] = {
+      val base = evJ.filter(col("event_type").isin(steps: _*))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+      var reached = base.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("t")).as("at"))
+      val out = scala.collection.mutable.Buffer(reached.count())
+      steps.drop(1).foreach { s =>
+        reached = base.filter(col("event_type") === s)
+          .join(reached, "user_id")
+          .filter(col("t") > col("at"))
+          .groupBy("user_id").agg(min(col("t")).as("at"))
+        out += reached.count()
+      }
+      out.toSeq
+    }
+    funnelFold().write.format("noop").mode("overwrite").save() // warmup
+    time("funnel_fold_hot_user")(funnelFold())
+    val tK0 = System.nanoTime()
+    val kCounts = kAggCounts()
+    val kSec = (System.nanoTime() - tK0) / 1e9
+    println(f"""{"op":"funnel_kagg_hot_user","sec":$kSec%.2f}""")
+    val foldCounts = funnelFold().orderBy("stage").collect().map(_.getLong(1)).toSeq
+    println(s"""{"op":"funnel_skew_check","agree":${foldCounts == kCounts},""" +
+      s""""fold":${foldCounts.mkString("[", ",", "]")},"kagg":${kCounts.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }
