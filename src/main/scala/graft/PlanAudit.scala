@@ -166,9 +166,16 @@ object PlanAudit {
     "q47_funnel" -> ("Ordered funnel: ONE hash exchange on user_id; the " +
       "whole stage sequence evaluates map-side per user (sort_array + " +
       "aggregate fold) — no per-stage self-join of the event log, no global window."),
+    "q48_retention" -> ("Cohort retention: NO window operator anywhere; the " +
+      "cohort aggregate and the events-to-cohort join shuffle on the SAME " +
+      "user key; count-distinct partial-aggregates before the (cohort, offset) exchange."),
     "q49_transitions" -> ("Markov transitions: the lead() window partitions " +
       "by user_id (one corpus exchange); the probability-normalization window " +
-      "runs on the event-type×event-type rollup, never the corpus."),
+      "runs on the event-type×event-type rollup, never the corpus — no " +
+      "Exchange SinglePartition in the plan."),
+    "q50_ab_test" -> ("A/B z-test: one user-keyed aggregate, a 2-row arm " +
+      "rollup, scalar arithmetic — the z expression evaluates on ONE row; " +
+      "no broadcast, no window, nothing corpus-sized after the first exchange."),
     "d15_fuzzy_join" -> ("Fuzzy resolution: candidates via equi-join on the " +
       "blocking prefix (registry side DISTINCT, broadcast at this size); " +
       "levenshtein only inside blocks; best match is one groupBy string-min, no window."),
