@@ -37,19 +37,28 @@ object EventAnalytics {
       .select(userCol.as("__u"), unix_micros(tsCol).as("t"), typeCol.as("event_type"))
     val perUser = e.groupBy("__u")
       .agg(sort_array(collect_list(struct(col("t"), col("event_type")))).as("seq"))
-    val cases = steps.zipWithIndex.map { case (step, i) =>
-      s"""WHEN acc.stage = $i AND x.event_type = '$step' AND x.t > acc.at
-         |  THEN struct(CAST(${i + 1} AS INT) AS stage, x.t AS at)""".stripMargin
-    }.mkString("\n")
-    // -1 sentinel: below any post-epoch timestamp
-    val stage = expr(
-      s"""aggregate(
-         |  seq,
-         |  struct(CAST(0 AS INT) AS stage, CAST(-1 AS BIGINT) AS at),
-         |  (acc, x) -> CASE
-         |    $cases
-         |    ELSE acc END,
-         |  acc -> acc.stage)""".stripMargin)
+    // Column-level fold, no SQL-string interpolation: step names bind as
+    // literals (a step containing a quote cannot break or alter the
+    // expression), and the "next expected step" is an array lookup —
+    // which also makes REPEATED step names (view→view→purchase) work,
+    // where a per-step CASE on the name alone could not distinguish
+    // occurrences. -1 sentinel: below any post-epoch timestamp.
+    val stepsArr = array(steps.map(lit): _*)
+    val init = struct(lit(0).cast("int").as("stage"), lit(-1L).as("at"))
+    val stage = aggregate(
+      col("seq"), init,
+      (acc, x) => {
+        // get() is 0-based and NULL-safe past the last step (element_at
+        // would THROW under ANSI once the funnel completes)
+        val advance = x.getField("event_type") ===
+          get(stepsArr, acc.getField("stage")) &&
+          x.getField("t") > acc.getField("at")
+        when(advance, struct(
+          (acc.getField("stage") + 1).cast("int").as("stage"),
+          x.getField("t").as("at")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("stage"))
     val counts = perUser.select(stage.as("user_stage"))
       .filter(col("user_stage") >= 1)
       .select(explode(sequence(lit(1), col("user_stage"))).as("stage"))

@@ -35,11 +35,17 @@ final case class LastEvent(tpe: String, at: Long)
 
 /** Structured Streaming operators q30/q31 (SURVEY.md §2 #30–#31).
   *
-  * Both transforms are written against plain `DataFrame`/`Dataset`, so
-  * the SAME code runs on a `readStream` source (incremental, stateful)
-  * and on the batch `events` table (the driver's oracle-checkable
-  * entry). That equivalence — batch run ≡ streaming run after all
-  * watermarks close — is asserted by the MemoryStream specs.
+  * [[windowedCounts]] is written against a plain `DataFrame`, so the
+  * SAME code runs on a `readStream` source (incremental, stateful) and
+  * on the batch `events` table (the driver's oracle-checkable entry).
+  * The STATEFUL transforms ([[sessionize]], [[funnelProgress]],
+  * [[transitionSteps]]) must NOT be run on a batch frame as their own
+  * oracle: batch execution of flatMapGroupsWithState never fires
+  * timeouts, so open state (e.g. each user's final session) is
+  * silently dropped — their batch-equivalent oracles are the separate
+  * window/fold forms ([[sessionizeBatch]], EventAnalytics.funnel/
+  * transitions). Stream ≡ batch-oracle equivalence after all
+  * watermarks close is asserted by the MemoryStream specs.
   *
   * Scale: windowed aggregation shuffles once on (window, event_type)
   * with partial aggregation per trigger; sessionization shuffles once on
@@ -226,7 +232,9 @@ object EventStreams {
     c.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+          // millisecond interval: an integer windowMs/1000 silently
+          // truncated sub-second windows (500 ms became 0)
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMs MILLISECOND"))
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
   }
@@ -249,7 +257,7 @@ object EventStreams {
     * carries at most k rows per click. Output is bounded by
     * k × clicks regardless of key skew. */
   def clickPurchaseJoinCapped(clicks: DataFrame, purchases: DataFrame,
-      k: Int = AttributionCap): DataFrame = {
+      k: Int = AttributionCap, windowMs: Long = JoinWindowMs): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
       col("ts").as("click_ts"))
     val p = purchases.select(col("user_id").as("p_user"),
@@ -260,7 +268,7 @@ object EventStreams {
     c.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"))
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMs MILLISECOND"))
       .withColumn("attr_rank", row_number().over(w))
       .filter(col("attr_rank") <= k)
       .select(col("click_id"), col("user_id"), col("click_ts"),
@@ -327,9 +335,9 @@ object EventStreams {
       watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[FunnelProgress] = {
     import spark.implicits._
-    val stepIdx = steps.zipWithIndex.toMap
+    val stepSet = steps.toSet
     events
-      .filter(e => stepIdx.contains(e.event_type))
+      .filter(e => stepSet.contains(e.event_type))
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
@@ -340,21 +348,34 @@ object EventStreams {
             Iterator.empty
           } else {
             var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var lastSeen = Long.MinValue
             val out = Seq.newBuilder[FunnelProgress]
             it.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
               val t = micros(e.ts)
+              lastSeen = math.max(lastSeen, t)
+              // positional comparison (not a name→index map): a funnel
+              // with a REPEATED step name advances through each
+              // occurrence in order
               if (cur.stage < steps.size &&
-                  stepIdx(e.event_type) == cur.stage && t > cur.at) {
+                  e.event_type == steps(cur.stage) && t > cur.at) {
                 cur = FunnelState(cur.stage + 1, t)
                 out += FunnelProgress(userId, cur.stage, toTimestamp(t))
               }
             }
             if (cur.stage >= steps.size) {
               state.remove() // funnel complete: no further advance possible
-            } else if (cur.stage > 0 || state.exists) {
+            } else if (cur.stage > 0) {
               state.update(cur)
+              // idle horizon measured from the user's LATEST activity,
+              // not the stage-reached time: a mid-funnel user whose
+              // non-advancing events keep arriving can carry the
+              // watermark far past cur.at, and setTimeoutTimestamp
+              // throws if handed a timestamp the watermark already
+              // passed — clamp to watermark+1ms as the last defense
+              val base = math.max(cur.at, lastSeen)
+              val timeoutMs = Math.floorDiv(base + FunnelIdleMs * 1000L + 999L, 1000L)
               state.setTimeoutTimestamp(
-                Math.floorDiv(cur.at + FunnelIdleMs * 1000L + 999L, 1000L))
+                math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
           }

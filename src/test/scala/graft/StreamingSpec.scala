@@ -522,6 +522,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamCounts == batchCounts)
   }
 
+  test("q47 streaming funnel survives non-advancing events that outlive the idle horizon") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // A stage-1 user keeps emitting 'view' (non-advancing) events whose
+    // event times carry the watermark DAYS past the stage-reached time.
+    // The timeout must be armed off the user's latest activity (clamped
+    // to watermark+1): arming it off the stale stage time threw
+    // "timeout timestamp is before the watermark" and killed the query.
+    def at(hours: Int) = Timestamp.valueOf(f"2024-01-${1 + hours / 24}%02d ${hours % 24}%02d:00:00")
+    val stream = MemoryStream[Event]
+    val q = EventStreams.funnelProgress(stream.toDS())
+      .writeStream.format("memory").queryName("q47_stall")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Seq(Event(1, at(0), 1, "view", 0)));  q.processAllAvailable()
+      stream.addData(Seq(Event(2, at(30), 1, "view", 0))); q.processAllAvailable()
+      // trigger 3 processes with the watermark already past stage-time+24h
+      stream.addData(Seq(Event(3, at(40), 1, "view", 0))); q.processAllAvailable()
+      // and the funnel must still be able to advance afterwards
+      stream.addData(Seq(Event(4, at(41), 1, "click", 0))); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+    val got = spark.table("q47_stall").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(got == Seq((1L, 1), (1L, 2)))
+  }
+
   test("q49 streaming transition steps equal the batch consecutive pairs") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
