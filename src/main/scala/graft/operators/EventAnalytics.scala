@@ -107,6 +107,38 @@ object EventAnalytics {
       round(col("cnt").cast("double") / sum(col("cnt")).over(perSrc).cast("double"), 6))
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * nearest preceding non-conversion event of the same user (ordered
+    * by time, then `tieCol` for determinism), rolled up to per-channel
+    * conversion counts and exact-decimal attributed value. Conversions
+    * with no preceding touch credit the `direct` channel.
+    *
+    * Scale shape: ONE corpus shuffle — the user-partitioned window
+    * (same key the sessionizer and funnel use, so a pre-bucketed event
+    * log re-sorts without exchanging) — then a channel-cardinality
+    * rollup with map-side partials. The attributed-value sum follows
+    * the dsum discipline (inputs rounded once to 4 decimals, summed as
+    * exact decimal) so the double is order-independent and
+    * engine-identical.
+    */
+  def attribution(events: DataFrame, userCol: Column, tsCol: Column,
+                  typeCol: Column, tieCol: Column, valueCol: Column,
+                  convertType: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("__u").orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(userCol.as("__u"), tsCol.as("__ts"), tieCol.as("__tie"),
+        typeCol.as("__type"), valueCol.as("__v"))
+      .withColumn("touch",
+        last(when(col("__type") =!= convertType, col("__type")),
+          ignoreNulls = true).over(w))
+      .filter(col("__type") === convertType)
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(col("__v").cast(DecimalType(28, 4))).cast("double").as("attributed_value"))
+  }
+
   /** Two-proportion z-test over a deterministic 50/50 experiment split:
     * users hash into arms (md5 — rerun-stable, uncorrelated with any
     * business key), convert if they ever emit `convertType`, and the

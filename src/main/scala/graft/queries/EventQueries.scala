@@ -59,7 +59,16 @@ object EventQueries {
     "q50_ab_test" -> ((s, dir) =>
       EventAnalytics.abTest(events(s, dir),
         col("user_id"), col("event_type"),
-        convertType = "purchase", minCount = AbConvThreshold))
+        convertType = "purchase", minCount = AbConvThreshold)),
+
+    // q51 last-touch attribution: each purchase credits the nearest
+    // preceding non-purchase event of the same user (ties broken by
+    // event_id in both engines); orphan purchases credit 'direct'.
+    "q51_attribution" -> ((s, dir) =>
+      EventAnalytics.attribution(events(s, dir), col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), col("value"),
+        convertType = "purchase")
+        .orderBy("channel"))
   )
 
   /** q50 conversion bar: users with at least this many purchases
@@ -133,6 +142,21 @@ object EventQueries {
          |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0), 6) AS z,
          |  (abs((p1 - p0) / NULLIF(sqrt(pp * (1.0 - pp)
          |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0)) > 1.96) AS significant
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+
+    // q51: identical window (same partition/order/frame, IGNORE NULLS
+    // last_value), identical dsum discipline on the attributed value
+    "q51_attribution" ->
+      """WITH a AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |  COUNT(*) AS conversions,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS attributed_value
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin
   )
 }

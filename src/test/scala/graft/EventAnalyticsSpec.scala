@@ -233,4 +233,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(4) >= 1L), "unmatched dirty rows")
     assert(rows.forall(r => r.getInt(2) <= Resolve.MaxEdits))
   }
+
+  // --- q51 last-touch attribution --------------------------------------
+
+  test("q51 attribution credits the nearest preceding non-purchase touch") {
+    // u1: view→click→purchase(5) → click; u1 second purchase(2) after
+    // another view → view; u2: orphan purchase(7) → direct; u3:
+    // purchase preceded ONLY by a purchase → still direct (conversions
+    // never act as touches); u4: click & purchase at the SAME ts —
+    // event_id orders the click first, so it counts as preceding.
+    val rows = Seq(
+      (1L, 100L, 1L, "view", 0.0), (1L, 200L, 2L, "click", 0.0),
+      (1L, 300L, 3L, "purchase", 5.0), (1L, 400L, 4L, "view", 0.0),
+      (1L, 500L, 5L, "purchase", 2.0),
+      (2L, 100L, 6L, "purchase", 7.0),
+      (3L, 100L, 7L, "purchase", 1.0), (3L, 200L, 8L, "purchase", 1.0),
+      (4L, 100L, 9L, "click", 0.0), (4L, 100L, 10L, "purchase", 3.0))
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_type"), col("event_id"), col("value"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("attrib").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q51_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "click" -> ((2L, 8.0)),   // u1's first purchase + u4's same-ts one
+      "view" -> ((1L, 2.0)),    // u1's second purchase
+      "direct" -> ((3L, 9.0)))) // u2's orphan + u3's both
+  }
+
+  test("q51 plans one corpus exchange (window) plus the channel rollup") {
+    val plan = EventQueries.defs("q51_attribution")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "attribution must not join the event log")
+  }
 }
