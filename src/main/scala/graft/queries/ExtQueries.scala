@@ -152,7 +152,19 @@ object ExtQueries {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_sample"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
-    }))
+    }),
+
+    // SCD Type-2 dimension build (graft.operators.Scd): per customer,
+    // the order-status observation log collapses into version-numbered
+    // validity intervals (NULL valid_to = current). Ties on the order
+    // date break by order key in both engines.
+    "q52_scd2" -> ((s, dir) =>
+      graft.operators.Scd.scd2(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+        .select(col("key").as("custkey"), col("version"),
+          col("attr").as("status"), col("valid_from"), col("valid_to"))
+        .orderBy("custkey", "version")))
 
   val oracles: Map[String, String] = Map(
     "q24_cube" ->
@@ -217,5 +229,23 @@ object ExtQueries {
          |  ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders
          |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2')
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // q52: identical change detection (lag over the same partition/
+    // order), identical version numbering and interval close
+    "q52_scd2" ->
+      """WITH s AS (SELECT o_custkey AS k, o_orderstatus AS a,
+        |    o_orderdate AS d, o_orderkey AS tie,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT k, a, d, tie FROM s WHERE prev IS NULL OR a <> prev)
+        |SELECT k AS custkey,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  a AS status,
+        |  strftime(d, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(d) OVER w, '%Y-%m-%d') AS valid_to
+        |FROM c
+        |WINDOW w AS (PARTITION BY k ORDER BY d, tie)
+        |ORDER BY custkey, version""".stripMargin)
 }
