@@ -170,4 +170,46 @@ object Splits {
       .select(idCol.as("doc_id"), col("__tokens").as("n_tokens"),
         col("cum_tokens"))
   }
+
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM 2007): each row draws a
+    * deterministic uniform u ∈ (0,1] from a seeded md5 of its id and
+    * gets priority w/u; the k highest-priority rows are the sample,
+    * and the (k+1)-th priority τ is the threshold that makes
+    * est_weight = max(w, τ) an unbiased subset-sum estimator — the
+    * importance-weighted subsampling a curation pipeline runs when it
+    * can only afford to keep k documents but must keep weight
+    * estimates honest.
+    *
+    * Scale shape: priorities are pure map-side expressions; top-(k+1)
+    * plans as TakeOrderedAndProject (per-partition top-k, driver
+    * merges k+1 rows — never a global sort); τ is a one-row broadcast.
+    * Cross-engine determinism: u = (md5_52bit + 1) / 2^52 and
+    * priority = w / u are single IEEE-754 ops on integer-exact
+    * doubles, so ranking and values are engine-identical (no ln/pow,
+    * whose libm rounding differs across engines — the reason this
+    * implements Duffield et al. rather than Efraimidis-Spirakis, whose
+    * u^(1/w) keys need pow).
+    *
+    * A corpus with at most k rows is returned whole with est_weight =
+    * w (no threshold exists — the estimator is exact).
+    */
+  def prioritySample(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int, seed: String = "pri"): DataFrame = {
+    require(k > 0)
+    val u = (conv(substring(md5(concat(lit(s"$seed|"), idCol.cast("string"))), 1, 13),
+      16, 10).cast("long") + 1).cast("double") / lit(4503599627370496.0)
+    val scored = df.select(idCol.as("doc_id"),
+      weightCol.cast("long").as("weight"),
+      (weightCol.cast("double") / u).as("priority"))
+    val topK1 = scored.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+    val thresh = topK1.agg(min("priority").as("__tau"), count(lit(1)).as("__m"))
+    topK1.crossJoin(broadcast(thresh))
+      .filter((col("__m") === k + 1 && col("priority") > col("__tau")) ||
+        col("__m") <= k)
+      .select(col("doc_id"), col("weight"), col("priority"),
+        when(col("__m") === k + 1,
+          greatest(col("weight").cast("double"), col("__tau")))
+          .otherwise(col("weight").cast("double")).as("est_weight"))
+  }
 }

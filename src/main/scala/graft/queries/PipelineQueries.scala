@@ -193,7 +193,16 @@ object PipelineQueries {
           sum(col("w").cast(dec)).cast("double").as("logw"))
         .orderBy(col("logw").desc, col("doc_id"))
         .limit(DsirTopK)
-    }))
+    }),
+
+    // p11 weighted sampling without replacement (priority sampling,
+    // Duffield-Lund-Thorup): keep PriK docs weighted by character
+    // count, with the threshold-adjusted unbiased weight estimate.
+    // Ordered by priority so the sample reads rank-first.
+    "p11_weighted_sample" -> ((s, dir) =>
+      graft.operators.Splits.prioritySample(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = PriK)
+        .orderBy(col("priority").desc, col("doc_id"))))
 
   /** p08 quota: max docs kept per source/domain. */
   val CapPerSource = 10
@@ -207,6 +216,9 @@ object PipelineQueries {
   val DsirBuckets = 64
   val DsirTargetLang = "en"
   val DsirTopK = 50
+
+  /** p11 priority-sampling size. */
+  val PriK = 100
 
   val oracles: Map[String, String] = Map(
     "p01_training_prep" ->
@@ -348,5 +360,24 @@ object PipelineQueries {
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |  CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS logw
          |FROM tb JOIN w USING (b) GROUP BY doc_id
-         |ORDER BY logw DESC, doc_id LIMIT $DsirTopK""".stripMargin)
+         |ORDER BY logw DESC, doc_id LIMIT $DsirTopK""".stripMargin,
+
+    // p11: identical 52-bit md5 uniform, identical single-division
+    // priority, identical threshold rule (SQL mirrors the <=k
+    // whole-corpus edge case)
+    "p11_weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |    CAST(n_chars AS DOUBLE) /
+         |      (CAST(('0x' || substr(md5('pri|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+         |            + 1 AS DOUBLE) / 4503599627370496.0) AS priority
+         |  FROM documents),
+         |t AS (SELECT * FROM s ORDER BY priority DESC, doc_id LIMIT ${PriK + 1}),
+         |m AS (SELECT min(priority) AS tau, COUNT(*) AS m FROM t)
+         |SELECT doc_id, weight, priority,
+         |  CASE WHEN m.m = ${PriK + 1}
+         |       THEN greatest(CAST(weight AS DOUBLE), m.tau)
+         |       ELSE CAST(weight AS DOUBLE) END AS est_weight
+         |FROM t CROSS JOIN m
+         |WHERE (m.m = ${PriK + 1} AND priority > m.tau) OR m.m <= $PriK
+         |ORDER BY priority DESC, doc_id""".stripMargin)
 }

@@ -207,4 +207,40 @@ class SplitsSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(__block"),
       s"corpus running sum must shuffle on the block key only:\n$plan")
   }
+
+  test("p11 priority sample keeps exactly k rows with threshold-adjusted weights") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, 10L + i % 90)).toDF("doc_id", "w")
+    val out = Splits.prioritySample(df, col("doc_id"), col("w"), k = 20).collect()
+    assert(out.length == 20)
+    val tau = out.map(_.getDouble(3)).min // every est >= tau by construction
+    out.foreach { r =>
+      val (w, pri, est) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(est == math.max(w.toDouble, tau) || est >= w.toDouble)
+      assert(pri >= tau, "a kept row's priority may not fall under the threshold")
+    }
+    // deterministic: same seed, same data, any partitioning
+    val out2 = Splits.prioritySample(df.repartition(7), col("doc_id"), col("w"), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == out.map(_.getLong(0)).toSet)
+  }
+
+  test("p11 returns a <=k corpus whole, estimator exact (est_weight = weight)") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, 7L * i)).toDF("doc_id", "w")
+    val out = Splits.prioritySample(df, col("doc_id"), col("w"), k = 20)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    out.foreach(r => assert(r.getDouble(3) == r.getLong(1).toDouble))
+  }
+
+  test("p11 plans the top-(k+1) as TakeOrderedAndProject (no global sort)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Splits.prioritySample(docs, col("doc_id"), col("n_chars"), k = 100)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition + driver merge:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"priority sampling must not globally sort the corpus:\n$plan")
+  }
 }
