@@ -32,6 +32,14 @@ object TextQueries {
     * 2^20+ buckets; the chain is bucket-count-agnostic. */
   val ClfBuckets = 64
 
+  /** t17 TextRank: power iterations and keyword-list size. Ten
+    * iterations is the published convergence budget for keyword graphs
+    * (Mihalcea & Tarau 2004 report 20-30 to 1e-4; the 10-dp-rounded
+    * fixed-point chain is deterministic at ANY count, so the oracle
+    * holds regardless). */
+  val TextRankIters = 10
+  val TextRankTopK = 50
+
   /** t16 add-k smoothing constant for the bigram LM. */
   val BigramK = 0.5
 
@@ -284,6 +292,34 @@ object TextQueries {
           col("freq"), col("pmi"))
         .orderBy(col("pmi").desc, col("bigram"))
         .limit(100)
+    }),
+
+    // t17 TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    // PageRank over the word co-occurrence graph — t11's floored bigram
+    // counts, symmetrized (w(a,b) = freq(a,b) + freq(b,a), self-loops
+    // dropped) — surfacing the corpus's central vocabulary rather than
+    // its frequent or surprising pairs.
+    // Scale shape: the corpus collapses to the vocabulary-sized edge
+    // list BEFORE the loop (same generator-in-scan bigram aggregate as
+    // t11); GraphRank then runs ten vocabulary-sized join+aggregate
+    // rounds with per-iteration lineage truncation. The decimal-exact
+    // update chain makes all ten iterations engine-identical, so the
+    // oracle replays them as an unrolled CTE chain.
+    "t17_textrank" -> ((s, dir) => {
+      val toksW = t(s, dir, "documents").select(words(col("text")).as("w"))
+      val bi = toksW.filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+            element_at(col("w"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= MinBigramFreq && col("w1") =!= col("w2"))
+      val edges = bi.select(col("w1").as("src"), col("w2").as("dst"), col("freq").as("f"))
+        .union(bi.select(col("w2"), col("w1"), col("freq")))
+        .groupBy("src", "dst").agg(sum("f").as("w"))
+      graft.operators.GraphRank.pageRank(edges, TextRankIters)
+        .orderBy(col("rank").desc, col("word"))
+        .limit(TextRankTopK)
     }),
 
     // t08 TF-IDF keyword extraction: top-3 highest-scoring terms per
@@ -600,6 +636,37 @@ object TextQueries {
          |JOIN uf u2 ON bf.w2 = u2.word
          |CROSS JOIN tot
          |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin,
+
+    // t17: identical graph build (t11's floored bigrams, symmetrized),
+    // then the ten decimal-exact power iterations UNROLLED as a CTE
+    // chain — each iteration's per-edge contribution, decimal sum, and
+    // damped update use the same literals and parenthesization as the
+    // Spark loop, so every iteration reproduces bit for bit
+    "t17_textrank" -> {
+      val iterCtes = (1 to TextRankIters).map { i =>
+        s"""r$i AS (SELECT e.dst AS word,
+           |  round((1.0 - 0.85) + 0.85 * CAST(SUM(CAST(round(
+           |      (CAST(e.w AS DOUBLE) * r.rank) / CAST(e.ow AS DOUBLE), 12)
+           |    AS DECIMAL(28,12))) AS DOUBLE), 10) AS rank
+           |  FROM e JOIN r${i - 1} r ON e.src = r.word GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT ${sqlWords("text")} AS w FROM documents),
+         |bi AS (SELECT w[i+1] AS w1, w[i+2] AS w2
+         |  FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i
+         |        FROM w WHERE len(w) >= 2)),
+         |bf AS (SELECT w1, w2, COUNT(*) AS freq FROM bi
+         |  GROUP BY w1, w2 HAVING COUNT(*) >= $MinBigramFreq AND w1 <> w2),
+         |edges AS (SELECT src, dst, CAST(SUM(f) AS BIGINT) AS w FROM (
+         |    SELECT w1 AS src, w2 AS dst, freq AS f FROM bf
+         |    UNION ALL SELECT w2, w1, freq FROM bf) GROUP BY src, dst),
+         |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+         |e AS (SELECT edges.src, edges.dst, edges.w, ow.ow
+         |      FROM edges JOIN ow USING (src)),
+         |r0 AS (SELECT DISTINCT src AS word, CAST(1.0 AS DOUBLE) AS rank FROM edges),
+         |$iterCtes
+         |SELECT word, rank FROM r$TextRankIters
+         |ORDER BY rank DESC, word LIMIT $TextRankTopK""".stripMargin
+    },
 
     // t12: identical BM25 arithmetic — integer tf/df/dl, constants
     // written in the same literal/parenthesis shape the Spark side
