@@ -139,6 +139,44 @@ object EventAnalytics {
         sum(col("__v").cast(DecimalType(28, 4))).cast("double").as("attributed_value"))
   }
 
+  /** Trailing z-score anomaly detection over the daily event-volume
+    * series: per event type, each day's count is scored against the
+    * trailing `lookback` observed days' mean and population deviation;
+    * |z| above `zThresh` flags the day. Days without a full trailing
+    * window score NULL (no verdict on thin history), as does a
+    * zero-variance window (the q50 discipline: the guard lives IN the
+    * sqrt argument, so ANSI never divides by a hoisted zero).
+    *
+    * Scale shape: the corpus aggregates to the (type, day) series
+    * first — ONE shuffle, map-side partials — and the window runs on
+    * that series partitioned by type, never globally. Mean/variance
+    * derive from integer window sums through one fixed double
+    * parenthesization, so scores are engine-identical.
+    */
+  def anomalies(events: DataFrame, typeCol: Column, tsCol: Column,
+                lookback: Int = 7, zThresh: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(typeCol.as("event_type"), to_date(tsCol).as("__day"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy("event_type").orderBy("__day")
+      .rowsBetween(-lookback, -1)
+    val n = count(col("cnt")).over(win)
+    val s = sum(col("cnt")).over(win).cast("double")
+    val s2 = sum(col("cnt") * col("cnt")).over(win).cast("double")
+    val m = s / lookback.toDouble
+    val variance = s2 / lookback.toDouble - (s / lookback.toDouble) * (s / lookback.toDouble)
+    val z = (col("cnt").cast("double") - m) / sqrt(when(variance > 0.0, variance))
+    // the flag is a nullable INT, not BOOLEAN: a NULL boolean
+    // round-trips as None via parquet/pandas but NaN via DuckDB's
+    // result path, so the tri-state verdict would hash-mismatch
+    daily
+      .select(col("event_type"), col("__day"), col("cnt"),
+        when(n === lookback, round(z, 6)).as("z"),
+        when(n === lookback, (abs(z) > zThresh).cast("int")).as("is_anomaly"))
+      .select(col("event_type"), date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("z"), col("is_anomaly"))
+  }
+
   /** Two-proportion z-test over a deterministic 50/50 experiment split:
     * users hash into arms (md5 — rerun-stable, uncorrelated with any
     * business key), convert if they ever emit `convertType`, and the

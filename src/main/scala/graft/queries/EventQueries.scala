@@ -68,7 +68,13 @@ object EventQueries {
       EventAnalytics.attribution(events(s, dir), col("user_id"), col("ts"),
         col("event_type"), col("event_id"), col("value"),
         convertType = "purchase")
-        .orderBy("channel"))
+        .orderBy("channel")),
+
+    // q53 trailing z-score anomaly detection on daily event volumes
+    // (7 observed days' lookback, |z| > 3 flags).
+    "q53_anomaly" -> ((s, dir) =>
+      EventAnalytics.anomalies(events(s, dir), col("event_type"), col("ts"))
+        .orderBy("event_type", "day"))
   )
 
   /** q50 conversion bar: users with at least this many purchases
@@ -157,6 +163,29 @@ object EventQueries {
         |  COUNT(*) AS conversions,
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS attributed_value
         |FROM a WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY channel""".stripMargin
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // q53: identical trailing frame, identical integer-sum-derived
+    // mean/variance parenthesization, identical thin-history and
+    // zero-variance NULL semantics
+    "q53_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cnt,
+        |    COUNT(cnt) OVER win AS n7,
+        |    CAST(SUM(cnt) OVER win AS DOUBLE) AS s,
+        |    CAST(SUM(cnt * cnt) OVER win AS DOUBLE) AS s2
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT event_type, day, cnt, n7,
+        |    (CAST(cnt AS DOUBLE) - s / 7.0) /
+        |      (CASE WHEN s2 / 7.0 - (s / 7.0) * (s / 7.0) > 0.0
+        |            THEN sqrt(s2 / 7.0 - (s / 7.0) * (s / 7.0)) END) AS z
+        |  FROM w)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+        |  CASE WHEN n7 = 7 THEN round(z, 6) END AS z,
+        |  CASE WHEN n7 = 7 THEN CAST(abs(z) > 3.0 AS INT) END AS is_anomaly
+        |FROM c ORDER BY event_type, day""".stripMargin
   )
 }

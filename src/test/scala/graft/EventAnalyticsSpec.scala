@@ -262,6 +262,37 @@ class EventAnalyticsSpec extends SparkSpec {
       "direct" -> ((3L, 9.0)))) // u2's orphan + u3's both
   }
 
+  // --- q53 anomaly detection -------------------------------------------
+
+  test("q53 flags a spike, stays silent on thin history and zero variance") {
+    // type "a": 7 baseline days (one at 20 so variance > 0), then a
+    // 100-event spike; type "b": constant volume (zero variance -> no
+    // verdict, NULL z)
+    def day(d: Int, n: Int, tpe: String) = (0 until n).map { i =>
+      (1L, java.time.LocalDate.of(2024, 1, 1 + d)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L + i, tpe)
+    }
+    val rows = ((0 to 5).flatMap(day(_, 10, "a")) ++ day(6, 20, "a") ++
+      day(7, 100, "a") ++ (0 to 7).flatMap(day(_, 5, "b")))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"),
+        lit(0L).as("event_id"), lit(0.0).as("value"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q53_anomaly")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Int])))).toMap
+    // thin history: the first 7 "a" days carry no verdict
+    (1 to 7).foreach(d =>
+      assert(out(("a", f"2024-01-0$d"))._3.isEmpty, s"day $d should be unscored"))
+    // the spike day is flagged with a large positive z
+    val (cnt, z, flag) = out(("a", "2024-01-08"))
+    assert(cnt == 100L && flag.contains(1) && z.exists(_ > 10.0))
+    // zero variance: full window but no deviation -> NULL z, no verdict
+    assert(out(("b", "2024-01-08")) == ((5L, None, None)))
+  }
+
   test("q51 plans one corpus exchange (window) plus the channel rollup") {
     val plan = EventQueries.defs("q51_attribution")(spark, sfDir)
       .queryExecution.executedPlan.toString
