@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.RegexpCount.registration)
     ext.injectFunction(graft.functions.BloomFilters.aggRegistration)
     ext.injectFunction(graft.functions.BloomFilters.containsRegistration)
+    ext.injectFunction(graft.functions.MisraGriesAgg.registration)
   }
 }

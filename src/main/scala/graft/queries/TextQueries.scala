@@ -40,6 +40,15 @@ object TextQueries {
   val TextRankIters = 10
   val TextRankTopK = 50
 
+  /** t18 Misra-Gries capacity and the deterministic skew harness: the
+    * fixture vocabulary is deliberately uniform (~30 words, no natural
+    * heavy hitter), so tokens starting with 's' carry weight HhBoost —
+    * the d15-style fixture trick that plants KNOWN hitters while every
+    * count stays exactly derivable by the oracle. Capacity 16 <
+    * vocabulary forces real evictions. */
+  val HhK = 16
+  val HhBoost = 20
+
   /** t16 add-k smoothing constant for the bigram LM. */
   val BigramK = 0.5
 
@@ -320,6 +329,36 @@ object TextQueries {
       graft.operators.GraphRank.pageRank(edges, TextRankIters)
         .orderBy(col("rank").desc, col("word"))
         .limit(TextRankTopK)
+    }),
+
+    // t18 heavy hitters via the weighted Misra-Gries sketch
+    // (graft_heavy_hitters, a mergeable TypedImperativeAggregate):
+    // one pass over the weighted token stream with O(k) state per
+    // task — where an exact groupBy would shuffle the vocabulary —
+    // then verdicts against the published guarantees: every item with
+    // true weight > N/(k+1) is retained, with an underestimate no more
+    // than N/(k+1) low. The exact-count pass exists only to power the
+    // verdict (q42's sketch-oracle discipline); all comparisons are
+    // INTEGER arithmetic (cnt*(k+1) > N), so no float boundary can
+    // flip a verdict.
+    "t18_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .withColumn("rep",
+          when(substring(col("w"), 1, 1) === "s", lit(HhBoost)).otherwise(lit(1)))
+      val sketch = toks.agg(
+        graft.functions.MisraGriesAgg.heavyHitters(col("w"), col("rep"), HhK).as("sk"))
+      val exact = toks.groupBy("w").agg(sum(col("rep").cast("long")).as("cnt"))
+      val total = exact.agg(sum("cnt").as("n"))
+      exact.crossJoin(broadcast(total))
+        .filter(col("cnt") * (HhK + 1) > col("n"))
+        .crossJoin(broadcast(sketch))
+        .select(col("w").as("word"), col("cnt"),
+          element_at(col("sk"), col("w")).isNotNull.cast("int").as("in_sketch"),
+          (element_at(col("sk"), col("w")) <= col("cnt") &&
+            (col("cnt") - element_at(col("sk"), col("w"))) * (HhK + 1) <= col("n"))
+            .cast("int").as("bound_ok"))
+        .orderBy(col("cnt").desc, col("word"))
     }),
 
     // t08 TF-IDF keyword extraction: top-3 highest-scoring terms per
@@ -667,6 +706,18 @@ object TextQueries {
          |SELECT word, rank FROM r$TextRankIters
          |ORDER BY rank DESC, word LIMIT $TextRankTopK""".stripMargin
     },
+
+    // t18: exact weighted counts + literal-TRUE verdicts (the sketch's
+    // guarantees are what Spark must reproduce)
+    "t18_heavy_hitters" ->
+      s"""WITH u AS (SELECT unnest(${sqlWords("text")}) AS w FROM documents),
+         |e AS (SELECT w, CAST(COUNT(*) *
+         |    (CASE WHEN substr(w, 1, 1) = 's' THEN $HhBoost ELSE 1 END)
+         |    AS BIGINT) AS cnt FROM u GROUP BY w),
+         |t AS (SELECT SUM(cnt) AS n FROM e)
+         |SELECT w AS word, cnt, 1 AS in_sketch, 1 AS bound_ok
+         |FROM e CROSS JOIN t WHERE cnt * ${HhK + 1} > n
+         |ORDER BY cnt DESC, word""".stripMargin,
 
     // t12: identical BM25 arithmetic — integer tf/df/dl, constants
     // written in the same literal/parenthesis shape the Spark side
