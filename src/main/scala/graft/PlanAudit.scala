@@ -190,7 +190,29 @@ object PlanAudit {
       "vocab-keyed and AQE-sized; ONE doc-keyed corpus shuffle."),
     "x10_sql_profile" -> ("Profiling via the SQL view: per-column stats from " +
       "one pass + HLL sketches; the exact-distinct subtrees exist only in the " +
-      "oracle-gate mode the view registers (q42-style verdict)."))
+      "oracle-gate mode the view registers (q42-style verdict)."),
+    "q51_attribution" -> ("Last-touch attribution: ONE corpus exchange (the " +
+      "user-partitioned window — same key as funnel/sessionizer), then a " +
+      "channel-cardinality rollup with partial aggregates; no self-join of the log."),
+    "q52_scd2" -> ("SCD2 build: the change-detect lag window and the version/" +
+      "interval windows share partition key AND ordering — exactly ONE hash " +
+      "exchange and one sort in the whole plan (spec-pinned)."),
+    "p11_weighted_sample" -> ("Priority sampling: priorities are map-side " +
+      "expressions; top-(k+1) is TakeOrderedAndProject (per-partition top-k, " +
+      "driver merges k+1 rows); tau is a one-row broadcast — no global sort, " +
+      "no rangepartitioning exchange."),
+    "t17_textrank" -> ("TextRank: the corpus collapses to the vocabulary-" +
+      "sized edge list BEFORE the loop (generator-in-scan bigram aggregate); " +
+      "the ten power iterations run over checkpointed single-partition inputs " +
+      "— nothing corpus-sized iterates, no per-round driver materialization."),
+    "q53_anomaly" -> ("Anomaly detection: the corpus aggregates to the " +
+      "(type, day) series in ONE shuffle with map-side partials; the trailing " +
+      "window partitions by event_type on that series — never a global window " +
+      "over the corpus."),
+    "t18_heavy_hitters" -> ("Heavy hitters: the Misra-Gries sketch aggregates " +
+      "with map-side partials (one <=k-entry buffer per task through the " +
+      "shuffle); the exact-count subtree exists only for the verdict oracle; " +
+      "verdict joins are one-row broadcasts."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

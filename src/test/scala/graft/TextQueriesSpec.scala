@@ -8,9 +8,11 @@ class TextQueriesSpec extends SparkSpec {
 
   test("every per-doc text query runs and returns one row per document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    // t07/t08/t11/t12/t13 aggregate or top-k across docs; t09 is a filter
+    // t07/t08/t11/t12/t13 aggregate or top-k across docs; t09 is a
+    // filter; t17 ranks the vocabulary graph; t18 emits heavy hitters
     (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate" -
-        "t11_collocations" - "t12_bm25" - "t13_bpe_pairs").foreach { case (name, fn) =>
+        "t11_collocations" - "t12_bm25" - "t13_bpe_pairs" -
+        "t17_textrank" - "t18_heavy_hitters").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
   }
