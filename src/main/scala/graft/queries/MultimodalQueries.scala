@@ -93,6 +93,32 @@ object MultimodalQueries {
       Multimodal.resizeImages(
         media(s, dir).filter(col("modality") === "image"))
         .toDF().orderBy("doc_id")
+    }),
+
+    // m07: perceptual near-duplicate image detection from DECODED
+    // pixels — images cluster on their quantized color signature
+    // (channels bucketed to 32 levels; for the solid-fill corpus the
+    // dominant color IS the image), the cheap dominant-color
+    // pre-cluster a vision dedup runs before pairwise comparison.
+    // Content-based, not container-based: the same image re-encoded
+    // (different PNG filtering, other lossless formats, resized) lands
+    // in the same bucket. Decode is map-side fan-in (a few output
+    // bytes per image); the only shuffle groups the tiny signatures.
+    // Bucket membership is pure doc_id arithmetic for the oracle — a
+    // decoder reporting wrong channel values clusters differently and
+    // fails the compare.
+    "m07_pixel_dedup" -> ((s, dir) => {
+      implicit val spark = s
+      import org.apache.spark.sql.functions.{count, floor, lit, min}
+      Multimodal.decodeImages(media(s, dir))
+        .toDF()
+        .groupBy(
+          floor(col("red") / 32).cast("int").as("r_bucket"),
+          floor(col("green") / 32).cast("int").as("g_bucket"),
+          floor(col("blue") / 32).cast("int").as("b_bucket"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_dups") >= 2)
+        .orderBy("keeper")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +198,19 @@ object MultimodalQueries {
          |  CAST((doc_id + 17 * frame_idx) % 256 AS INTEGER) AS red,
          |  CAST((doc_id * 3 + 7 * frame_idx) % 256 AS INTEGER) AS green,
          |  CAST((doc_id * 5 + 11 * frame_idx) % 256 AS INTEGER) AS blue
-         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m07: the quantized color signature is doc_id arithmetic for the
+    // generated corpus, so near-dup clusters are exactly the
+    // bucket-collision classes
+    "m07_pixel_dedup" ->
+      """WITH sig AS (SELECT doc_id,
+        |    CAST((doc_id % 256) // 32 AS INTEGER) AS r_bucket,
+        |    CAST((doc_id * 7 % 256) // 32 AS INTEGER) AS g_bucket,
+        |    CAST((doc_id * 13 % 256) // 32 AS INTEGER) AS b_bucket
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT r_bucket, g_bucket, b_bucket,
+        |  COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+        |FROM sig GROUP BY 1, 2, 3
+        |HAVING COUNT(*) >= 2 ORDER BY keeper""".stripMargin)
 }

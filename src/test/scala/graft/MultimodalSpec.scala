@@ -165,4 +165,36 @@ class MultimodalSpec extends SparkSpec {
       assert(f1.n_frames.contains(Multimodal.AudioSynth.nSamples(7L)))
     } finally { d1.close(); d2.close() }
   }
+
+  test("m07 near-dup: same 32-level color bucket clusters, different bucket splits") {
+    implicit val s = spark
+    import spark.implicits._
+    // two fills inside one 32-wide bucket (96..127) + one outside it:
+    // doc 0 -> (3,0,1) after /32 on (100,10,50); doc 1 -> (3,0,1) on
+    // (127,31,63); doc 2 -> (0,0,0) on (10,5,5)
+    def png(r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gg = img.createGraphics()
+      try { gg.setColor(new java.awt.Color(r, g, b)); gg.fillRect(0, 0, 8, 8) }
+      finally gg.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val recs = Seq(
+      MediaRecord(0L, "image", Array.emptyByteArray, png(100, 10, 50)),
+      MediaRecord(1L, "image", Array.emptyByteArray, png(127, 31, 63)),
+      MediaRecord(2L, "image", Array.emptyByteArray, png(10, 5, 5))).toDS()
+    val buckets = Multimodal.decodeImages(recs).toDF()
+      .groupBy(floor(col("red") / 32).cast("int").as("rb"),
+        floor(col("green") / 32).cast("int").as("gb"),
+        floor(col("blue") / 32).cast("int").as("bb"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(buckets == Map(
+      (3, 0, 1) -> ((2L, 0L)),  // docs 0 and 1 cluster
+      (0, 0, 0) -> ((1L, 2L)))) // doc 2 stands alone
+  }
 }
