@@ -33,6 +33,16 @@ final case class Transition(user_id: Long, src: String, dst: String, at: Timesta
 /** Per-user path state: the last event seen (type + time). */
 final case class LastEvent(tpe: String, at: Long)
 
+/** A scored CLOSED day of one event type's volume series (q53's
+  * streaming twin emits these as immutable facts; z/is_anomaly are
+  * None on thin history or zero variance, like the batch form). */
+final case class AnomalyFact(event_type: String, day: String, cnt: Long,
+    z: Option[Double], is_anomaly: Option[Int])
+
+/** Per-type volume state: the open day's running count plus the last
+  * (up to 7) CLOSED observed-day counts, oldest first. */
+final case class VolumeState(openDay: Long, openCnt: Long, ring: Seq[Long])
+
 /** Structured Streaming operators q30/q31 (SURVEY.md §2 #30–#31).
   *
   * [[windowedCounts]] is written against a plain `DataFrame`, so the
@@ -423,6 +433,73 @@ object EventStreams {
               state.setTimeoutTimestamp(
                 Math.floorDiv(l.at + FunnelIdleMs * 1000L + 999L, 1000L))
             }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** q53's streaming twin: incremental trailing z-score anomaly
+    * detection on per-type daily volumes. ONE stateful operator keyed
+    * by event type: state is the open day's running count plus the
+    * last <=7 closed observed-day counts; when an event's day advances
+    * past the open day, the closed day scores against the ring (the
+    * IDENTICAL arithmetic of EventAnalytics.anomalies — integer sums,
+    * one fixed double parenthesization, 6-dp HALF_UP round) and is
+    * emitted as an immutable append-mode fact. A type's final open day
+    * never emits (it is not closed) — the q32/d09 in-order contract,
+    * pinned stream ≡ batch-minus-open-days by the MemoryStream spec.
+    *
+    * State is O(types × 8 longs) — bounded by the type vocabulary, not
+    * event volume — so no timeout-eviction is needed (types recur
+    * forever; evicting one would mis-score its next day against an
+    * empty ring).
+    */
+  def anomalyFacts(events: Dataset[Event], watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[AnomalyFact] = {
+    import spark.implicits._
+    val lookback = 7
+    def score(ring: Seq[Long], cnt: Long): (Option[Double], Option[Int]) =
+      if (ring.size < lookback) (None, None)
+      else {
+        val s = ring.sum.toDouble
+        val s2 = ring.map(c => c * c).sum.toDouble
+        val variance = s2 / lookback.toDouble -
+          (s / lookback.toDouble) * (s / lookback.toDouble)
+        if (variance > 0.0) {
+          val z = (cnt.toDouble - s / lookback.toDouble) / math.sqrt(variance)
+          val zr = BigDecimal(z)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          (Some(zr), Some(if (math.abs(z) > 3.0) 1 else 0))
+        } else (None, None)
+      }
+    def dayStr(epochDay: Long): String =
+      java.time.LocalDate.ofEpochDay(epochDay).toString
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[VolumeState, AnomalyFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[VolumeState]) =>
+          val days = it.map(e => Math.floorDiv(micros(e.ts), 86400000000L))
+            .toSeq.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(VolumeState(days.head, 0L, Nil))
+            val out = Seq.newBuilder[AnomalyFact]
+            days.foreach { d =>
+              // d < openDay = cross-trigger late data beyond the
+              // in-order contract: dropped, the watermark semantic
+              if (d >= st.openDay) {
+                if (d > st.openDay) {
+                  val (z, flag) = score(st.ring, st.openCnt)
+                  out += AnomalyFact(tpe, dayStr(st.openDay), st.openCnt, z, flag)
+                  st = VolumeState(d, 0L,
+                    (st.ring :+ st.openCnt).takeRight(lookback))
+                }
+                st = st.copy(openCnt = st.openCnt + 1)
+              }
+            }
+            state.update(st)
             out.result().iterator
           }
       }

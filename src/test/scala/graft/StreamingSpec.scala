@@ -580,6 +580,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q53 streaming anomaly facts equal the batch scores for every closed day") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def dts(day: Int, i: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(
+        java.time.LocalDate.of(2024, 1, 1 + day)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli + i * 1000L)
+    var eid = 0L
+    def day(d: Int, n: Int, tpe: String): Seq[Event] =
+      (0 until n).map { i => eid += 1; Event(eid, dts(d, i), 1L, tpe, 0.0) }
+    // type "a": 7 baseline days (one at 5 for variance), a spike day,
+    // then one event to CLOSE the spike day; type "b": constant volume
+    // (zero variance -> facts with no verdict)
+    val all = (0 to 5).flatMap(day(_, 3, "a")) ++ day(6, 5, "a") ++
+      day(7, 9, "a") ++ day(8, 1, "a") ++ (0 to 8).flatMap(day(_, 2, "b"))
+    val (batch1, batch2) = all.splitAt(all.size / 2)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.anomalyFacts(stream.toDS())
+      .writeStream.format("memory").queryName("q53_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("q53_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Int]))).toSeq.sorted
+    // batch oracle: EventAnalytics.anomalies over the same log, MINUS
+    // each type's final observed day (still open on the stream)
+    val batchDf = all.toDF()
+    val batchOut = graft.operators.EventAnalytics
+      .anomalies(batchDf, col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Int]))).toSeq
+    val lastDay = batchOut.groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).max }
+    val want = batchOut.filterNot(r => lastDay(r._1) == r._2).sorted
+    assert(got == want, s"stream:\n${got.mkString("\n")}\nbatch:\n${want.mkString("\n")}")
+    // the spike day carries a real verdict, bit-identical to batch
+    assert(got.exists(r => r._1 == "a" && r._5.contains(1)), "spike not flagged")
+    // zero-variance days carry facts with no verdict
+    assert(got.filter(_._1 == "b").forall(r => r._4.isEmpty && r._5.isEmpty))
+  }
+
   test("q47 streaming funnel evicts completed users immediately") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
