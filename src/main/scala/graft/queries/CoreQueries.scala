@@ -365,6 +365,40 @@ object CoreQueries {
             .as("union_ok"))
     }),
 
+    // approximate quantiles at scale: percentile_approx (Spark's
+    // GK-sketch aggregate — mergeable, one pass, O(accuracy) state per
+    // task) with its published rank guarantee VERIFIED against the
+    // data: for each requested quantile q the returned value's rank
+    // must lie within n/accuracy of q*n (checked via two conditional
+    // counts — rank_lt <= ceil((q+eps)n) and rank_le >= floor((q-eps)n)).
+    // Complements q29's exact blocked-histogram percentiles: the
+    // sketch is what a 10^12-row column runs when exact is too
+    // expensive; q42's verdict discipline makes it oracle-checkable.
+    "q54_quantile_sketch" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val acc = 10000
+      val eps = 1.0 / acc
+      val sk = l.agg(
+        percentile_approx(col("l_extendedprice"),
+          array(qs.map(lit): _*), lit(acc)).as("ap"),
+        count(lit(1)).as("n"))
+      val counts = l.crossJoin(broadcast(sk)).agg(
+        max(col("n")).as("n"),
+        (qs.indices.flatMap(i => Seq(
+          sum(when(col("l_extendedprice") < element_at(col("ap"), i + 1), 1L)
+            .otherwise(0L)).as(s"lt$i"),
+          sum(when(col("l_extendedprice") <= element_at(col("ap"), i + 1), 1L)
+            .otherwise(0L)).as(s"le$i")))): _*)
+      counts.select(
+        col("n") +:
+          qs.zipWithIndex.map { case (q, i) =>
+            ((col(s"lt$i") <= ceil((lit(q) + lit(eps)) * col("n"))) &&
+              (col(s"le$i") >= floor((lit(q) - lit(eps)) * col("n"))))
+              .cast("int").as(s"ok_p${(q * 100).toInt}")
+          }: _*)
+    }),
+
     // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
     // multiplicities (min / clamped difference of per-value counts),
     // which Catalyst plans as one aggregation counting per side — no
@@ -584,6 +618,12 @@ object CoreQueries {
       """SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
         |  TRUE AS union_ok
         |FROM events""".stripMargin,
+
+    // q54: the GK rank guarantee is what Spark must prove; the oracle
+    // carries the exact row count plus literal-TRUE verdicts
+    "q54_quantile_sketch" ->
+      """SELECT COUNT(*) AS n, 1 AS ok_p25, 1 AS ok_p50, 1 AS ok_p75,
+        |  1 AS ok_p95 FROM lineitem""".stripMargin,
 
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber,

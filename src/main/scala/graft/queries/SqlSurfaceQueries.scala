@@ -156,7 +156,35 @@ object SqlSurfaceQueries {
     // production operator (Profile.profile) is one scan, one aggregate,
     // sketches instead of exact distincts.
     "x10_sql_profile" -> ((s, dir) => engine(s, dir).sql(
-      """SELECT * FROM graft_profile_orders ORDER BY col_name""".stripMargin)))
+      """SELECT * FROM graft_profile_orders ORDER BY col_name""".stripMargin)),
+
+    // x11: dbt-style data-quality constraint audit in plain SQL —
+    // PK uniqueness, referential integrity (plans as an anti-join,
+    // never per-row subquery re-execution), NOT NULL, and
+    // accepted-values, each one full-scan aggregate branch of a
+    // UNION ALL. One check is DELIBERATELY violated on the fixture
+    // (l_returnflag also carries 'R') so the audit provably DETECTS —
+    // an all-zeros report can't tell working checks from vacuous ones.
+    "x11_sql_constraints" -> ((s, dir) => engine(s, dir).sql(ConstraintAuditSql)))
+
+  /** x11's audit — identical text runs in Spark and DuckDB. */
+  private val ConstraintAuditSql =
+    """SELECT * FROM (
+      |  SELECT 'lineitem_fk_orders' AS check_name, COUNT(*) AS violations
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+      |  UNION ALL
+      |  SELECT 'lineitem_returnflag_in_A_N', COUNT(*)
+      |  FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+      |  UNION ALL
+      |  SELECT 'orders_custkey_not_null', COUNT(*) FROM orders WHERE o_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_status_accepted', COUNT(*)
+      |  FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+      |ORDER BY check_name""".stripMargin
 
   /** x10's profiled columns: (name, numeric?). Timestamps profile as
     * strings (both engines render '1995-01-01 00:00:00'). */
@@ -299,7 +327,12 @@ object SqlSurfaceQueries {
          |  $minNum AS min_num, $maxNum AS max_num,
          |  $minS AS min_s, $maxS AS max_s
          |FROM orders""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
+    // x11: the audit SQL is engine-portable — the oracle runs the
+    // identical text (the 'R' returnflag violation count is real data,
+    // so both engines must count it identically)
+    "x11_sql_constraints" -> ConstraintAuditSql)
 
   /** DuckDB twin of [[mergedCustomerView]]'s merge, as CTEs: the anti-
     * join + union IS the MERGE semantics, so the oracle states it

@@ -155,4 +155,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(labels.head.getAs[Long]("cluster_rep") == 42L)
     assert(labels.head.getAs[Int]("is_kept") == 1)
   }
+
+  test("q54 approx-quantile verdicts hold and the sketch is a real aggregate") {
+    val rows = queries.CoreQueries.defs("q54_quantile_sketch")(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(0) > 0)
+    (1 to 4).foreach(i => assert(r.getInt(i) == 1, s"rank guarantee violated at col $i"))
+    val plan = queries.CoreQueries.defs("q54_quantile_sketch")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile") || plan.contains("percentile_approx"),
+      s"expected the GK sketch aggregate in the plan:\n$plan")
+  }
+
+  test("x11 constraint audit: clean checks report zero, the planted violation detects") {
+    val out = queries.SqlSurfaceQueries.defs("x11_sql_constraints")(spark, sfDir)
+    val rows = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("lineitem_fk_orders") == 0L)
+    assert(rows("lineitem_qty_positive") == 0L)
+    assert(rows("orders_custkey_not_null") == 0L)
+    assert(rows("orders_pk_unique") == 0L)
+    assert(rows("orders_status_accepted") == 0L)
+    // the deliberately-violated accepted-values check must DETECT
+    assert(rows("lineitem_returnflag_in_A_N") > 0L,
+      "the audit failed to detect the planted returnflag violation")
+    // referential integrity plans as an anti-join, never a per-row subquery
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"FK check must plan as an anti-join:\n$plan")
+  }
 }
