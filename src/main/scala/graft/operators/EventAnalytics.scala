@@ -177,6 +177,53 @@ object EventAnalytics {
         col("cnt"), col("z"), col("is_anomaly"))
   }
 
+  /** Time-series resampling: densify a sparse (key, day, value) series
+    * onto the full calendar between the series' global min and max
+    * day, marking observed cells and filling gaps two ways — LOCF
+    * (last observation carried forward) and LINEAR interpolation
+    * between the surrounding observed anchors (falling back to
+    * LOCF/NOCB at a key's boundary, where only one anchor exists).
+    * `series` must carry columns `key`, `day` (DATE), `cnt` (LONG).
+    *
+    * Scale shape: the calendar is generated from a one-row global
+    * envelope crossed with the key vocabulary — both broadcast-tiny —
+    * so the only corpus-sized work is the left join back to the series
+    * (keyed shuffle) and the per-key windows on the densified series
+    * (|keys| x |days| rows, partitioned by key, never global). The
+    * interpolation is one fixed double parenthesization over integer
+    * anchors, rounded once — engine-identical.
+    */
+  def fillDaily(series: DataFrame): DataFrame = {
+    val spark = series.sparkSession
+    val env = series.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val keys = series.select(col("key")).distinct()
+    val calendar = keys.crossJoin(broadcast(env))
+      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("key").orderBy("day")
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    val joined = calendar.join(series, Seq("key", "day"), "left")
+    val obsDay = when(col("cnt").isNotNull, col("day"))
+    val df = joined
+      .withColumn("locf", last(col("cnt"), ignoreNulls = true).over(back))
+      .withColumn("nocb", first(col("cnt"), ignoreNulls = true).over(fwd))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+    val linear = when(col("cnt").isNotNull, col("cnt").cast("double"))
+      .when(col("pd").isNotNull && col("nd").isNotNull,
+        round(col("locf").cast("double") +
+          (col("nocb").cast("double") - col("locf").cast("double")) *
+            datediff(col("day"), col("pd")).cast("double") /
+            datediff(col("nd"), col("pd")).cast("double"), 6))
+      .otherwise(coalesce(col("locf"), col("nocb")).cast("double"))
+    df.select(col("key"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("cnt").isNotNull.cast("int").as("observed"),
+      col("cnt"),
+      coalesce(col("locf"), col("nocb")).as("locf"),
+      linear.as("filled"))
+  }
+
   /** Two-proportion z-test over a deterministic 50/50 experiment split:
     * users hash into arms (md5 — rerun-stable, uncorrelated with any
     * business key), convert if they ever emit `convertType`, and the

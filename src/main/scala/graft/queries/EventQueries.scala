@@ -74,7 +74,22 @@ object EventQueries {
     // (7 observed days' lookback, |z| > 3 flags).
     "q53_anomaly" -> ((s, dir) =>
       EventAnalytics.anomalies(events(s, dir), col("event_type"), col("ts"))
-        .orderBy("event_type", "day"))
+        .orderBy("event_type", "day")),
+
+    // q55 time-series resampling: densify the per-type daily series
+    // onto the full calendar, LOCF + linear interpolation in the gaps.
+    // The fixture log is dense by construction, so ~25% of cells are
+    // deterministically dropped first (md5 prefix c-f — the t18
+    // harness discipline) to give the fill real gaps to close.
+    "q55_gapfill" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("key"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val kept = daily.filter(!substring(
+        md5(concat(col("key"), lit("|"), col("day").cast("string"))), 1, 1)
+        .isin("c", "d", "e", "f"))
+      EventAnalytics.fillDaily(kept).orderBy("key", "day")
+    })
   )
 
   /** q50 conversion bar: users with at least this many purchases
@@ -186,6 +201,43 @@ object EventQueries {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
         |  CASE WHEN n7 = 7 THEN round(z, 6) END AS z,
         |  CASE WHEN n7 = 7 THEN CAST(abs(z) > 3.0 AS INT) END AS is_anomaly
-        |FROM c ORDER BY event_type, day""".stripMargin
+        |FROM c ORDER BY event_type, day""".stripMargin,
+
+    // q55: identical planted sparsity, calendar generation, IGNORE
+    // NULLS anchor windows, and one-parenthesization interpolation
+    // (Spark datediff(a,b) = a-b = DuckDB date_diff('day', b, a))
+    "q55_gapfill" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |kept AS (SELECT * FROM daily
+        |  WHERE substr(md5(key || '|' || CAST(day AS VARCHAR)), 1, 1)
+        |        NOT IN ('c', 'd', 'e', 'f')),
+        |env AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM kept),
+        |keys AS (SELECT DISTINCT key FROM kept),
+        |cal AS (SELECT key, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM keys CROSS JOIN env),
+        |j AS (SELECT c.key, c.day, k.cnt FROM cal c
+        |  LEFT JOIN kept k ON c.key = k.key AND c.day = k.day),
+        |f AS (SELECT key, day, cnt,
+        |    last_value(cnt IGNORE NULLS) OVER wb AS locf,
+        |    first_value(cnt IGNORE NULLS) OVER wf AS nocb,
+        |    last_value(CASE WHEN cnt IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd,
+        |    first_value(CASE WHEN cnt IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY key ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY key ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(cnt IS NOT NULL AS INT) AS observed, cnt,
+        |  coalesce(locf, nocb) AS locf,
+        |  CASE WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+        |       WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+        |         round(CAST(locf AS DOUBLE) +
+        |           (CAST(nocb AS DOUBLE) - CAST(locf AS DOUBLE)) *
+        |           CAST(date_diff('day', pd, day) AS DOUBLE) /
+        |           CAST(date_diff('day', pd, nd) AS DOUBLE), 6)
+        |       ELSE CAST(coalesce(locf, nocb) AS DOUBLE) END AS filled
+        |FROM f ORDER BY key, day""".stripMargin
   )
 }

@@ -293,6 +293,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(("b", "2024-01-08")) == ((5L, None, None)))
   }
 
+  // --- q55 gap-fill ----------------------------------------------------
+
+  test("q55 fillDaily: exact linear interpolation, LOCF, and boundary fallbacks") {
+    val series = Seq(
+      ("a", 0, 10L), ("a", 3, 4L), // gap days 1-2: linear 8.0 / 6.0
+      ("b", 1, 5L))                // boundary gaps: day 0 NOCB, days 2-3 LOCF
+      .toDF("key", "d", "cnt")
+      .select(col("key"),
+        date_add(lit("2024-01-01").cast("date"), col("d")).as("day"), col("cnt"))
+    val out = graft.operators.EventAnalytics.fillDaily(series)
+      .orderBy("key", "day").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 1, Some(10L), 10L, 10.0),
+      ("a", "2024-01-02", 0, None, 10L, 8.0),
+      ("a", "2024-01-03", 0, None, 10L, 6.0),
+      ("a", "2024-01-04", 1, Some(4L), 4L, 4.0),
+      ("b", "2024-01-01", 0, None, 5L, 5.0),  // before first obs: NOCB
+      ("b", "2024-01-02", 1, Some(5L), 5L, 5.0),
+      ("b", "2024-01-03", 0, None, 5L, 5.0),  // after last obs: LOCF
+      ("b", "2024-01-04", 0, None, 5L, 5.0)))
+  }
+
+  test("q55 calendar generation is broadcast-tiny: no corpus-sized cross join") {
+    val df = EventQueries.defs("q55_gapfill")(spark, sfDir)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"calendar must build from broadcast envelope x keys:\n$plan")
+  }
+
   test("q51 plans one corpus exchange (window) plus the channel rollup") {
     val plan = EventQueries.defs("q51_attribution")(spark, sfDir)
       .queryExecution.executedPlan.toString
