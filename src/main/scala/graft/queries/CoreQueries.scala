@@ -399,6 +399,80 @@ object CoreQueries {
           }: _*)
     }),
 
+    // chi-square test of independence between two categorical columns
+    // (order priority x order status) — the contingency-table readout
+    // an experimentation/BI surface serves next to q50's z-test. ONE
+    // corpus aggregate to the r x c cell table (15 rows); marginals,
+    // expectations, and the statistic are window/scalar arithmetic on
+    // that tiny table. Exact integer counts feed one fixed double
+    // parenthesization per term, terms round to 6 dp and sum as exact
+    // DECIMAL → engine-identical statistic; df = (r-1)(c-1) and the
+    // 0.05 critical-value verdict come along for free.
+    "q56_chi2" -> ((s, dir) => {
+      val dec6 = DecimalType(28, 6)
+      val cells = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o"))
+      val wp = Window.partitionBy("p")
+      val ws = Window.partitionBy("st")
+      val wAll = Window.partitionBy()
+      val terms = cells
+        .withColumn("rp", sum("o").over(wp))
+        .withColumn("cs", sum("o").over(ws))
+        .withColumn("n", sum("o").over(wAll))
+        .withColumn("e",
+          col("rp").cast("double") * col("cs").cast("double") / col("n").cast("double"))
+        .withColumn("term",
+          round((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"), 6))
+      terms.agg(
+        max(col("n")).as("n"),
+        countDistinct(col("p")).as("r"),
+        countDistinct(col("st")).as("c"),
+        sum(col("term").cast(dec6)).cast("double").as("chi2"))
+        .select(col("n"), col("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).cast("int").as("df"),
+          // chi2 critical value at alpha=0.05, df=8 (5x3 table)
+          (col("chi2") > 15.507).cast("int").as("significant"))
+    }),
+
+    // per-group Pearson correlation + OLS regression line (quantity vs
+    // extended price per return flag) — the regr_slope/corr analytics
+    // pair, computed from ONE aggregate of exact-decimal power sums
+    // (inputs quantized once to 4 dp; products of DECIMAL(18,4) stay
+    // exact at scale 8 in both engines' decimal rules) so the closed
+    // forms evaluate on engine-identical doubles. One corpus shuffle
+    // on the 3-value grouping key; nothing wider than the group count
+    // afterwards.
+    "q57_corr_ols" -> ((s, dir) => {
+      // (19,4) x (18,4): precision 19+18+1 = 38 exactly — the widest
+      // product BOTH engines keep exact at scale 8 (Spark would round
+      // a 39-precision result to scale 7; DuckDB needs one int128-wide
+      // operand to avoid its int64 multiply overflow)
+      val d19 = DecimalType(19, 4)
+      val d18 = DecimalType(18, 4)
+      val l = t(s, dir, "lineitem")
+      val g = l.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(d18)).as("sx"),
+        sum(col("l_extendedprice").cast(d18)).as("sy"),
+        sum(col("l_quantity").cast(d19) * col("l_extendedprice").cast(d18)).as("sxy"),
+        sum(col("l_quantity").cast(d19) * col("l_quantity").cast(d18)).as("sxx"),
+        sum(col("l_extendedprice").cast(d19) * col("l_extendedprice").cast(d18)).as("syy"))
+      val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val slope = cov / vx
+      g.select(col("l_returnflag"), col("n"),
+        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("pearson_r"),
+        round(slope, 6).as("slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
     // multiplicities (min / clamped difference of per-value counts),
     // which Catalyst plans as one aggregation counting per side — no
@@ -624,6 +698,50 @@ object CoreQueries {
     "q54_quantile_sketch" ->
       """SELECT COUNT(*) AS n, 1 AS ok_p25, 1 AS ok_p50, 1 AS ok_p75,
         |  1 AS ok_p95 FROM lineitem""".stripMargin,
+
+    // q56: identical marginal/expectation arithmetic on the cell table
+    "q56_chi2" ->
+      """WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st,
+        |    COUNT(*) AS o FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o,
+        |    SUM(o) OVER (PARTITION BY p) AS rp,
+        |    SUM(o) OVER (PARTITION BY st) AS cs,
+        |    SUM(o) OVER () AS n FROM cells),
+        |terms AS (SELECT o, n,
+        |    CAST(rp AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |  FROM t),
+        |agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+        |  FROM terms),
+        |dims AS (SELECT COUNT(DISTINCT o_orderpriority) AS r,
+        |    COUNT(DISTINCT o_orderstatus) AS c FROM orders)
+        |SELECT n, chi2, CAST((r - 1) * (c - 1) AS INT) AS df,
+        |  CAST(chi2 > 15.507 AS INT) AS significant
+        |FROM agg CROSS JOIN dims""".stripMargin,
+
+    // q57: identical decimal power sums (DECIMAL(18,4) products stay
+    // exact at scale 8 under both engines' rules) and closed forms
+    "q57_corr_ols" ->
+      """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM g)
+        |SELECT l_returnflag, n,
+        |  round((nd * sxyd - sxd * syd) /
+        |    (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6) AS pearson_r,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+        |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd, 6)
+        |    AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
 
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber,

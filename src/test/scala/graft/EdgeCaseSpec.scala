@@ -183,4 +183,31 @@ class EdgeCaseSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"FK check must plan as an anti-join:\n$plan")
   }
+
+  test("q56 chi-square: correct df, consistent verdict, non-negative statistic") {
+    val r = queries.CoreQueries.defs("q56_chi2")(spark, sfDir).collect()(0)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(r.getLong(0) == orders)
+    val chi2 = r.getDouble(1)
+    assert(chi2 >= 0.0)
+    assert(r.getInt(2) == 8, "5 priorities x 3 statuses -> df 8")
+    assert(r.getInt(3) == (if (chi2 > 15.507) 1 else 0))
+  }
+
+  test("q57 OLS recovers an exactly-linear relation; |r| <= 1 on real data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // y = 2x + 3 exactly -> r = 1, slope = 2, intercept = 3
+    val dir = java.nio.file.Files.createTempDirectory("ols").toString
+    (1 to 20).map(i => ("A", i.toDouble, 2.0 * i + 3.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val row = queries.CoreQueries.defs("q57_corr_ols")(spark, dir).collect()(0)
+    assert(row.getDouble(2) == 1.0 && row.getDouble(3) == 2.0 && row.getDouble(4) == 3.0,
+      s"exact line not recovered: $row")
+    // and on the fixture: a correlation is always in [-1, 1]
+    val real = queries.CoreQueries.defs("q57_corr_ols")(spark, sfDir).collect()
+    assert(real.length == 3)
+    real.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+  }
 }
