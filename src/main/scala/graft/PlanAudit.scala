@@ -212,7 +212,28 @@ object PlanAudit {
     "t18_heavy_hitters" -> ("Heavy hitters: the Misra-Gries sketch aggregates " +
       "with map-side partials (one <=k-entry buffer per task through the " +
       "shuffle); the exact-count subtree exists only for the verdict oracle; " +
-      "verdict joins are one-row broadcasts."))
+      "verdict joins are one-row broadcasts."),
+    "m07_pixel_dedup" -> ("Pixel dedup: real decode stays map-side fan-in " +
+      "(mapPartitions, a few output bytes per image); the only exchange " +
+      "groups the tiny quantized signatures."),
+    "q54_quantile_sketch" -> ("Approx quantiles: the GK sketch is one " +
+      "mergeable aggregate pass; the rank-check pass joins the one-row " +
+      "sketch result BROADCAST into a second conditional aggregate — two " +
+      "corpus scans total, no sort anywhere."),
+    "x11_sql_constraints" -> ("Constraint audit: each check is a full-scan " +
+      "aggregate branch; referential integrity plans as LeftAnti hash join " +
+      "(never a per-row subquery); branches union into a 6-row report."),
+    "q55_gapfill" -> ("Gap-fill: the calendar generates from a one-row " +
+      "envelope crossed with the key vocabulary (both broadcast — no " +
+      "CartesianProduct); per-key anchor windows run on the densified " +
+      "series, partitioned by key, never globally."),
+    "q56_chi2" -> ("Chi-square: ONE corpus aggregate to the r x c cell " +
+      "table; marginals, expectations, and the statistic are windows and " +
+      "scalar arithmetic on 15 rows."),
+    "q57_corr_ols" -> ("Corr/OLS: one corpus shuffle on the 3-value " +
+      "grouping key producing exact-decimal power sums; the closed forms " +
+      "evaluate per group row — nothing wider than the group count after " +
+      "the aggregate."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -177,6 +177,61 @@ object EventAnalytics {
         col("cnt"), col("z"), col("is_anomaly"))
   }
 
+  /** Heartbeat-gap (silence) detection: per key, the spans where the
+    * event stream went quiet for at least `minGapUs` — the data-
+    * freshness monitor an ingestion pipeline alarms on. ONE corpus
+    * shuffle (the key-partitioned lead() window, q49's discipline);
+    * output spans are exact epoch-micros longs so no timestamp
+    * formatting can blur two engines' results.
+    * `EventStreams.silenceFacts` is the incremental streaming twin.
+    */
+  def silences(events: DataFrame, keyCol: Column, tsCol: Column,
+               tieCol: Column, minGapUs: Long): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__us"), col("__tie"))
+    events
+      .select(keyCol.as("__k"), unix_micros(tsCol).as("__us"), tieCol.as("__tie"))
+      .withColumn("__nxt", lead(col("__us"), 1).over(w))
+      .filter(col("__nxt").isNotNull &&
+        col("__nxt") - col("__us") >= minGapUs)
+      .select(col("__k").as("key"), col("__us").as("start_us"),
+        col("__nxt").as("end_us"), (col("__nxt") - col("__us")).as("gap_us"))
+  }
+
+  /** Cohort lifetime value: q48's weekly cohorts extended with exact-
+    * decimal cumulative revenue per cohort user — the LTV matrix a
+    * growth dashboard plots. Revenue aggregates once per (cohort,
+    * offset) in exact decimal; the cumulative window runs on that
+    * cohort-sized table (never the corpus) and stays decimal until the
+    * output cast, so running sums are order-independent.
+    */
+  def cohortLtv(events: DataFrame, userCol: Column, tsCol: Column,
+                typeCol: Column, valueCol: Column,
+                revenueType: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 4)
+    val e = events.select(userCol.as("__u"), tsCol.as("__ts"),
+      typeCol.as("__type"), valueCol.as("__v"))
+    val first = e.groupBy("__u").agg(date_trunc("week", min(col("__ts"))).as("cw"))
+    val sizes = first.groupBy("cw").agg(count(lit(1)).as("cohort_users"))
+    val rev = e.filter(col("__type") === revenueType)
+      .join(first, "__u")
+      .groupBy(col("cw"),
+        (datediff(date_trunc("week", col("__ts")).cast("date"), col("cw").cast("date")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(sum(col("__v").cast(dec)).as("rev_d"))
+    val wCum = Window.partitionBy("cw").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(sizes, "cw")
+      .withColumn("cum_d", sum(col("rev_d")).over(wCum))
+      .select(
+        date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("cohort_users"),
+        col("rev_d").cast("double").as("revenue"),
+        col("cum_d").cast("double").as("cum_revenue"),
+        round(col("cum_d").cast("double") / col("cohort_users").cast("double"), 6)
+          .as("ltv_per_user"))
+  }
+
   /** Time-series resampling: densify a sparse (key, day, value) series
     * onto the full calendar between the series' global min and max
     * day, marking observed cells and filling gaps two ways — LOCF

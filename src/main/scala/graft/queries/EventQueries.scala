@@ -89,8 +89,25 @@ object EventQueries {
         md5(concat(col("key"), lit("|"), col("day").cast("string"))), 1, 1)
         .isin("c", "d", "e", "f"))
       EventAnalytics.fillDaily(kept).orderBy("key", "day")
-    })
+    }),
+
+    // q58 heartbeat-gap detection: spans where a type's stream went
+    // quiet >= 60 min (the data-freshness alarm).
+    "q58_silences" -> ((s, dir) =>
+      EventAnalytics.silences(events(s, dir), col("event_type"), col("ts"),
+        col("event_id"), minGapUs = SilenceGapUs)
+        .orderBy("key", "start_us")),
+
+    // q59 cohort LTV: cumulative purchase revenue per cohort user by
+    // week offset (q48's cohorts + dsum-exact running revenue).
+    "q59_cohort_ltv" -> ((s, dir) =>
+      EventAnalytics.cohortLtv(events(s, dir), col("user_id"), col("ts"),
+        col("event_type"), col("value"), revenueType = "purchase")
+        .orderBy("cohort_week", "week_offset"))
   )
+
+  /** q58 silence threshold: 60 minutes in epoch micros. */
+  val SilenceGapUs: Long = 60L * 60 * 1000000
 
   /** q50 conversion bar: users with at least this many purchases
     * convert (the fixture's per-user purchase count is ~Binomial(67,
@@ -238,6 +255,42 @@ object EventQueries {
         |           CAST(date_diff('day', pd, day) AS DOUBLE) /
         |           CAST(date_diff('day', pd, nd) AS DOUBLE), 6)
         |       ELSE CAST(coalesce(locf, nocb) AS DOUBLE) END AS filled
-        |FROM f ORDER BY key, day""".stripMargin
+        |FROM f ORDER BY key, day""".stripMargin,
+
+    // q58: identical window, identical epoch-micros span arithmetic
+    "q58_silences" ->
+      s"""WITH g AS (SELECT event_type AS key, epoch_us(ts) AS us,
+         |    lead(epoch_us(ts)) OVER
+         |      (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS nxt
+         |  FROM events)
+         |SELECT key, us AS start_us, nxt AS end_us, nxt - us AS gap_us
+         |FROM g WHERE nxt IS NOT NULL AND nxt - us >= $SilenceGapUs
+         |ORDER BY key, start_us""".stripMargin,
+
+    // q59: q48's cohort arithmetic + dsum-exact revenue, cumulative in
+    // DECIMAL until the output cast
+    "q59_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |           FROM events GROUP BY user_id),
+        |sizes AS (SELECT cw, COUNT(*) AS cohort_users FROM f GROUP BY cw),
+        |rev AS (SELECT f.cw,
+        |    CAST(date_diff('day', CAST(f.cw AS DATE),
+        |                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+        |      AS week_offset,
+        |    SUM(CAST(e.value AS DECIMAL(28,4))) AS rev_d
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |c AS (SELECT cw, week_offset, rev_d,
+        |    SUM(rev_d) OVER (PARTITION BY cw ORDER BY week_offset
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+        |  FROM rev)
+        |SELECT strftime(CAST(c.cw AS DATE), '%Y-%m-%d') AS cohort_week,
+        |  week_offset, cohort_users,
+        |  CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(cum_d AS DOUBLE) AS cum_revenue,
+        |  round(CAST(cum_d AS DOUBLE) / CAST(cohort_users AS DOUBLE), 6) AS ltv_per_user
+        |FROM c JOIN sizes USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

@@ -43,6 +43,9 @@ final case class AnomalyFact(event_type: String, day: String, cnt: Long,
   * (up to 7) CLOSED observed-day counts, oldest first. */
 final case class VolumeState(openDay: Long, openCnt: Long, ring: Seq[Long])
 
+/** A closed silence span of one key's stream (q58's streaming twin). */
+final case class Silence(key: String, start_us: Long, end_us: Long, gap_us: Long)
+
 /** Structured Streaming operators q30/q31 (SURVEY.md §2 #30–#31).
   *
   * [[windowedCounts]] is written against a plain `DataFrame`, so the
@@ -500,6 +503,45 @@ object EventStreams {
               }
             }
             state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** q58's streaming twin: incremental heartbeat-gap detection. State
+    * per key is ONE long (the last event time); a gap of at least
+    * `minGapUs` between consecutive events emits the closed silence as
+    * an append-mode fact — the same spans the batch lead() window
+    * finds, minus any still-open trailing silence (an open gap has no
+    * end until the next event arrives; a production alarm would pair
+    * this with an event-time timeout for live paging, which is
+    * deliberately NOT emitted here because timeout firings depend on
+    * trigger timing and would break stream ≡ batch determinism).
+    */
+  def silenceFacts(events: Dataset[Event], minGapUs: Long,
+      watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[Silence] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[LastEvent, Silence](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          val times = it.map(e => micros(e.ts)).toSeq.sorted
+          if (times.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption.map(_.at)
+            val out = Seq.newBuilder[Silence]
+            times.foreach { t =>
+              last.foreach { l =>
+                if (t - l >= minGapUs) out += Silence(key, l, t, t - l)
+              }
+              // cross-trigger stragglers older than the frontier keep
+              // the frontier (max) — the in-order contract's late-drop
+              last = Some(last.fold(t)(math.max(_, t)))
+            }
+            state.update(LastEvent("", last.get))
             out.result().iterator
           }
       }

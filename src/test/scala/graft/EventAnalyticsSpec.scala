@@ -325,6 +325,65 @@ class EventAnalyticsSpec extends SparkSpec {
       s"calendar must build from broadcast envelope x keys:\n$plan")
   }
 
+  // --- q58 silences / q59 cohort LTV -----------------------------------
+
+  test("q58 finds exactly the >=60min gaps, exact micros spans") {
+    val H = 3600000000L
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (2L, H - 1, 2L, "a"),      // 59:59.999999 — no
+      (3L, 2 * H, 3L, "a"),                          // gap of H+1 — yes
+      (4L, 10 * H, 4L, "a"),                         // gap of 8H — yes
+      (5L, 0L, 5L, "b"), (6L, H, 6L, "b"))           // exactly H — yes
+      .toDF("user_id", "t", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_type"), col("event_id"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("silence").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q58_silences")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", H - 1, 2 * H, H + 1),
+      ("a", 2 * H, 10 * H, 8 * H),
+      ("b", 0L, H, H)))
+  }
+
+  test("q59 LTV matrix: exact cumulative revenue per cohort user") {
+    def ts(day: Int): Long =
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    // u1 & u2 cohort wk0 (Mon 2024-01-01); u1 buys 10.5 wk0 and 4.5
+    // wk2, u2 buys 2.0 wk0; u3 cohort wk1, no purchases (size-only)
+    val rows = Seq(
+      (1L, ts(0), "view", 0.0), (1L, ts(1), "purchase", 10.5),
+      (1L, ts(15), "purchase", 4.5),
+      (2L, ts(2), "purchase", 2.0),
+      (3L, ts(8), "view", 0.0))
+      .toDF("user_id", "t", "event_type", "value")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_type"), lit(0L).as("event_id"), col("value"),
+        lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("ltv").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q59_cohort_ltv")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 12.5, 12.5, 6.25),
+      ("2024-01-01", 2, 2L, 4.5, 17.0, 8.5)))
+  }
+
+  test("q58/q59 plan shape: one corpus exchange each, windows never global") {
+    Seq("q58_silences", "q59_cohort_ltv").foreach { q =>
+      val plan = EventQueries.defs(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition") ||
+        q == "q59_cohort_ltv", // q59's final sort is the orderBy output
+        s"$q has a global exchange:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+    }
+  }
+
   test("q51 plans one corpus exchange (window) plus the channel rollup") {
     val plan = EventQueries.defs("q51_attribution")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -626,6 +626,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._1 == "b").forall(r => r._4.isEmpty && r._5.isEmpty))
   }
 
+  test("q58 streaming silences equal the batch gap spans across triggers") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val H = 3600000000L
+    def ev(id: Long, us: Long, tpe: String) =
+      Event(id, new java.sql.Timestamp(us / 1000L), 1L, tpe, 0.0)
+    // whole milliseconds only: java.sql.Timestamp(ms) cannot carry
+    // sub-ms precision
+    val batch1 = Seq(ev(1, 0, "a"), ev(2, H - 1000, "a"), ev(5, 0, "b"))
+    val batch2 = Seq(ev(3, 2 * H, "a"), ev(4, 10 * H, "a"), ev(6, H, "b"))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.silenceFacts(stream.toDS(), minGapUs = H)
+      .writeStream.format("memory").queryName("q58_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("q58_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    // the b gap (0 -> H) and both a gaps close ACROSS the trigger
+    // boundary — same spans the batch window finds
+    assert(got == Seq(
+      ("a", H - 1000, 2 * H, H + 1000), ("a", 2 * H, 10 * H, 8 * H),
+      ("b", 0L, H, H)))
+  }
+
   test("q47 streaming funnel evicts completed users immediately") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
