@@ -233,7 +233,14 @@ object PlanAudit {
     "q57_corr_ols" -> ("Corr/OLS: one corpus shuffle on the 3-value " +
       "grouping key producing exact-decimal power sums; the closed forms " +
       "evaluate per group row — nothing wider than the group count after " +
-      "the aggregate."))
+      "the aggregate."),
+    "q58_silences" -> ("Silence detection: ONE corpus exchange (the " +
+      "key-partitioned lead window); gap spans are row-local arithmetic — " +
+      "no self-join, no global window."),
+    "q59_cohort_ltv" -> ("Cohort LTV: the cohort join and revenue " +
+      "aggregate shuffle on the user key; the cumulative-revenue window " +
+      "runs on the (cohort, offset) rollup — cohort-sized, never the " +
+      "corpus — and stays DECIMAL until the output cast."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
