@@ -179,20 +179,41 @@ object EventAnalytics {
 
   /** Heartbeat-gap (silence) detection: per key, the spans where the
     * event stream went quiet for at least `minGapUs` — the data-
-    * freshness monitor an ingestion pipeline alarms on. ONE corpus
-    * shuffle (the key-partitioned lead() window, q49's discipline);
-    * output spans are exact epoch-micros longs so no timestamp
-    * formatting can blur two engines' results.
-    * `EventStreams.silenceFacts` is the incremental streaming twin.
+    * freshness monitor an ingestion pipeline alarms on. Output spans
+    * are exact epoch-micros longs so no timestamp formatting can blur
+    * two engines' results. `EventStreams.silenceFacts` is the
+    * incremental streaming twin.
+    *
+    * Scale shape — the BLOCKED discipline (q29/p09): a flat
+    * lead() over `partitionBy(key)` would sort each key's ENTIRE
+    * stream in one task, and a monitoring key space is small (a
+    * handful of event types over billions of rows = one straggler
+    * task per type). Instead consecutive pairs split exactly into
+    * (a) intra-day pairs — the window partitions by (key, DAY), so a
+    * task sorts at most one key-day — and (b) day-boundary pairs,
+    * stitched from per-block min/max on the (key, day) rollup (a
+    * days-sized table). Their union is provably the flat form's pair
+    * set, so the semantics (and the oracle, which runs the flat
+    * window) are unchanged.
     */
   def silences(events: DataFrame, keyCol: Column, tsCol: Column,
                tieCol: Column, minGapUs: Long): DataFrame = {
-    val w = Window.partitionBy("__k").orderBy(col("__us"), col("__tie"))
-    events
+    val DayUs = 86400000000L
+    val e = events
       .select(keyCol.as("__k"), unix_micros(tsCol).as("__us"), tieCol.as("__tie"))
-      .withColumn("__nxt", lead(col("__us"), 1).over(w))
-      .filter(col("__nxt").isNotNull &&
-        col("__nxt") - col("__us") >= minGapUs)
+      .withColumn("__day", floor(col("__us") / DayUs))
+    val wBlk = Window.partitionBy("__k", "__day").orderBy(col("__us"), col("__tie"))
+    val intra = e
+      .withColumn("__nxt", lead(col("__us"), 1).over(wBlk))
+      .filter(col("__nxt").isNotNull && col("__nxt") - col("__us") >= minGapUs)
+      .select(col("__k"), col("__us"), col("__nxt"))
+    val wKey = Window.partitionBy("__k").orderBy("__day")
+    val boundary = e.groupBy(col("__k"), col("__day"))
+      .agg(min(col("__us")).as("__bmin"), max(col("__us")).as("__bmax"))
+      .withColumn("__nmin", lead(col("__bmin"), 1).over(wKey))
+      .filter(col("__nmin").isNotNull && col("__nmin") - col("__bmax") >= minGapUs)
+      .select(col("__k"), col("__bmax").as("__us"), col("__nmin").as("__nxt"))
+    intra.unionByName(boundary)
       .select(col("__k").as("key"), col("__us").as("start_us"),
         col("__nxt").as("end_us"), (col("__nxt") - col("__us")).as("gap_us"))
   }

@@ -373,6 +373,37 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 2, 2L, 4.5, 17.0, 8.5)))
   }
 
+  test("q58 is blocked: the corpus window partitions by (key, day), never key alone") {
+    val plan = EventQueries.defs("q58_silences")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__k") && plan.contains("__day"),
+      s"corpus sort must be bounded by key-day blocks:\n$plan")
+  }
+
+  test("q58 blocked form equals the flat window across day boundaries and empty days") {
+    // gaps that are intra-day, cross ONE midnight, and cross an entire
+    // empty day — plus a sub-threshold midnight crossing that must NOT
+    // appear (45 min split 30+15 across the boundary)
+    val D = 86400000000L; val H = 3600000000L; val M = 60000000L
+    val rows = Seq(
+      (1L, 10 * H, 1L, "a"), (2L, 13 * H, 2L, "a"),          // intra-day 3h
+      (3L, D - 30 * M, 3L, "a"), (4L, D + 15 * M, 4L, "a"),  // 45min across midnight: no
+      (5L, D + 20 * H, 5L, "a"), (6L, 3 * D + 2 * H, 6L, "a")) // spans empty day 2: yes
+      .toDF("user_id", "t", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_type"), col("event_id"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("silenceblk").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q58_silences")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (10 * H, 13 * H, 3 * H),
+      (13 * H, D - 30 * M, 11 * H - 30 * M),  // 13:00 -> 23:30 same day
+      (D + 15 * M, D + 20 * H, 20 * H - 15 * M),
+      (D + 20 * H, 3 * D + 2 * H, 2 * D - 18 * H)))
+  }
+
   test("q58/q59 plan shape: one corpus exchange each, windows never global") {
     Seq("q58_silences", "q59_cohort_ltv").foreach { q =>
       val plan = EventQueries.defs(q)(spark, sfDir)
