@@ -554,7 +554,17 @@ object TableLayout {
     * batches real ingest produces. Same atomic one-rename commit;
     * readers still see old-or-new in full. */
   def upsertManifestedBucketed(spark: SparkSession, tablePath: String,
-      updates: DataFrame): Unit = {
+      updates: DataFrame): Unit =
+    upsertManifestedBucketed(spark, tablePath, updates, dirTag = "")
+
+  /** `dirTag` variant: the tag rides in the snapshot dir NAME, so it
+    * commits atomically with the data (the transaction-marker channel
+    * [[appliedTxn]] reads — no second file, no second commit). Tags
+    * must stay clear of the parts-line separators (tab/comma/equals). */
+  def upsertManifestedBucketed(spark: SparkSession, tablePath: String,
+      updates: DataFrame, dirTag: String): Unit = {
+    require(!dirTag.exists(c => c == '\t' || c == ',' || c == '='),
+      s"dirTag '$dirTag' would corrupt the parts snapshot line")
     val last = snapshots(spark, tablePath).last
     val spec = parseParts(last).getOrElse(throw new IllegalArgumentException(
       s"$tablePath's current snapshot is not partition-scoped — write it " +
@@ -567,7 +577,7 @@ object TableLayout {
     require(curCols.sorted.sameElements(updates.columns.sorted),
       s"upsert schema mismatch: table has ${curCols.sorted.mkString(",")} " +
         s"but updates has ${updates.columns.sorted.mkString(",")}")
-    val dir = s"data-${System.nanoTime()}"
+    val dir = s"data-${System.nanoTime()}$dirTag"
     val dirPath = s"$tablePath/$dir"
     // pass 1 — stage the batch itself into the (uncommitted) merge dir:
     // ONE evaluation of `updates`, and the affected-bucket set falls
@@ -597,6 +607,27 @@ object TableLayout {
       affected.map(_ -> dir)
     writeManifestLines(spark, tablePath,
       snapshots(spark, tablePath) :+ spec.copy(buckets = newMap).line)
+  }
+
+  /** The highest transaction id committed for `appId` — the idempotent-
+    * writer channel (the Delta `txn` action's shape): a committing
+    * writer tags its snapshot DIR `...-txn-<appId>-<id>`, so marker and
+    * data share one atomic commit, and a replayed batch is recognized
+    * by reading the log alone. Retention caveat (same as Delta's): a
+    * vacuum that truncates history past the last tagged snapshot
+    * forgets the marker — size retention above the replayer's horizon. */
+  def appliedTxn(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] = {
+    val marker = s"-txn-$appId-"
+    snapshots(spark, tablePath).flatMap(dirsOfLine)
+      .flatMap { d =>
+        val i = d.indexOf(marker)
+        if (i < 0) None
+        else d.substring(i + marker.length).takeWhile(_.isDigit) match {
+          case "" => None
+          case n => Some(n.toLong)
+        }
+      }.maxOption
   }
 
   /** MERGE (upsert) into a manifest table: rows of `updates` REPLACE
