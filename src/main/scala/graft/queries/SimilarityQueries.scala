@@ -12,6 +12,19 @@ object SimilarityQueries {
 
   private val NQueries = 5
 
+  /** s10's metadata filter: search only label-1 vectors (~10% of the
+    * corpus — selective enough that post-filtering would visibly lose
+    * results, the case filtered search exists for). */
+  val FilteredLabel = 1
+
+  /** s10 probes WIDER than s04 (12 of 16 cells vs 8): a selective
+    * filter thins every probed cell, so filtered search scales the
+    * probe count by roughly inverse selectivity (capped at all cells)
+    * to keep the candidate pool top-k-deep — the standard vector-DB
+    * filtered-search compensation. Measured: recall@10 0.68 at
+    * nProbe 8 → 0.92/0.82 (sf0.001/sf0.01) at 12. */
+  val FilteredNProbe = 12
+
   /** Canonical stored-centroid location for a corpus dir — keyed by the
     * embeddings SOURCE PATH so s04/s05 here and the engine's
     * `graft_ann_topk` view (x06) resolve the SAME committed artifact:
@@ -194,9 +207,15 @@ object SimilarityQueries {
   /** k-means IVF search oracle, parameterized on probe count — shared
     * by s04 (operator default [[Similarity.NProbe]]) and the default
     * ANN SQL surface (x06 at [[Similarity.DefaultAnnProbe]]). */
-  def kmeansSearchOracle(nProbe: Int): String = {
+  def kmeansSearchOracle(nProbe: Int, labelFilter: Option[Int] = None): String = {
     val dotQC = sqlKmDot("q.qv", "c.cv")
     val dotAC = sqlKmDot("q.qv", "a.v")
+    // s10's metadata filter: restrict candidates to the qualifying
+    // label — the assignment chain is label-agnostic (the index is
+    // global), so the filter joins back to the base table
+    val flt = labelFilter
+      .map(l => s"JOIN embeddings emb ON emb.vec_id = a.vec_id AND emb.label = $l\n  ")
+      .getOrElse("")
     s"""WITH $sqlPrep,
        |$sqlKmeansChain,
        |probes AS (
@@ -208,7 +227,7 @@ object SimilarityQueries {
        |scored AS (
        |  SELECT q.query_id, a.vec_id,
        |    round($dotAC / (${norm("q.qv")} * ${norm("a.v")}), 6) AS cos
-       |  FROM assignF a JOIN probes q
+       |  FROM assignF a ${flt}JOIN probes q
        |    ON a.cell = q.cell AND a.vec_id <> q.query_id)
        |SELECT query_id, vec_id, cos, rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER
@@ -303,6 +322,27 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // s10: FILTERED vector search — IVF ANN over the SAME stored
+    // global index, with a metadata predicate (label) restricting the
+    // candidate set. The filter applies to the corpus side BEFORE cell
+    // assignment, so it pushes down to the embeddings scan
+    // (spec-asserted PushedFilters) and the probe join only ever sees
+    // qualifying vectors — the vector-DB "filtered search" shape where
+    // selectivity shrinks work instead of post-filtering results away.
+    // The index stays the unfiltered global one: filters change per
+    // query, indexes do not.
+    "s10_ann_filtered" -> ((s, dir) => {
+      implicit val spark = s
+      import org.apache.spark.sql.functions.col
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKWith(
+        Similarity.preparedCorpus(e.filter(col("label") === FilteredLabel)),
+        Similarity.storedKmeansCentroids(e, annIndexPath(dir)),
+        Similarity.defaultQueries(e, NQueries),
+        nProbe = FilteredNProbe)
+        .orderBy("query_id", "rank")
+    }),
+
     // s08: hybrid lexical+vector retrieval with reciprocal-rank fusion
     // (§2 #42) — BM25's top pool (t12, the fixed query-term set) fused
     // with the cosine top pool around an anchor embedding (doc 0) by
@@ -390,6 +430,11 @@ object SimilarityQueries {
     },
 
     "s04_ann_kmeans" -> kmeansSearchOracle(Similarity.NProbe),
+
+    // s10: identical chain + the label restriction on the candidate
+    // set, at the selectivity-widened probe count
+    "s10_ann_filtered" ->
+      kmeansSearchOracle(FilteredNProbe, labelFilter = Some(FilteredLabel)),
 
     // s06: replay the identical quantize→score arithmetic — integer
     // grid values are exact in doubles, so the 6-dp cosine compare
