@@ -240,7 +240,12 @@ object PlanAudit {
     "q59_cohort_ltv" -> ("Cohort LTV: the cohort join and revenue " +
       "aggregate shuffle on the user key; the cumulative-revenue window " +
       "runs on the (cohort, offset) rollup — cohort-sized, never the " +
-      "corpus — and stays DECIMAL until the output cast."))
+      "corpus — and stays DECIMAL until the output cast."),
+    "s10_ann_filtered" -> ("Filtered vector search: the label predicate " +
+      "reaches the embeddings scan (PushedFilters) BEFORE cell " +
+      "assignment; the stored centroid table reads as a 16-row parquet " +
+      "scan (no training subtree); probes widen to 12 cells to " +
+      "compensate filter selectivity."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
