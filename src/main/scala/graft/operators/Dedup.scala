@@ -532,6 +532,36 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** d16 floor: a direction counts as containment at or above this. */
+  val ContainmentThreshold = 0.5
+
+  /** d16: asymmetric shingle CONTAINMENT (Broder 1997): |A∩B| / |A|
+    * per direction — the measure that catches quote-inclusion and
+    * boilerplate-wrapping pairs symmetric Jaccard MISSES (a small doc
+    * fully contained in a much larger one has Jaccard ≈ |A|/|B| → 0
+    * but containment 1.0). Same LSH-candidates-only discipline as
+    * d04 — never all-pairs — with both directions emitted per pair
+    * and the pair kept when EITHER clears the floor. Ratios are one
+    * integer division rounded once, so both engines agree exactly.
+    *
+    * Scope: candidates come from the jaccard-tuned LSH bands, so this
+    * surfaces the asymmetric DIRECTION of pairs within LSH reach; a
+    * tiny doc verbatim-contained in a huge one (jaccard → 0) is out of
+    * band reach by construction and is d10's sliding-window span
+    * machinery's job (or a containment-tuned band scheme over
+    * |A|-normalized sketches at production scale). */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
+    minhashCandidates(docs)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / size(col("sa")), 6).as("cont_a_in_b"),
+        round(col("inter").cast("double") / size(col("sb")), 6).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentThreshold)
+  }
+
   // ---- d05: embedding-cosine ----------------------------------------------
 
   /** Default sign-LSH width for the TEST corpus (500–2k vectors): 2^4

@@ -118,6 +118,11 @@ object DedupQueries {
     "d04_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
+    // d16: asymmetric containment on the same LSH candidates — the
+    // quote-inclusion/boilerplate-wrap detector Jaccard misses
+    "d16_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
     // #22 embedding-cosine near-dup via sign-LSH buckets
     "d05_dedup_embcos" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")),
@@ -265,6 +270,20 @@ object DedupQueries {
          |WHERE CAST(len(list_filter(l.shingles, x -> list_contains(r.shingles, x))) AS DOUBLE)
          |    / (len(l.shingles) + len(r.shingles)
          |       - len(list_filter(l.shingles, x -> list_contains(r.shingles, x)))) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d16: identical candidate chain + per-direction rounded ratios
+    "d16_containment" ->
+      s"""$sqlCandidateCtes
+         |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_filter(l.shingles, x -> list_contains(r.shingles, x))) AS DOUBLE)
+         |      / len(l.shingles), 6) AS cont_a_in_b,
+         |    round(CAST(len(list_filter(l.shingles, x -> list_contains(r.shingles, x))) AS DOUBLE)
+         |      / len(r.shingles), 6) AS cont_b_in_a
+         |  FROM cand JOIN sh l ON cand.doc_a = l.doc_id
+         |            JOIN sh r ON cand.doc_b = r.doc_id)
+         |WHERE greatest(cont_a_in_b, cont_b_in_a) >= ${Dedup.ContainmentThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d08_block_overlap" ->

@@ -40,6 +40,31 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("d16 containment flags an asymmetric near-dup that symmetric jaccard hides") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // B = A plus extra words: containment(A in B) = 1.0 exactly, while
+    // B-in-A stays below 1 — the direction symmetric jaccard cannot
+    // express. (Candidates still come from the jaccard-tuned LSH, so
+    // the demo keeps overlap inside LSH reach — the documented scope:
+    // LOW-jaccard full containment is d10's span machinery's job.)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val extra = (100 to 104).map(i => s"x$i").mkString(" ")
+    val docsDf = Seq((1L, base), (2L, s"$base $extra"), (3L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).as("n_chars"))
+    val pairs = Dedup.containmentPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(pairs.contains((1L, 2L)), s"contained pair not found: $pairs")
+    val (aInB, bInA) = pairs((1L, 2L))
+    assert(aInB == 1.0, s"full containment must score 1.0, got $aInB")
+    assert(bInA < 1.0 && bInA < aInB,
+      "asymmetry lost: the large doc is NOT contained in the small one")
+    // the unrelated doc never pairs
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("d05 cosine pairs are within [-1, 1] and above threshold") {
     val bad = Dedup.embeddingCosinePairs(embs)
       .filter(col("cos") < Dedup.CosineThreshold || col("cos") > 1.0).count()
