@@ -59,7 +59,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.startsWith("""{"metric":"total","value":140.500"""))
-    assert(line.endsWith(""""legend":"BENCH_LOCAL.json"}"""))
+    assert(line.endsWith(""""sf":"/root/testdata/sf0.1"}"""))
+    // diagnostics stay out of the contract map: no fast-double twins
+    // (their short keys end digit-then-f, e.g. "h01f")
+    assert(!""""[a-z]+\d+f":""".r.findFirstIn(line).isDefined,
+      "fast-mode diagnostic keys leaked into the contract line")
     // every value rendered with exactly 3 decimals — no 17-digit doubles
     assert(!line.matches(""".*\d\.\d{4,}.*"""), "unrounded double leaked in")
   }
