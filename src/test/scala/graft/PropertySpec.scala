@@ -355,4 +355,77 @@ class PropertySpec extends SparkSpec {
     }
     check("ab-test", 8, prop)
   }
+
+  // ---- SCD2 vs an in-memory run-length fold ------------------------------
+
+  test("property: scd2 equals the in-memory run-length interval fold") {
+    import spark.implicits._
+    val gen = for {
+      nKeys <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, nKeys.toLong)
+        day <- Gen.choose(0, 20)
+        a <- Gen.oneOf("O", "F", "P")
+      } yield (k, day, a))
+    } yield rows.zipWithIndex.map { case ((k, d, a), i) => (k, d, a, i.toLong) }
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("k", "d", "a", "tie")
+        .select(col("k"), col("a"),
+          date_add(lit("2024-01-01").cast("date"), col("d")).as("day"), col("tie"))
+      val got = graft.operators.Scd.scd2(df, col("k"), col("a"), col("day"), col("tie"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+          Option(r.getString(4))))
+        .sortBy(t => (t._1, t._2))
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(t => (t._2, t._4))
+        // collapse runs of equal attr, then build intervals
+        val changes = ordered.foldLeft(Vector.empty[(Int, String)]) { (acc, r) =>
+          if (acc.lastOption.exists(_._2 == r._3)) acc else acc :+ ((r._2, r._3))
+        }
+        changes.zipWithIndex.map { case ((d, a), i) =>
+          def fmt(dd: Int) = java.time.LocalDate.of(2024, 1, 1).plusDays(dd).toString
+          (k, i + 1, a, fmt(d), changes.lift(i + 1).map(c => fmt(c._1)))
+        }
+      }.sortBy(t => (t._1, t._2))
+      got.toSeq == want
+    }
+    check("scd2", 10, prop)
+  }
+
+  // ---- containment vs brute-force shingle arithmetic ---------------------
+
+  test("property: containment ratios equal brute-force shingle math on every pair") {
+    import spark.implicits._
+    val word = Gen.choose(1, 12).map(i => s"w$i")
+    val gen = for {
+      n <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(n, Gen.choose(5, 25).flatMap(len =>
+        Gen.listOfN(len, word).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def shingles(text: String): Set[String] = {
+      val ws = text.toLowerCase.split(" ").toSeq
+      if (ws.size < 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val prop = Prop.forAll(gen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("s").as("source"), length(col("text")).as("n_chars"))
+      val got = Dedup.containmentPairs(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      // every emitted pair's ratios must equal the brute-force shingle
+      // arithmetic (the candidate SET is LSH's to choose; the VALUES
+      // are not), and clear the floor in at least one direction
+      got.forall { case ((a, b), (cab, cba)) =>
+        val (sa, sb) = (shingles(docs(a.toInt)._2), shingles(docs(b.toInt)._2))
+        val inter = sa.intersect(sb).size.toDouble
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        cab == r6(inter / sa.size) && cba == r6(inter / sb.size) &&
+          math.max(cab, cba) >= Dedup.ContainmentThreshold
+      }
+    }
+    check("containment", 10, prop)
+  }
 }
