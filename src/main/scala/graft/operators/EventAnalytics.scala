@@ -253,6 +253,34 @@ object EventAnalytics {
           .as("ltv_per_user"))
   }
 
+  /** Daily percentile bands (the latency-dashboard p50/p95): per
+    * (key, day), the exact discrete percentiles of `valueCol` selected
+    * BY RANK — rank ceil(q·n) computed in integer arithmetic
+    * ((q·100·n + 99) div 100), ties ordered by `tieCol` — so the
+    * selected values are engine-identical with no interpolation-mode
+    * ambiguity (DuckDB's quantile_cont and Spark's percentile
+    * interpolate differently; rank selection sidesteps both).
+    *
+    * Scale shape: one corpus shuffle; the rank window partitions by
+    * (key, DAY) — bounded by a day's traffic per key, the q58 blocked
+    * discipline — and the rollup reuses that partitioning.
+    */
+  def percentileBands(events: DataFrame, keyCol: Column, tsCol: Column,
+                      valueCol: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy("__k", "__day").orderBy(col("__v"), col("__tie"))
+    events
+      .select(keyCol.as("__k"), to_date(tsCol).as("__day"),
+        valueCol.as("__v"), tieCol.as("__tie"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("__k", "__day")))
+      .groupBy(col("__k").as("key"), col("__day"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(50 * n + 99) div 100"), col("__v"))).as("p50"),
+        max(when(col("rn") === expr("(95 * n + 99) div 100"), col("__v"))).as("p95"))
+      .select(col("key"), date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("p50"), col("p95"))
+  }
+
   /** Time-series resampling: densify a sparse (key, day, value) series
     * onto the full calendar between the series' global min and max
     * day, marking observed cells and filling gaps two ways — LOCF

@@ -103,7 +103,14 @@ object EventQueries {
     "q59_cohort_ltv" -> ((s, dir) =>
       EventAnalytics.cohortLtv(events(s, dir), col("user_id"), col("ts"),
         col("event_type"), col("value"), revenueType = "purchase")
-        .orderBy("cohort_week", "week_offset"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // q60 daily percentile bands: rank-selected exact p50/p95 of the
+    // event value per (type, day) — the latency-dashboard readout.
+    "q60_percentile_bands" -> ((s, dir) =>
+      EventAnalytics.percentileBands(events(s, dir), col("event_type"),
+        col("ts"), col("value"), col("event_id"))
+        .orderBy("key", "day"))
   )
 
   /** q58 silence threshold: 60 minutes in epoch micros. */
@@ -291,6 +298,20 @@ object EventQueries {
         |  CAST(cum_d AS DOUBLE) AS cum_revenue,
         |  round(CAST(cum_d AS DOUBLE) / CAST(cohort_users AS DOUBLE), 6) AS ltv_per_user
         |FROM c JOIN sizes USING (cw)
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // q60: identical rank window (ties by event_id) and integer-exact
+    // ceil-rank selection — no quantile-interpolation ambiguity
+    "q60_percentile_bands" ->
+      """WITH r AS (SELECT event_type AS key, CAST(ts AS DATE) AS day, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                       ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+        |  FROM events)
+        |SELECT key, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+        |FROM r GROUP BY 1, 2 ORDER BY key, day""".stripMargin
   )
 }

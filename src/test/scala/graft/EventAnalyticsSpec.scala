@@ -404,6 +404,35 @@ class EventAnalyticsSpec extends SparkSpec {
       (D + 20 * H, 3 * D + 2 * H, 2 * D - 18 * H)))
   }
 
+  test("q60 percentile bands: exact rank selection incl. the n=1 edge") {
+    def ts(day: Int, i: Int): Long =
+      java.time.LocalDate.of(2024, 1, 1 + day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L + i
+    // day 0: values 1..10 -> p50 = 5 (rank ceil(5)), p95 = 10 (rank
+    // ceil(9.5) = 10); day 1: a single value is both bands
+    var eid = 0L
+    val rows = ((1 to 10).map { v => eid += 1; (ts(0, v), eid, v.toDouble) } :+
+      { eid += 1; (ts(1, 0), eid, 42.0) })
+      .map { case (t, id, v) => (7L, t, id, "view", v) }
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_type"), col("event_id"), col("value"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("bands").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.defs("q60_percentile_bands")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 10L, 5.0, 10.0),
+      ("2024-01-02", 1L, 42.0, 42.0)))
+  }
+
+  test("q60 rank window is blocked by (key, day), never key alone") {
+    val plan = EventQueries.defs("q60_percentile_bands")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__k") && plan.contains("__day"),
+      s"percentile window must partition by key-day blocks:\n$plan")
+  }
+
   test("q58/q59 plan shape: one corpus exchange each, windows never global") {
     Seq("q58_silences", "q59_cohort_ltv").foreach { q =>
       val plan = EventQueries.defs(q)(spark, sfDir)
