@@ -1,16 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StructField, StructType}
 
 /** Iterative graph ranking over an edge DataFrame — the power-iteration
-  * family (PageRank/TextRank) done Spark-first: each iteration is a
-  * vocabulary-sized join + aggregate, the edge table is shared across
-  * iterations via one checkpoint, and the fixed iteration count builds
-  * ONE nested lazy plan evaluated in a single action (see the
-  * in-method note for why this beats per-round checkpointing here and
-  * when the d06 discipline applies instead).
+  * family (PageRank/TextRank) done Spark-first: the corpus collapses to
+  * a vocabulary-sized edge list upstream (at full parallelism), and the
+  * fixpoint then runs in whichever of two bit-identical shapes fits the
+  * graph (see [[pageRank]]'s scale note).
   *
   * Reference evidence: the reference engine has no iterative surface at
   * all (executor.rs stops at joins/aggregates); this is part of the
@@ -24,7 +22,9 @@ object GraphRank {
     *   rank(v) = (1-d) + d * Σ_{u→v} rank(u) * w(u,v) / out_w(u)
     *
     * run for a FIXED number of iterations. `edges` must carry columns
-    * `src`, `dst`, `w` (integer weight); ranks start at 1.0.
+    * `src`, `dst`, `w` (integer weight); ranks start at 1.0. Ranks are
+    * produced for the node set = distinct `src`; a node with no
+    * incoming edges keeps the damping floor (1-d).
     *
     * Cross-engine determinism (the property that makes a 10-iteration
     * fixpoint value-oracle-able at all): each edge contribution is one
@@ -34,61 +34,128 @@ object GraphRank {
     * rounds once to 10 dp. Identical arithmetic in the DuckDB oracle's
     * unrolled-CTE chain reproduces every iteration bit for bit.
     *
-    * Scale shape: out-weights are one vocabulary-sized aggregate; the
-    * per-iteration join keys on `src` (rank side is nodes-sized, AQE
-    * picks broadcast when it fits); the aggregate shuffles edge
-    * contributions on `dst` with map-side partials. Nothing corpus-
-    * sized survives into the loop — callers aggregate their corpus
-    * down to the edge list first. Nodes without incoming edges keep
-    * the damping floor (1-d) via the left join.
+    * Scale shape — two fixpoint executions, same arithmetic
+    * (GraphRankSpec pins them equal to the last bit):
+    *
+    *  - `loopPartitions = 1` (default): the loop state is VOCABULARY-
+    *    bounded — it never grows with the corpus, only with the node
+    *    set — and a single task comfortably holds ≲10⁷ nodes' edge list
+    *    and rank map. So after the corpus-sized edge build (full
+    *    parallelism, detached by the `repartition(1)` boundary), the
+    *    whole fixpoint runs IN ONE TASK via `mapPartitions`: ten rounds
+    *    of hash-lookup arithmetic over an in-memory edge array, zero
+    *    per-round plan/stage/codegen overhead. Round 10 measurement at
+    *    sf0.1: the declaratively-unrolled ten-round plan spent 2.1-4.6 s
+    *    on ~1k edges — all of it whole-stage-codegen compilation and
+    *    stage scheduling of a 110-node nested plan, none of it data —
+    *    while this shape runs the same arithmetic in milliseconds; at
+    *    sf1 the edge list is vocabulary-sized either way, so the gap
+    *    only widens.
+    *  - `loopPartitions > 1`: graphs beyond one task's memory run the
+    *    declarative nested join+aggregate loop at that parallelism —
+    *    each round one src-keyed join (rank redistribution) + one
+    *    dst-keyed aggregate with map-side partials, inputs shared via
+    *    one lazy checkpoint. This is the 100 TB-graph path (node sets
+    *    ≫10⁷): every round is bucketed equi-joins, nothing collects to
+    *    the driver.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
       loopPartitions: Int = 1): DataFrame = {
     require(iterations >= 1 && loopPartitions >= 1)
-    val dec = DecimalType(28, 12)
     val ow = edges.groupBy("src").agg(sum("w").as("ow"))
-    // The two tables every iteration re-reads — the joined edge list
-    // and the node set — are checkpointed, so the corpus-side work
-    // behind them runs ONCE however many times the loop references
-    // them. The ITERATIONS themselves build one nested lazy plan
-    // evaluated in a single action: a fixed small iteration count
-    // needs no per-round materialization, and ten nested tiny-table
-    // join+aggregate rounds cost ten pipelined stages instead of ten
-    // driver-coordinated checkpoint jobs (measured 2.3s → below 1s at
-    // sf0.1). An UNBOUNDED data-dependent loop (d06's connected
-    // components) must checkpoint per round instead — that discipline
-    // is about runaway lineage, which a fixed depth of 10 never
-    // reaches. AQE sizes the per-iteration join strategy (the rank
-    // side is nodes-sized, so it broadcasts when it fits).
-    // The loop's working set is vocabulary-bounded — it never grows
-    // with the corpus, only with the node set — so the fixpoint rounds
-    // run on `loopPartitions` partitions (default 1: a single task
-    // comfortably holds ≲10⁷ nodes' state, and single-partition
-    // stages sidestep per-iteration shuffle-coordination overhead,
-    // which dominated at 32 partitions). The corpus-sized work —
-    // building the edge list — happened upstream at full parallelism
-    // and is detached here by the checkpoint.
-    val e = edges.join(ow, "src").select("src", "dst", "w", "ow")
-      .repartition(loopPartitions)
+    val eReal = edges.join(ow, "src").select("src", "dst", "w", "ow")
+    if (loopPartitions == 1) inTaskLoop(eReal, iterations, damping)
+    else distributedLoop(eReal, iterations, damping, loopPartitions)
+  }
+
+  /** The single-task fixpoint: one `mapPartitions` over the
+    * `repartition(1)`-bounded edge list (repartition, NOT coalesce —
+    * a coalesce would collapse the upstream corpus-sized edge build to
+    * one task; the shuffle boundary keeps it parallel). Arithmetic is
+    * the exact in-memory mirror of the declarative chain: contribution
+    * = BigDecimal(w·rank/ow) setScale(12, HALF_UP) — the same rounding
+    * `round(expr, 12)` performs on doubles — summed exactly as
+    * BigDecimal, then rank = BigDecimal((1-d) + d·sum.toDouble)
+    * setScale(10, HALF_UP). (1.0-d) is computed, not pre-folded, to
+    * match the oracle's double difference. */
+  private def inTaskLoop(e: DataFrame, iterations: Int,
+      damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val wordType = e.schema("src").dataType
+    val outSchema = StructType(Seq(
+      StructField("word", wordType, nullable = true),
+      StructField("rank", DoubleType, nullable = false)))
+    val prepared = e.select(col("src"), col("dst"),
+      col("w").cast("double").as("w"), col("ow").cast("double").as("ow"))
+      .repartition(1)
+    val rdd = prepared.rdd.mapPartitions { rows =>
+      import scala.math.BigDecimal.RoundingMode.HALF_UP
+      val edgeBuf = rows.map(r =>
+        (r.get(0), r.get(1), r.getDouble(2), r.getDouble(3))).toArray
+      val nodes = edgeBuf.iterator.map(_._1).toSet
+      var ranks = nodes.iterator.map(_ -> 1.0).toMap
+      for (_ <- 1 to iterations) {
+        val sums = scala.collection.mutable.HashMap.empty[Any, BigDecimal]
+        edgeBuf.foreach { case (src, dst, w, owv) =>
+          if (nodes.contains(dst)) {
+            val c = BigDecimal((w * ranks(src)) / owv).setScale(12, HALF_UP)
+            sums(dst) = sums.getOrElse(dst, BigDecimal(0)) + c
+          }
+        }
+        ranks = nodes.iterator.map { n =>
+          val s = sums.getOrElse(n, BigDecimal(0))
+          n -> BigDecimal((1.0 - damping) + damping * s.toDouble)
+            .setScale(10, HALF_UP).toDouble
+        }.toMap
+      }
+      ranks.iterator.map { case (n, r) => Row(n, r) }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The distributed fixpoint for graphs beyond one task (see
+    * [[pageRank]]'s scale note). The two tables every round re-reads —
+    * the out-weight-joined edge list (with the damping floor riding as
+    * one zero-weight self-row per node, so every node reaches the
+    * aggregate) and the node set — are checkpointed, so the corpus-side
+    * work behind them runs ONCE however many times the loop references
+    * them. The rounds build one nested lazy plan evaluated in a single
+    * action: a fixed small iteration count needs no per-round
+    * materialization. An UNBOUNDED data-dependent loop (d06's connected
+    * components) must checkpoint per round instead — that discipline is
+    * about runaway lineage, which a fixed depth of 10 never reaches. */
+  private def distributedLoop(eReal: DataFrame, iterations: Int,
+      damping: Double, loopPartitions: Int): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val nodes0 = eReal.select(col("src").as("word")).distinct()
+    // the damping floor rides IN the edge table as one zero-weight
+    // self-row per node — it joins the rank table like any edge,
+    // contributes round(0·rank/1, 12) = exact decimal 0 to the sum
+    // (bit-identical total), and guarantees every node reaches the
+    // aggregate, so no per-round left join back to the node set
+    val floorE = nodes0.select(col("word").as("src"), col("word").as("dst"),
+      lit(0).cast(eReal.schema("w").dataType).as("w"),
+      lit(1).cast(eReal.schema("ow").dataType).as("ow"))
+    val e = eReal.unionByName(floorE)
+      .repartition(loopPartitions, col("src"))
       .localCheckpoint(eager = false)
-    val nodes = e.select(col("src").as("word")).distinct()
-      .localCheckpoint(eager = false)
+    val nodes = nodes0.localCheckpoint(eager = false)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
-      val contribs = e.join(ranks.withColumnRenamed("word", "src"), "src")
-        .select(col("dst"),
-          round((col("w").cast("double") * col("rank")) / col("ow").cast("double"), 12)
-            .as("c"))
-        .groupBy(col("dst").as("word"))
-        .agg(sum(col("c").cast(dec)).as("s"))
       // (1.0 - damping) is COMPUTED, not a pre-folded literal: the
       // oracle computes `1.0 - 0.85` too, and the double difference is
       // not the double nearest to the decimal string "0.15"
-      ranks = nodes.join(contribs, Seq("word"), "left")
-        .select(col("word"),
-          round((lit(1.0) - lit(damping)) +
-            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 10).as("rank"))
+      ranks = e.join(ranks.withColumnRenamed("word", "src"), "src")
+        .select(col("dst").as("word"),
+          round((col("w").cast("double") * col("rank")) / col("ow").cast("double"), 12)
+            .cast(dec).as("c"))
+        .groupBy("word")
+        .agg(round((lit(1.0) - lit(damping)) +
+          lit(damping) * sum(col("c")).cast("double"), 10).as("rank"))
     }
-    ranks
+    // contributions flow INTO any dst, but the rank surface stays the
+    // node set (distinct src) — one vocab-sized semi-join after the
+    // loop, not per round
+    ranks.join(nodes, Seq("word"), "left_semi")
   }
 }

@@ -57,19 +57,35 @@ class GraphRankSpec extends SparkSpec {
     assert(leaves.map(out).distinct.size == 1, "symmetric leaves must tie exactly")
   }
 
-  test("iterations re-read checkpointed inputs — the upstream work is detached") {
+  test("distributed loop re-reads checkpointed inputs — upstream work is detached") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
       .groupBy("src", "dst").agg(sum("w").as("w")) // give the edges an upstream agg
-    val plan = GraphRank.pageRank(edges, 5).queryExecution.optimizedPlan.toString
+    val plan = GraphRank.pageRank(edges, 5, loopPartitions = 2)
+      .queryExecution.optimizedPlan.toString
     assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
       s"expected checkpoint-backed inputs, got:\n$plan")
     // the edge-building aggregate must not replay once per reference:
     // it sits BEHIND the checkpoint, so the nested iteration plan
-    // contains only the per-round dst aggregates (one per iteration,
-    // plus the seed's distinct), never the upstream one
+    // contains only the per-round dst aggregates (one per iteration),
+    // never the upstream one
     val aggs = "Aggregate".r.findAllIn(plan).length
     assert(aggs <= 5 + 1,
       s"upstream work leaked past the checkpoint into the loop plan:\n$plan")
+  }
+
+  test("in-task and distributed fixpoints agree to the last bit") {
+    // asymmetric weights, a floor-only node, a dst that is not a src
+    // (must be absent from BOTH outputs), enough rounds to compound
+    // any rounding divergence
+    val edges = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L), ("c", "a", 7L),
+      ("d", "a", 5L), ("d", "b", 1L), ("c", "zsink", 2L)).toDF("src", "dst", "w")
+    val one = GraphRank.pageRank(edges, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = GraphRank.pageRank(edges, 10, loopPartitions = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one == dist)
+    assert(!one.contains("zsink"), "dst-only node must not get a rank")
   }
 
   test("t17 on the fixture is deterministic and keyword-shaped") {
