@@ -240,9 +240,8 @@ object Bench {
     // in the driver correctness contract; FastMathSpec bounds their
     // rtol vs exact).
     val fastEntries: Seq[(String, Double)] =
-      graft.queries.TpchQueries.decimalBound.map { full0 =>
+      graft.queries.Queries.fastTwins.map { case (full0, run) =>
         val key = full0.takeWhile(_ != '_') + "_fast_double"
-        val run = graft.queries.TpchQueries.fastQuery(full0) _
         val warm = runOnce(key, run)
         val p1 = if (warm.isDefined) runOnce(key, run) else None
         val p2 = if (p1.isDefined) runOnce(key, run) else None

@@ -444,34 +444,7 @@ object CoreQueries {
     // forms evaluate on engine-identical doubles. One corpus shuffle
     // on the 3-value grouping key; nothing wider than the group count
     // afterwards.
-    "q57_corr_ols" -> ((s, dir) => {
-      // (19,4) x (18,4): precision 19+18+1 = 38 exactly — the widest
-      // product BOTH engines keep exact at scale 8 (Spark would round
-      // a 39-precision result to scale 7; DuckDB needs one int128-wide
-      // operand to avoid its int64 multiply overflow)
-      val d19 = DecimalType(19, 4)
-      val d18 = DecimalType(18, 4)
-      val l = t(s, dir, "lineitem")
-      val g = l.groupBy(col("l_returnflag")).agg(
-        count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(d18)).as("sx"),
-        sum(col("l_extendedprice").cast(d18)).as("sy"),
-        sum(col("l_quantity").cast(d19) * col("l_extendedprice").cast(d18)).as("sxy"),
-        sum(col("l_quantity").cast(d19) * col("l_quantity").cast(d18)).as("sxx"),
-        sum(col("l_extendedprice").cast(d19) * col("l_extendedprice").cast(d18)).as("syy"))
-      val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
-        col("sx").cast("double"), col("sy").cast("double"),
-        col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
-      val cov = n * sxy - sx * sy
-      val vx = n * sxx - sx * sx
-      val vy = n * syy - sy * sy
-      val slope = cov / vx
-      g.select(col("l_returnflag"), col("n"),
-        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("pearson_r"),
-        round(slope, 6).as("slope"),
-        round((sy - slope * sx) / n, 6).as("intercept"))
-        .orderBy("l_returnflag")
-    }),
+    "q57_corr_ols" -> ((s, dir) => corrOls(s, dir, exactDecimal = true)),
 
     // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
     // multiplicities (min / clamped difference of per-value counts),
@@ -674,6 +647,59 @@ object CoreQueries {
                  ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2) t
         ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""")
     }))
+
+  /** q57's shared shape in either decimal mode. Exact mode (the oracle
+    * path): power sums over inputs quantized once to 4 dp — products of
+    * DECIMAL(19,4) x DECIMAL(18,4) stay exact at scale 8 in both
+    * engines' decimal rules (precision 19+18+1 = 38, the widest product
+    * both keep exact), so the closed forms evaluate on engine-identical
+    * doubles. Production mode (`q57_fast_double`, bench-only — the h01
+    * dual-mode pattern): the same ONE-aggregate plan with plain double
+    * power sums, which stay inside whole-stage codegen's primitive fast
+    * path; FastMathSpec bounds the drift vs exact. */
+  private[graft] def corrOls(s: SparkSession, dir: String,
+      exactDecimal: Boolean): DataFrame = {
+    // (19,4) x (18,4): precision 19+18+1 = 38 exactly — the widest
+    // product BOTH engines keep exact at scale 8 (Spark would round
+    // a 39-precision result to scale 7; DuckDB needs one int128-wide
+    // operand to avoid its int64 multiply overflow)
+    val d19 = DecimalType(19, 4)
+    val d18 = DecimalType(18, 4)
+    val l = t(s, dir, "lineitem")
+    val g =
+      if (exactDecimal)
+        l.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(d18)).as("sx"),
+          sum(col("l_extendedprice").cast(d18)).as("sy"),
+          sum(col("l_quantity").cast(d19) * col("l_extendedprice").cast(d18)).as("sxy"),
+          sum(col("l_quantity").cast(d19) * col("l_quantity").cast(d18)).as("sxx"),
+          sum(col("l_extendedprice").cast(d19) * col("l_extendedprice").cast(d18)).as("syy"))
+      else
+        l.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sx"),
+          sum(col("l_extendedprice")).as("sy"),
+          sum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          sum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val slope = cov / vx
+    g.select(col("l_returnflag"), col("n"),
+      round(cov / (sqrt(vx) * sqrt(vy)), 6).as("pearson_r"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Bench hook: q57 in production (double-sum) mode. */
+  def corrOlsFast(s: SparkSession, dir: String): DataFrame =
+    corrOls(s, dir, exactDecimal = false)
 
   val oracles: Map[String, String] = Map(
     // error-bounded sketch oracles: the Spark side computes the approx

@@ -13,4 +13,16 @@ object Queries {
     CoreQueries.oracles ++ ExtQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles ++
       PipelineQueries.oracles ++ SqlSurfaceQueries.oracles ++ TpchQueries.oracles ++ EventQueries.oracles
+
+  /** Bench-only production-mode twins of the queries whose runtime is
+    * dominated by the exact-decimal oracle discipline (SURVEY §6
+    * measures it at ~5× on money/NLL sums): same plans, plain double
+    * sums. Benched as `<prefix>_fast_double` next to their exact forms
+    * so the production-vs-oracle-discipline ratio is a recorded number
+    * per round; NOT part of the driver correctness contract
+    * (FastMathSpec bounds each twin's drift against its exact form). */
+  def fastTwins: Seq[(String, (SparkSession, String) => DataFrame)] =
+    TpchQueries.decimalBound.map(n => n -> (TpchQueries.fastQuery(n) _)) ++ Seq(
+      "q57_corr_ols" -> (CoreQueries.corrOlsFast _),
+      "t16_bigram_ppl" -> (TextQueries.bigramPplFast _))
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -235,35 +236,7 @@ object TextQueries {
     // rows, not the corpus); the scoring joins are vocab-keyed and
     // unhinted (AQE sizes them); the doc rollup is the one corpus
     // shuffle. Per-term NLLs round at 6 dp and sum in exact decimal.
-    "t16_bigram_ppl" -> ((s, dir) => {
-      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
-      val docsW = t(s, dir, "documents").select(col("doc_id"), words(col("text")).as("w"))
-      val bi = docsW.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("w")) - 2),
-          i => struct(element_at(col("w"), i + 1).as("w1"),
-            element_at(col("w"), i + 2).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val bf = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint(eager = false) // vocab-sized; read 3x below
-      val leftCounts = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      // model vocabulary = words observable in bigram events, derived
-      // from the (already aggregated) bigram table — the corpus is
-      // scanned exactly TWICE (bigram counting, scoring), never a
-      // third time for a unigram pass
-      val vocab = bf.select(col("w1").as("t")).union(bf.select(col("w2").as("t")))
-        .agg(countDistinct(col("t")).as("v"))
-      bi.join(bf, Seq("w1", "w2"))
-        .join(leftCounts, "w1")
-        .crossJoin(broadcast(vocab))
-        .withColumn("nll", round(-log(
-          (col("c12").cast("double") + lit(BigramK)) /
-            (col("c1").cast("double") + lit(BigramK) * col("v").cast("double"))), 6))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum(col("nll").cast(dec6)).cast("double") / count(lit(1))).as("mean_nll"))
-        .withColumn("ppl", round(exp(col("mean_nll")), 4))
-        .orderBy("doc_id")
-    }),
+    "t16_bigram_ppl" -> ((s, dir) => bigramPpl(s, dir, exactDecimal = true)),
 
     // t11 PMI collocations: bigrams ranked by pointwise mutual
     // information — log((P(ab)) / (P(a)·P(b))) over corpus token
@@ -553,6 +526,51 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(Bm25TopK)
     }))
+
+  /** t16's shared shape in either decimal mode. Exact mode (the oracle
+    * path): per-term NLLs round at 6 dp and sum in exact DECIMAL(28,6)
+    * so the doc rollup is order-independent and bit-matches DuckDB.
+    * Production mode (`t16_fast_double`, bench-only — the h01 dual-mode
+    * pattern): the same plan with a plain double NLL sum, staying in
+    * whole-stage codegen's primitive fast path; FastMathSpec bounds the
+    * drift vs exact. */
+  private[graft] def bigramPpl(s: SparkSession, dir: String,
+      exactDecimal: Boolean): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docsW = t(s, dir, "documents").select(col("doc_id"), words(col("text")).as("w"))
+    val bi = docsW.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bf = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false) // vocab-sized; read 3x below
+    val leftCounts = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // model vocabulary = words observable in bigram events, derived
+    // from the (already aggregated) bigram table — the corpus is
+    // scanned exactly TWICE (bigram counting, scoring), never a
+    // third time for a unigram pass
+    val vocab = bf.select(col("w1").as("t")).union(bf.select(col("w2").as("t")))
+      .agg(countDistinct(col("t")).as("v"))
+    val nllSum =
+      if (exactDecimal) sum(col("nll").cast(dec6)).cast("double")
+      else sum(col("nll"))
+    bi.join(bf, Seq("w1", "w2"))
+      .join(leftCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", round(-log(
+        (col("c12").cast("double") + lit(BigramK)) /
+          (col("c1").cast("double") + lit(BigramK) * col("v").cast("double"))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (nllSum / count(lit(1))).as("mean_nll"))
+      .withColumn("ppl", round(exp(col("mean_nll")), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Bench hook: t16 in production (double-sum) mode. */
+  def bigramPplFast(s: SparkSession, dir: String): DataFrame =
+    bigramPpl(s, dir, exactDecimal = false)
 
   val oracles: Map[String, String] = Map(
     "t01_langid" -> {

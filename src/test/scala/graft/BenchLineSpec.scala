@@ -15,7 +15,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   private def allBenchNames: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted ++
-      graft.queries.TpchQueries.decimalBound.map(_.takeWhile(_ != '_') + "_fast_double")
+      graft.queries.Queries.fastTwins.map(_._1.takeWhile(_ != '_') + "_fast_double")
 
   test("compact bench line fits the driver's 2000-char stdout tail") {
     // worst-case widths: every query at the "99"-second clamp — the 2-sf

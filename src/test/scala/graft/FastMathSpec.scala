@@ -22,11 +22,13 @@ class FastMathSpec extends SparkSpec {
     }
   }
 
-  test("every decimal-bound fast query matches its exact twin within 1e-9") {
-    val e = GraftEngine.cachedForDir(spark, sfDir)
-    TpchQueries.decimalBound.foreach { name =>
-      val exact = e.sql(TpchQueries.sql(name)).collect()
-      val fast = TpchQueries.fastQuery(name)(spark, sfDir).collect()
+  test("every fast twin matches its exact form within 1e-9 relative") {
+    // the full twin registry: the 5 decimal-bound h-queries plus the
+    // DataFrame-built q57/t16 dual modes (round-8 verdict item: extend
+    // the h01 pattern to the remaining decimal-taxed queries)
+    graft.queries.Queries.fastTwins.foreach { case (name, fastRun) =>
+      val exact = graft.queries.Queries.all(name)(spark, sfDir).collect()
+      val fast = fastRun(spark, sfDir).collect()
       assert(exact.length == fast.length && exact.nonEmpty, s"$name row mismatch")
       exact.zip(fast).foreach { case (a, b) =>
         (0 until a.length).foreach { i =>
