@@ -253,13 +253,33 @@ object TableLayout {
     * them. Single-writer protocol: concurrent COMMITTERS need an
     * external lock (last rename wins), concurrent readers need
     * nothing. */
+  /** `expectedLast`: optimistic concurrency for read-modify-write
+    * commits (MERGE/DELETE) — the snapshot line the writer's merge was
+    * computed FROM. If another committer landed in between, this
+    * writer's output silently drops the rival's rows (the classic
+    * lost update), so the commit ABORTS with
+    * [[java.util.ConcurrentModificationException]] instead; the caller
+    * re-reads and retries its merge on the fresh snapshot. On
+    * object-store (log) schemes the check is a true compare-and-swap:
+    * it re-runs inside the create-exclusive retry loop, so a rival
+    * winning the version number forces a re-read that surfaces the
+    * conflict. On atomic-rename schemes the check-then-rename pair has
+    * the same residual single-writer window the protocol always
+    * documented — detection covers every race the staging gap (seconds
+    * of Spark jobs) opens, which is where real collisions live. */
   private def commitManifest(spark: SparkSession, tablePath: String,
-      dataDirName: String): Unit = {
+      dataDirName: String, expectedLast: Option[String] = None): Unit = {
+    def conflict(cur: Option[String]): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit at $tablePath: this writer merged from " +
+          s"snapshot '${expectedLast.get}' but the table is now at " +
+          s"'${cur.getOrElse("<none>")}' — re-read and retry the merge")
     val scheme = new HPath(tablePath, ManifestFile).toUri.getScheme
-    if (atomicRenameScheme(scheme))
-      writeManifestLines(spark, tablePath,
-        existingSnapshots(spark, tablePath) :+ dataDirName)
-    else {
+    if (atomicRenameScheme(scheme)) {
+      val hist = existingSnapshots(spark, tablePath)
+      expectedLast.foreach(b => if (!hist.lastOption.contains(b)) conflict(hist.lastOption))
+      writeManifestLines(spark, tablePath, hist :+ dataDirName)
+    } else {
       // log mode: APPEND commit with optimistic concurrency — re-read
       // the current history on every attempt, so two racing committers
       // both land (in either order) instead of one silently losing its
@@ -286,6 +306,7 @@ object TableLayout {
             snapshots(spark, tablePath)
           else Seq.empty
         }
+        expectedLast.foreach(b => if (!cur.lastOption.contains(b)) conflict(cur.lastOption))
         done = tryWriteLogVersion(fc, tablePath, next, cur :+ dataDirName)
       }
     }
@@ -562,7 +583,15 @@ object TableLayout {
     * [[appliedTxn]] reads — no second file, no second commit). Tags
     * must stay clear of the parts-line separators (tab/comma/equals). */
   def upsertManifestedBucketed(spark: SparkSession, tablePath: String,
-      updates: DataFrame, dirTag: String): Unit = {
+      updates: DataFrame, dirTag: String): Unit =
+    upsertManifestedBucketed(spark, tablePath, updates, dirTag, () => ())
+
+  /** Test seam: `beforeCommit` runs after the merge dir is staged and
+    * before the conflict-checked commit loop — the deterministic spot
+    * to interleave a rival writer (ManifestLifecycleSpec's two-writer
+    * tests). Production callers use the shorter forms (no-op hook). */
+  private[graft] def upsertManifestedBucketed(spark: SparkSession, tablePath: String,
+      updates: DataFrame, dirTag: String, beforeCommit: () => Unit): Unit = {
     require(!dirTag.exists(c => c == '\t' || c == ',' || c == '='),
       s"dirTag '$dirTag' would corrupt the parts snapshot line")
     val last = snapshots(spark, tablePath).last
@@ -603,10 +632,56 @@ object TableLayout {
           .repartition(col("__bucket"))
           .write.mode(SaveMode.Append).partitionBy("__bucket").parquet(dirPath)
       }
-    val newMap = spec.buckets.filter(e => !affected(e._1)) ++
-      affected.map(_ -> dir)
-    writeManifestLines(spark, tablePath,
-      snapshots(spark, tablePath) :+ spec.copy(buckets = newMap).line)
+    beforeCommit()
+    // Optimistic-concurrency commit (round-10): two upserts staging
+    // concurrently each computed their survivors from the bucket dirs
+    // of THEIR base snapshot. At commit, re-read the current line:
+    //  - unchanged → append and done;
+    //  - a rival moved only DISJOINT buckets → REBASE: adopt the
+    //    rival's map as the new base (its pointers carry the rival's
+    //    merges; ours touch other buckets) and retry — concurrent
+    //    ingest into different date/key ranges lands both, the shape
+    //    real multi-writer ingest needs;
+    //  - a rival moved a bucket THIS writer also rewrote → its rows in
+    //    that bucket are not in our merge dir, so last-writer-wins
+    //    would silently drop them: ABORT with
+    //    ConcurrentModificationException; the caller retries on the
+    //    fresh snapshot.
+    def cme(msg: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit at $tablePath: $msg — re-read and retry the upsert")
+    var baseLine = last
+    var baseSpec = spec
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= LogCommitRetries,
+        s"bucketed upsert at $tablePath lost $LogCommitRetries rebase races — aborting")
+      val hist = snapshots(spark, tablePath)
+      val curLine = hist.last
+      if (curLine == baseLine) {
+        val newMap = baseSpec.buckets.filter(e => !affected(e._1)) ++
+          affected.map(_ -> dir)
+        writeManifestLines(spark, tablePath,
+          hist :+ baseSpec.copy(buckets = newMap).line)
+        committed = true
+      } else {
+        val curSpec = parseParts(curLine).getOrElse(cme(
+          "a non-partition-scoped snapshot replaced the table while this upsert staged"))
+        if (curSpec.keyCol != baseSpec.keyCol || curSpec.width != baseSpec.width)
+          cme(s"bucket spec changed (${baseSpec.keyCol}/${baseSpec.width} -> " +
+            s"${curSpec.keyCol}/${curSpec.width}) while this upsert staged")
+        val changed = (curSpec.buckets.toSet diff baseSpec.buckets.toSet).map(_._1) ++
+          (baseSpec.buckets.keySet diff curSpec.buckets.keySet)
+        val overlap = changed.filter(affected)
+        if (overlap.nonEmpty)
+          cme(s"bucket(s) ${overlap.toSeq.sorted.mkString(",")} were rewritten " +
+            "by another committer and by this upsert")
+        baseLine = curLine
+        baseSpec = curSpec
+      }
+    }
   }
 
   /** The highest transaction id committed for `appId` — the idempotent-
@@ -648,8 +723,20 @@ object TableLayout {
     * or merge-on-read deltas reconciled at scan) are layout policies on
     * top of this same commit protocol. */
   def upsertManifested(spark: SparkSession, tablePath: String,
-      updates: DataFrame, keys: Seq[String]): Unit = {
+      updates: DataFrame, keys: Seq[String]): Unit =
+    upsertManifested(spark, tablePath, updates, keys, () => ())
+
+  /** Test seam: `beforeCommit` runs after the merged snapshot is staged
+    * and before the conflict-checked commit — the deterministic spot to
+    * interleave a rival writer (ManifestLifecycleSpec's two-writer
+    * tests). Production callers use the 4-arg form (no-op hook). */
+  private[graft] def upsertManifested(spark: SparkSession, tablePath: String,
+      updates: DataFrame, keys: Seq[String], beforeCommit: () => Unit): Unit = {
     require(keys.nonEmpty, "upsert needs at least one merge key")
+    // the base snapshot this merge is computed FROM: commit aborts if
+    // another writer lands in between (full-COW merges conflict with
+    // EVERY concurrent commit — the rival's rows are not in `merged`)
+    val base = snapshots(spark, tablePath).last
     val cur = readManifested(spark, tablePath)
     require(cur.columns.sorted.sameElements(updates.columns.sorted),
       s"upsert schema mismatch: table has ${cur.columns.sorted.mkString(",")} " +
@@ -658,7 +745,8 @@ object TableLayout {
       .unionByName(updates.select(cur.columns.toIndexedSeq.map(col): _*))
     val next = s"data-${System.nanoTime()}"
     merged.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$next")
-    commitManifest(spark, tablePath, next)
+    beforeCommit()
+    commitManifest(spark, tablePath, next, expectedLast = Some(base))
   }
 
   /** Copy-on-write DELETE: keep rows where `predicate` is false (or
@@ -667,12 +755,16 @@ object TableLayout {
     * deleted. */
   def deleteManifested(spark: SparkSession, tablePath: String,
       predicate: Column): Long = {
+    // same read-modify-write discipline as upsertManifested: the kept
+    // set is computed from `base`, so a concurrent commit aborts this
+    // one instead of being silently overwritten
+    val base = snapshots(spark, tablePath).last
     val cur = readManifested(spark, tablePath)
     val before = cur.count()
     val kept = cur.filter(!coalesce(predicate, lit(false)))
     val next = s"data-${System.nanoTime()}"
     kept.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$next")
-    commitManifest(spark, tablePath, next)
+    commitManifest(spark, tablePath, next, expectedLast = Some(base))
     before - readManifested(spark, tablePath).count()
   }
 

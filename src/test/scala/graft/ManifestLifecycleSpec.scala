@@ -142,6 +142,65 @@ class ManifestLifecycleSpec extends SparkSpec {
     assert(mergeDirs.sameElements(Array("__bucket=10", "__bucket=2")), mergeDirs.mkString(","))
   }
 
+  test("two-writer race, disjoint buckets: both upserts land (rebase)") {
+    import spark.implicits._
+    val table = freshTable()
+    TableLayout.writeManifestedBucketed(
+      (0L until 1000L).map(i => (i, 1.0)).toDF("id", "v"), table, "id", width = 100L)
+    // writer A stages bucket 2; before A commits, writer B lands a
+    // commit to bucket 7 — A must rebase onto B's map, not overwrite it
+    TableLayout.upsertManifestedBucketed(spark, table,
+      Seq((250L, 9.0)).toDF("id", "v"), dirTag = "",
+      beforeCommit = () => TableLayout.upsertManifestedBucketed(spark, table,
+        Seq((750L, 8.0)).toDF("id", "v")))
+    val got = TableLayout.readManifested(spark, table)
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 1000)
+    assert(got(250L) == 9.0, "the rebased writer's row must land")
+    assert(got(750L) == 8.0, "the rival's row must survive the rebase")
+    assert(got(0L) == 1.0 && got(999L) == 1.0)
+  }
+
+  test("two-writer race, same bucket: the second committer aborts, no lost update") {
+    import spark.implicits._
+    val table = freshTable()
+    TableLayout.writeManifestedBucketed(
+      (0L until 1000L).map(i => (i, 1.0)).toDF("id", "v"), table, "id", width = 100L)
+    // both writers rewrite bucket 2: B commits while A is staged, so
+    // A's survivor set was computed from a dir that no longer holds
+    // bucket 2's truth — A must abort instead of dropping B's row
+    intercept[java.util.ConcurrentModificationException] {
+      TableLayout.upsertManifestedBucketed(spark, table,
+        Seq((250L, 9.0)).toDF("id", "v"), dirTag = "",
+        beforeCommit = () => TableLayout.upsertManifestedBucketed(spark, table,
+          Seq((255L, 8.0)).toDF("id", "v")))
+    }
+    val got = TableLayout.readManifested(spark, table)
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 1000)
+    assert(got(255L) == 8.0, "the committed rival's row must be intact")
+    assert(got(250L) == 1.0, "the aborted writer's staged row must NOT be visible")
+  }
+
+  test("two-writer race, full-COW merge: any interleaved commit aborts the stale writer") {
+    import spark.implicits._
+    val table = freshTable()
+    TableLayout.writeManifested(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), table)
+    // a full-table merge conflicts with EVERY concurrent commit: the
+    // rival's insert is not in the stale writer's merged snapshot
+    intercept[java.util.ConcurrentModificationException] {
+      TableLayout.upsertManifested(spark, table,
+        Seq((2L, "B")).toDF("id", "tag"), Seq("id"),
+        beforeCommit = () => TableLayout.upsertManifested(spark, table,
+          Seq((3L, "c")).toDF("id", "tag"), Seq("id")))
+    }
+    val got = TableLayout.readManifested(spark, table)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      "the rival's commit must be the surviving snapshot")
+  }
+
   test("bucketed upsert rejects a schema mismatch before committing anything") {
     import spark.implicits._
     val table = freshTable()
