@@ -300,6 +300,42 @@ final class GraftEngine(val spark: SparkSession,
     df
   }
 
+  /** Switch this engine's catalog to STATISTICS-FED, COST-BASED
+    * planning (reference: optimizer.rs:9 JoinReordering, done at the
+    * layer Catalyst actually uses). For every parquet-backed registered
+    * table: register it as an external catalog table
+    * (`graft_cat_<name>`), attach the x10 profiler's statistics — row
+    * count, per-column NDV/null counts, numeric min/max — via
+    * [[operators.Profile.feedSessionCatalog]], and re-point the
+    * engine's temp view at the catalog relation (the view is a lazy
+    * alias, so the relation's `CatalogStatistics` flow into every
+    * later `sql()` plan; the events `ts` normalization survives on
+    * top). Finally enables `spark.sql.cbo.*`, so multi-way joins
+    * re-order by estimated cardinality instead of syntactic order
+    * (CboSpec pins a 3-table join changing shape with stats present).
+    *
+    * Cost: one profiling scan per table, once per corpus — the ANALYZE
+    * trade every warehouse makes. Stats persist in the session catalog;
+    * re-running refreshes them (idempotent). In-process frames (no
+    * file identity) and manifest tables (snapshot views) keep their
+    * lazy registrations and estimate from file sizes as before. */
+  def enableCbo(): Unit = {
+    registered.toSeq.foreach { case (name, path) =>
+      if (!path.startsWith("<in-process:")) {
+        val catName = s"graft_cat_$name"
+        operators.Profile.feedSessionCatalog(spark, catName, path)
+        val cat = spark.table(catName)
+        val df =
+          if (name == "events" && cat.columns.contains("ts"))
+            cat.withColumn("ts", graft.queries.Ops.normalizeEventTs(cat))
+          else cat
+        df.createOrReplaceTempView(name)
+      }
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
+
   /** Run a TPC-H-suite query by name in this engine's decimal mode
     * ([[GraftConfig.exactDecimal]]): exact-decimal text when true,
     * the production double-sum rewrite when false. */

@@ -53,6 +53,63 @@ object Profile {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Feed this profiler's statistics to the SESSION CATALOG so
+    * Catalyst's cost-based optimizer can use them — the layer the
+    * reference's hand-rolled join reordering (optimizer.rs:9
+    * JoinReordering) maps onto in Spark. Registers `path` as an
+    * external parquet catalog table `name` (idempotent; no data moves)
+    * and attaches [[statsRow]]'s numbers — row count, per-column null
+    * counts, HLL distinct counts, numeric min/max — as
+    * `CatalogStatistics`, exactly what `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR ALL COLUMNS` would store, from the profiler's ONE
+    * scan instead of ANALYZE's own.
+    *
+    * With `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled`
+    * set, multi-way joins over these tables re-order by estimated
+    * cardinality instead of syntactic order (CboSpec pins a 3-table
+    * join changing shape with stats present vs absent). At 100 TB this
+    * is the defense AQE alone can't supply: AQE re-plans at shuffle
+    * boundaries ALREADY MATERIALIZED — a misordered fact-fact-fact join
+    * has paid for its worst shuffle before AQE sees the sizes, while
+    * CBO orders the plan before anything runs. */
+  def feedSessionCatalog(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    val df = spark.read.parquet(path)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING PARQUET LOCATION '$path'")
+    val one = statsRow(df).collect()(0)
+    val n = one.getAs[Long]("__n")
+    val colStats = df.schema.fields.iterator.map { f =>
+      val nulls = n - one.getAs[Long](s"cnt_${f.name}")
+      // numeric min/max travel in CatalogColumnStat's external string
+      // form, which is parsed back BY COLUMN TYPE — an integral column
+      // must carry "42", not the profiler's "42.0" double render.
+      // Non-numeric (and decimal/date: the profiler's 4-dp double
+      // round-trip can't represent them faithfully) columns skip
+      // min/max; NDV + null counts drive join cardinality either way.
+      def ext(v: Double): Option[String] = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(v.toLong.toString)
+        case FloatType | DoubleType => Some(v.toString)
+        case _ => None
+      }
+      val (mn, mx) =
+        if (isNum(f.dataType))
+          (Option(one.getAs[Double](s"mn_${f.name}")).flatMap(ext),
+            Option(one.getAs[Double](s"mx_${f.name}")).flatMap(ext))
+        else (None, None)
+      f.name -> CatalogColumnStat(
+        distinctCount = Some(BigInt(one.getAs[Long](s"ad_${f.name}"))),
+        min = mn, max = mx,
+        nullCount = Some(BigInt(nulls)),
+        avgLen = None, maxLen = None)
+    }.toMap
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    spark.sessionState.catalog.alterTableStats(TableIdentifier(name),
+      Some(CatalogStatistics(sizeInBytes, Some(BigInt(n)), colStats)))
+  }
+
   /** `share` controls how the single stats row is reused across the
     * per-column unpivot branches. The default lazy localCheckpoint is
     * right for one-shot queries; a long-lived VIEW must pass a persist-
