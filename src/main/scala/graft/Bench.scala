@@ -265,7 +265,16 @@ object Bench {
     // slow decile, ~10-15s at sf0.1.
     val revisitSecs = scala.collection.mutable.Map.empty[String, Double]
     val revisited = {
-      val suspects = results.filter(_._2 >= 0.8).sortBy(-_._2).take(12).map(_._1).toSet
+      // q29/x04 are PINNED into the sweep (round-9 verdict item 7):
+      // both sit in the 1-2s band where a single contention burst can
+      // double the reported number without tripping the >=0.8s slow-
+      // decile filter on a lucky round — pinning them guarantees every
+      // driver artifact carries a decorrelated second observation
+      // (detail.<name>.revisit), so a regression claim about either is
+      // checkable against noise in the same file
+      val pinned = Set("q29_percentiles", "x04_sql_span_report")
+      val suspects = results.filter(_._2 >= 0.8).sortBy(-_._2).take(12).map(_._1).toSet ++
+        pinned.filter(results.toMap.get(_).exists(_ >= 0))
       results.map { case (n, best) =>
         if (!suspects(n)) n -> best
         else runOnce(n, SparkEntry.queries(n)) match {

@@ -44,17 +44,25 @@ object GenScale {
   val OffUser = 1000000L
 
   def replicate(df: DataFrame, shifts: Map[String, Long], factor: Int = Factor,
-      saltText: Boolean = false): DataFrame =
+      saltText: Boolean = false): DataFrame = {
+    // duplicate-group size is CAPPED as the factor grows: at ≤20 every
+    // even replica stays verbatim (factor/2-way groups, the round-4
+    // sf1 shape, byte-identical to regenerate); above 20 only every
+    // 10th does (10-way groups however large the corpus). An uncapped
+    // scheme would make within-bucket pair OUTPUT quadratic in the
+    // replication factor, confounding the runtime-vs-input scaling the
+    // ≥sf10 corpus exists to measure — a real crawl's duplication
+    // density is roughly scale-free, not growing with corpus size.
+    val keepEvery = if (factor <= 20) 2 else 10
     (0 until factor).map { i =>
       val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
         d.withColumn(c, col(c) + lit(i * off))
       }
-      // half the replicas salted → unique docs; half verbatim → real
-      // (factor/2)-way duplicate groups, the crawled-corpus shape
-      if (saltText && i % 2 == 1)
+      if (saltText && i % keepEvery != 0)
         shifted.withColumn("text", concat(lit(s"salt$i "), col("text")))
       else shifted
     }.reduce(_ unionAll _)
+  }
 
   /** Generate JUST the sf1skew tables the skew specs read (lineitem +
     * orders + events, hot keys applied), when absent — the in-test
@@ -85,45 +93,59 @@ object GenScale {
           .otherwise(col("user_id"))), "events")
   }
 
+  /** args: [outRoot] [factor]. factor defaults to 10 (→ `sf1` +
+    * `sf1skew`, the round-4 contract); factor 100 builds the uniform
+    * `sf10` corpus (~60M lineitem rows — the round-8 verdict's ≥sf10
+    * regime) without a skew variant (skew behavior is a key-shape
+    * question, already measured at sf1skew; sf10 exists to prove
+    * runtime scaling). Key offsets hold to factor 100 without
+    * collisions: the largest shift (OffOrder·99 ≈ 9.9e9) stays far
+    * under Long range and far above every base key range. */
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outRoot = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(Factor)
+    val dirName = if (factor == 10) "sf1" else s"sf${factor / 10}"
     val spark = GraftEngine.session(GraftConfig(appName = "graft-genscale"))
 
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
     def write(df: DataFrame, dir: String, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outRoot/$dir/$name.parquet")
+    def rep(df: DataFrame, shifts: Map[String, Long], saltText: Boolean = false) =
+      replicate(df, shifts, factor, saltText)
 
     val t0 = System.nanoTime()
     // dimensions pass through unreplicated
-    Seq("region", "nation").foreach(n => write(src(n), "sf1", n))
-    write(replicate(src("customer"), Map("c_custkey" -> OffCust)), "sf1", "customer")
-    write(replicate(src("supplier"), Map("s_suppkey" -> OffSupp)), "sf1", "supplier")
-    write(replicate(src("part"), Map("p_partkey" -> OffPart)), "sf1", "part")
-    write(replicate(src("orders"),
-      Map("o_orderkey" -> OffOrder, "o_custkey" -> OffCust)), "sf1", "orders")
-    write(replicate(src("lineitem"),
+    Seq("region", "nation").foreach(n => write(src(n), dirName, n))
+    write(rep(src("customer"), Map("c_custkey" -> OffCust)), dirName, "customer")
+    write(rep(src("supplier"), Map("s_suppkey" -> OffSupp)), dirName, "supplier")
+    write(rep(src("part"), Map("p_partkey" -> OffPart)), dirName, "part")
+    write(rep(src("orders"),
+      Map("o_orderkey" -> OffOrder, "o_custkey" -> OffCust)), dirName, "orders")
+    write(rep(src("lineitem"),
       Map("l_orderkey" -> OffOrder, "l_partkey" -> OffPart, "l_suppkey" -> OffSupp)),
-      "sf1", "lineitem")
-    write(replicate(src("events"),
-      Map("event_id" -> OffEvent, "user_id" -> OffUser)), "sf1", "events")
-    write(replicate(src("documents"), Map("doc_id" -> OffDoc), saltText = true),
-      "sf1", "documents")
-    write(replicate(src("embeddings"), Map("vec_id" -> OffVec)), "sf1", "embeddings")
+      dirName, "lineitem")
+    write(rep(src("events"),
+      Map("event_id" -> OffEvent, "user_id" -> OffUser)), dirName, "events")
+    write(rep(src("documents"), Map("doc_id" -> OffDoc), saltText = true),
+      dirName, "documents")
+    write(rep(src("embeddings"), Map("vec_id" -> OffVec)), dirName, "embeddings")
 
-    def sf1(name: String) = spark.read.parquet(s"$outRoot/sf1/$name.parquet")
-    // skewed variant: same tables, two engineered hot keys
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "documents", "embeddings").foreach(n => write(sf1(n), "sf1skew", n))
-    write(sf1("events").withColumn("user_id",
-      when(pmod(col("event_id"), lit(5)) === 0, lit(HotUser)).otherwise(col("user_id"))),
-      "sf1skew", "events")
-    write(sf1("lineitem").withColumn("l_orderkey",
-      when(pmod(col("l_orderkey"), lit(5)) === 0, lit(HotOrder)).otherwise(col("l_orderkey"))),
-      "sf1skew", "lineitem")
+    if (factor == 10) {
+      def sf1(name: String) = spark.read.parquet(s"$outRoot/sf1/$name.parquet")
+      // skewed variant: same tables, two engineered hot keys
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "documents", "embeddings").foreach(n => write(sf1(n), "sf1skew", n))
+      write(sf1("events").withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(HotUser)).otherwise(col("user_id"))),
+        "sf1skew", "events")
+      write(sf1("lineitem").withColumn("l_orderkey",
+        when(pmod(col("l_orderkey"), lit(5)) === 0, lit(HotOrder)).otherwise(col("l_orderkey"))),
+        "sf1skew", "lineitem")
+    }
 
-    val rows = spark.read.parquet(s"$outRoot/sf1/lineitem.parquet").count()
-    println(f"""{"gen":"done","lineitem_rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    val rows = spark.read.parquet(s"$outRoot/$dirName/lineitem.parquet").count()
+    println(f"""{"gen":"done","dir":"$dirName","lineitem_rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     spark.stop()
   }
 }
