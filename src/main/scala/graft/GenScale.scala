@@ -44,23 +44,42 @@ object GenScale {
   val OffUser = 1000000L
 
   def replicate(df: DataFrame, shifts: Map[String, Long], factor: Int = Factor,
-      saltText: Boolean = false): DataFrame = {
-    // duplicate-group size is CAPPED as the factor grows: at ≤20 every
-    // even replica stays verbatim (factor/2-way groups, the round-4
-    // sf1 shape, byte-identical to regenerate); above 20 only every
-    // 10th does (10-way groups however large the corpus). An uncapped
-    // scheme would make within-bucket pair OUTPUT quadratic in the
-    // replication factor, confounding the runtime-vs-input scaling the
-    // ≥sf10 corpus exists to measure — a real crawl's duplication
-    // density is roughly scale-free, not growing with corpus size.
+      saltText: Boolean = false, saltVec: Boolean = false): DataFrame = {
+    // Duplicate-group structure must stay SCALE-FREE as the factor
+    // grows — a 10× bigger crawl has more duplicate groups, not bigger
+    // ones — or within-bucket pair output grows quadratically in the
+    // replication factor and the ≥sf10 run measures group-size
+    // quadratics instead of input scaling. Two dials enforce that:
+    //  - group size: at ≤20 every even replica stays verbatim
+    //    (factor/2-way groups, the round-4 sf1 shape, byte-identical
+    //    to regenerate); above 20 only every 10th does (10-way groups
+    //    however large the corpus);
+    //  - salted replicas must be DISSIMILAR, not just distinct: a
+    //    prefix salt leaves ~99% of shingles shared, so minhash/
+    //    simhash/jaccard still see every replica pair as a near-dup
+    //    candidate (measured: the factor-100 corpus ground
+    //    ArrayIntersect for 25+ min on ~100-way candidate groups).
+    //    Above 20, salting renames EVERY token (text) and sign-flips
+    //    an i-dependent dimension pattern (embeddings, cosine ≲ 0.4
+    //    between different flips), so non-verbatim replicas share no
+    //    dedup signal in any modality.
     val keepEvery = if (factor <= 20) 2 else 10
     (0 until factor).map { i =>
       val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
         d.withColumn(c, col(c) + lit(i * off))
       }
-      if (saltText && i % keepEvery != 0)
-        shifted.withColumn("text", concat(lit(s"salt$i "), col("text")))
-      else shifted
+      val salted =
+        if (!saltText || i % keepEvery == 0) shifted
+        else if (factor <= 20)
+          shifted.withColumn("text", concat(lit(s"salt$i "), col("text")))
+        else
+          shifted.withColumn("text", array_join(
+            transform(split(col("text"), " "), w => concat(lit(s"s$i"), w)), " "))
+      if (!saltVec || factor <= 20 || i % keepEvery == 0) salted
+      else salted.withColumn("embedding",
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, j) => when(pmod((j + 1) * lit(i), lit(7)) < 3, -x).otherwise(x)))
     }.reduce(_ unionAll _)
   }
 
@@ -111,8 +130,9 @@ object GenScale {
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
     def write(df: DataFrame, dir: String, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outRoot/$dir/$name.parquet")
-    def rep(df: DataFrame, shifts: Map[String, Long], saltText: Boolean = false) =
-      replicate(df, shifts, factor, saltText)
+    def rep(df: DataFrame, shifts: Map[String, Long], saltText: Boolean = false,
+        saltVec: Boolean = false) =
+      replicate(df, shifts, factor, saltText, saltVec)
 
     val t0 = System.nanoTime()
     // dimensions pass through unreplicated
@@ -129,7 +149,8 @@ object GenScale {
       Map("event_id" -> OffEvent, "user_id" -> OffUser)), dirName, "events")
     write(rep(src("documents"), Map("doc_id" -> OffDoc), saltText = true),
       dirName, "documents")
-    write(rep(src("embeddings"), Map("vec_id" -> OffVec)), dirName, "embeddings")
+    write(rep(src("embeddings"), Map("vec_id" -> OffVec), saltVec = true),
+      dirName, "embeddings")
 
     if (factor == 10) {
       def sf1(name: String) = spark.read.parquet(s"$outRoot/sf1/$name.parquet")

@@ -13,8 +13,10 @@ import graft.operators.{Dedup, Similarity}
   * size so the semantic effect of finer cells is visible too (a pair
   * only counts as duplicate when it shares a cell).
   *
-  * Usage: `SPARK_GRAFT_SF_DIR=… sbt "runMain graft.SemDedupProbe"`
-  * Rows print as JSON for SCALE.md.
+  * Usage: `SPARK_GRAFT_SF_DIR=… sbt "runMain graft.SemDedupProbe [k ...]"`
+  * (default cluster counts 16/64/256 — pass larger ks for larger
+  * corpora, holding n/k ≈ the target cell size). Rows print as JSON
+  * for SCALE.md.
   */
 object SemDedupProbe {
   def main(args: Array[String]): Unit = {
@@ -23,7 +25,8 @@ object SemDedupProbe {
       master = "local[32]", appName = "graft-semdedup-probe"))
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = embs.count()
-    Seq(16, 64, 256).foreach { k =>
+    val ks = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(16, 64, 256)
+    ks.foreach { k =>
       val t0 = System.nanoTime()
       val cents = Similarity.kmeansCentroids(embs, nCentroids = k)
       val labels = Dedup.semanticDedup(embs, cents)

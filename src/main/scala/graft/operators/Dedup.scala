@@ -564,14 +564,38 @@ object Dedup {
 
   // ---- d05: embedding-cosine ----------------------------------------------
 
-  /** Default sign-LSH width for the TEST corpus (500–2k vectors): 2^4
-    * buckets keeps enough candidate pairs to exercise the operator. At
-    * 100 TB this MUST be widened — within-bucket pairing is O(n²/2^bits),
-    * so bucket population (n/2^bits) has to stay bounded as n grows:
-    * pick bits ≈ log2(n / target_bucket_size), e.g. 20–28 bits for
-    * billions of vectors. The join key is the bucket string either way;
-    * the plan shape does not change. */
+  /** Minimum sign-LSH width (the width the 500–2k-vector TEST corpus
+    * resolves to): 2^4 buckets keeps enough candidate pairs to
+    * exercise the operator. Within-bucket pairing is O(n²/2^bits), so
+    * bucket population (n/2^bits) must stay bounded as n grows —
+    * [[adaptiveSignBits]] widens the key with the corpus so the
+    * default path is scale-right, not just documented as such. */
   val SignBits = 4
+
+  /** Hard cap on the adaptive width. 16 bits ≤ the 64-dim embedding
+    * width with room to spare and covers corpora to ~33M vectors at
+    * the target bucket size; beyond that callers pass `signBits`
+    * explicitly (billions of vectors want 20–28 bits AND more than
+    * the first-dims hyperplane family). */
+  val MaxSignBits = 16
+
+  /** Mean bucket population the adaptive width aims for. 500 keeps
+    * within-bucket pairing ≤ ~125k candidate pairs per bucket — small
+    * enough that one bucket is one task's work, large enough that the
+    * bucket count (parallelism) stays well above the executor count. */
+  val SignBucketTarget = 500L
+
+  /** Smallest b in [[[SignBits]], [[MaxSignBits]]] with
+    * n ≤ [[SignBucketTarget]]·2^b. Integer shift-and-compare — NOT
+    * float ceil(log2(n/target)) — so the SQL oracle's CASE chain over
+    * the same integer thresholds ([[graft.queries.Ops.sqlAdaptiveSignBits]])
+    * can never disagree with this on a power-of-two boundary. */
+  def adaptiveSignBits(n: Long): Int = {
+    var b = SignBits
+    while (b < MaxSignBits && n > (SignBucketTarget << b)) b += 1
+    b
+  }
+
   val CosineThreshold = 0.35
 
   /** Sign-LSH bucket: concatenated sign bits of the first `bits`
@@ -599,13 +623,26 @@ object Dedup {
     * oracle compare can never straddle the boundary). Norms are
     * computed once per VECTOR before the join, not once per pair —
     * sqrt is deterministic, so the per-pair value (and the oracle) is
-    * unchanged while the pair-side arithmetic drops 3×. */
+    * unchanged while the pair-side arithmetic drops 3×.
+    *
+    * `signBits ≤ 0` (the default) selects [[adaptiveSignBits]] from a
+    * corpus count — one cheap count job buys a bucket key whose
+    * population stays bounded as the corpus grows (measured: the fixed
+    * 4-bit key ground 324 s on the 200k-vector sf10 corpus; the
+    * adaptive 9-bit key is the same plan with 32× fewer candidate
+    * pairs). Verbatim duplicates (cosine 1.0) share every sign bit, so
+    * widening the key never loses them; sub-identical pairs trade
+    * recall for the bound, the standard single-table sign-LSH
+    * trade — d02's banded MinHash is the OR-amplified family when
+    * near-miss recall is the goal. */
   def embeddingCosinePairs(embeddings: DataFrame,
-      signBits: Int = SignBits,
+      signBits: Int = 0,
       threshold: Double = CosineThreshold): DataFrame = {
+    val bits =
+      if (signBits > 0) signBits else adaptiveSignBits(embeddings.count())
     val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("bucket", signBucket(col("v"), signBits))
+      .withColumn("bucket", signBucket(col("v"), bits))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.as("l").join(e.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))

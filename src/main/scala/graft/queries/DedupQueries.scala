@@ -95,7 +95,12 @@ object DedupQueries {
     s"(CASE WHEN substring(l.simhash,$i,1) = substring(r.simhash,$i,1) THEN 0 ELSE 1 END)")
     .mkString(" + ")
 
-  private val sqlBucket = sqlSignBucket("v", SignBits)
+  // adaptive-width sign bucket: bit count from the corpus size, the
+  // same integer thresholds the Spark side uses (Dedup.adaptiveSignBits)
+  private val sqlBucket =
+    sqlSignBucketVar("v", s"(SELECT b FROM sbits)")
+  private val sqlBitsCte =
+    s"sbits AS (SELECT ${sqlAdaptiveSignBits("COUNT(*)")} AS b FROM embeddings)"
   private val sqlDot = sqlListDot("l.v", "r.v")
   private def sqlNorm(side: String) = sqlListNorm(s"$side.v")
 
@@ -320,7 +325,8 @@ object DedupQueries {
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "d05_dedup_embcos" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""WITH $sqlBitsCte,
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |b AS (SELECT vec_id, v, $sqlBucket AS bucket FROM e)
          |SELECT vec_a, vec_b, cos FROM (

@@ -48,6 +48,24 @@ object Ops {
   def sqlSignBucket(v: String, bits: Int): String =
     (1 to bits).map(i => s"CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+  /** DuckDB twin of [[graft.operators.Dedup.adaptiveSignBits]]: a CASE
+    * chain over the SAME integer thresholds (target·2^b), generated
+    * from the same constants — integer compares on both sides, so the
+    * engines cannot straddle a boundary the way float log2 could. */
+  def sqlAdaptiveSignBits(countExpr: String): String = {
+    import graft.operators.Dedup
+    val cases = (Dedup.SignBits until Dedup.MaxSignBits)
+      .map(b => s"WHEN $countExpr <= ${Dedup.SignBucketTarget << b} THEN $b")
+      .mkString(" ")
+    s"(CASE $cases ELSE ${Dedup.MaxSignBits} END)"
+  }
+
+  /** Variable-width twin of [[sqlSignBucket]] for when the bit count
+    * is itself a SQL expression (the adaptive-width oracle). */
+  def sqlSignBucketVar(v: String, bitsExpr: String): String =
+    s"array_to_string(list_transform(range(1, $bitsExpr + 1), " +
+      s"i -> CASE WHEN $v[i] > 0 THEN '1' ELSE '0' END), '')"
+
   /** Normalize the events `ts` column to a session-TZ TIMESTAMP,
     * whatever physical type the fixture vintage stored:
     *

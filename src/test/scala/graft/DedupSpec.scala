@@ -185,6 +185,29 @@ class DedupSpec extends SparkSpec {
       s"pair-free plan expected:\n$plan")
   }
 
+  test("adaptive sign-LSH width tracks corpus size over integer thresholds") {
+    // the TEST-corpus regime stays at the 4-bit floor (sf0.01=500,
+    // sf0.1=2000 vectors → byte-identical behavior to the fixed width)
+    assert(Dedup.adaptiveSignBits(0) == Dedup.SignBits)
+    assert(Dedup.adaptiveSignBits(500) == Dedup.SignBits)
+    assert(Dedup.adaptiveSignBits(2000) == Dedup.SignBits)
+    // exact integer boundary at target·2^b — no float-log straddling
+    assert(Dedup.adaptiveSignBits(Dedup.SignBucketTarget << 4) == 4)
+    assert(Dedup.adaptiveSignBits((Dedup.SignBucketTarget << 4) + 1) == 5)
+    // the measured scale corpora: sf1=20k → 6 bits, sf10=200k → 9 bits
+    assert(Dedup.adaptiveSignBits(20000L) == 6)
+    assert(Dedup.adaptiveSignBits(200000L) == 9)
+    // capped (and monotonic up to the cap)
+    assert(Dedup.adaptiveSignBits(Long.MaxValue) == Dedup.MaxSignBits)
+    val widths = (0 to 40).map(p => Dedup.adaptiveSignBits(1L << p))
+    assert(widths == widths.sorted && widths.last == Dedup.MaxSignBits)
+    // the SQL twin is generated from the same thresholds
+    val sql = graft.queries.Ops.sqlAdaptiveSignBits("n")
+    assert(sql.contains(s"<= ${Dedup.SignBucketTarget << 4} THEN 4"))
+    assert(sql.contains(s"<= ${Dedup.SignBucketTarget << 8} THEN 8"))
+    assert(sql.contains(s"ELSE ${Dedup.MaxSignBits} END"))
+  }
+
   test("wider sign-LSH buckets (scale setting) yield a subset of the default pairs") {
     val narrow = Dedup.embeddingCosinePairs(embs, signBits = 4)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
