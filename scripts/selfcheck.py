@@ -41,8 +41,7 @@ def table_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir, report_json=None):
-    report = {}
+def connect(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -53,6 +52,11 @@ def main(sf_dir, out_dir, report_json=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir, out_dir, report_json=None):
+    report = {}
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_noracle = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*")):
@@ -71,7 +75,15 @@ def main(sf_dir, out_dir, report_json=None):
             report[name] = {"status": "rows-only", "rows": len(got)}
             n_noracle += 1
             continue
+        # one connection PER ORACLE: DuckDB 1.0.0's buffer pool does not
+        # fully release across a 150+-query session — at sf1 the
+        # accumulated footprint eventually fails ~256 KB block
+        # allocations with 100+ GB of limit nominally free (s09's PQ
+        # replay was the first casualty). Per-query isolation costs
+        # only view re-registration.
+        con = connect(sf_dir)
         want = canon(con.execute(oracles[name]).fetchdf())
+        con.close()
         ok_cols = list(got.columns) == list(want.columns)
         ok_rows = len(got) == len(want)
         ok_hash = ok_cols and ok_rows and table_hash(got) == table_hash(want)

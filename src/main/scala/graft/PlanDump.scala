@@ -3,19 +3,34 @@ package graft
 /** Dev utility: print the formatted physical plan of named queries
   * (exchange/stage diagnosis while iterating — see PLANS.md for the
   * audited shapes the bench pins).
+  *
+  * A leading `--exec` flag runs each query first and prints the
+  * POST-EXECUTION adaptive plan instead: AQE's stage cache dedupes
+  * identical exchange subtrees only at runtime, so repeated-subplan
+  * shapes (q29's four hist derivations) look like N scans statically
+  * while executing as one — `ReusedExchange`/`ReusedQueryStage`
+  * counts are only meaningful here.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val exec = args.headOption.contains("--exec")
+    val names = if (exec) args.tail else args
     val spark = GraftEngine.session(GraftConfig(
       master = "local[8]", appName = "graft-plandump", shufflePartitions = 8))
-    args.foreach { name =>
+    names.foreach { name =>
       val df = graft.queries.Queries.all(name)(spark, sfDir)
-      val plan = GraftEngine.explainPlan(df)
+      val plan =
+        if (exec) {
+          df.queryExecution.executedPlan.executeCollect()
+          df.queryExecution.executedPlan.toString
+        } else GraftEngine.explainPlan(df)
       println(s"==== $name ====")
       println(plan)
-      val ex = "Exchange".r.findAllIn(plan).length
-      println(s"[plandump] $name exchanges=$ex")
+      def n(re: String) = re.r.findAllIn(plan).length
+      println(s"[plandump] $name exchanges=${n("Exchange")}" +
+        (if (exec) s" reused=${n("ReusedExchange") + n("ReusedQueryStage")}" +
+          s" scans=${n("Scan parquet")}" else ""))
     }
     spark.stop()
   }
