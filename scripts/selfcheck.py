@@ -44,6 +44,13 @@ def table_hash(df: pd.DataFrame) -> str:
 def connect(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # explicit, modest limit: the default (80% of RAM) lets each
+    # in-memory instance's buffer pool grow unbounded, and across a
+    # 150-query sweep the process accumulates enough residue that a
+    # ~256 KB block allocation eventually fails mid-suite (observed at
+    # sf1 on duckdb 1.0.0, s09's PQ replay) even though every single
+    # oracle fits comfortably — the heaviest needs ~7 GB alone
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):

@@ -28,9 +28,15 @@ object PlanDump {
       println(s"==== $name ====")
       println(plan)
       def n(re: String) = re.r.findAllIn(plan).length
+      // a FileScan printed INSIDE an InMemoryRelation description is
+      // the cached plan's provenance, not an execution — subtract one
+      // description per InMemoryTableScan consumer and count the
+      // cache reads separately (the relation's child runs once, at
+      // first materialization)
       println(s"[plandump] $name exchanges=${n("Exchange")}" +
         (if (exec) s" reused=${n("ReusedExchange") + n("ReusedQueryStage")}" +
-          s" scans=${n("Scan parquet")}" else ""))
+          s" scans=${math.max(0, n("Scan parquet") - n("InMemoryTableScan"))}" +
+          s" cachedReads=${n("InMemoryTableScan")}" else ""))
     }
     spark.stop()
   }
