@@ -125,9 +125,21 @@ object Dedup {
       .drop("bhs")
 
   /** Candidate near-dup pairs: equi-join on the band-bucket key — the
-    * scale-safe path; pair generation happens within buckets only. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = bandedBuckets(docs)
+    * scale-safe path; pair generation happens within buckets only.
+    *
+    * The banded-bucket table (4 narrow rows/doc) is materialized via
+    * `share` so the shingle+minhash pass over the corpus runs ONCE and
+    * both self-join sides read the materialization — the in-run
+    * mirror of the STORED band index d09 joins against at ingest.
+    * Default is a lazy localCheckpoint (right for per-call plans);
+    * LONG-LIVED consumers (view registration) pass `_.persist(...)`
+    * instead, exactly [[substringSpanPairs]]'s share contract — a
+    * checkpoint-marked plan dies permanently if a storage sweep lands
+    * between registration and first read, and the checkpoint's plan
+    * finalization runs jobs under AQE, which registration must not. */
+  def minhashCandidates(docs: DataFrame,
+      share: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+    val b = share(bandedBuckets(docs))
     b.as("l").join(b.as("r"),
         col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -519,9 +531,17 @@ object Dedup {
     * uses the native `array_intersect` expression (hash-set build, one
     * pass over each array) computed ONCE per pair — not the interpreted
     * `filter`+`array_contains` HOF, which is O(|A|·|B|) per evaluation
-    * and falls out of codegen. */
+    * and falls out of codegen.
+    *
+    * The shingle-set table is checkpointed LAZILY (d10's discipline):
+    * it feeds both join sides, and planned twice the corpus is
+    * re-tokenized and re-shingled per side (measured 6 corpus scans
+    * in d16's executed plan, same shape) — one materialization, two
+    * readers. Lazy, so plan construction costs nothing and the
+    * per-call path (plan lives for one invocation) never strands
+    * storage. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
+    val sh = shingleSets(docs).localCheckpoint(eager = false)
     minhashCandidates(docs)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
@@ -551,7 +571,8 @@ object Dedup {
     * machinery's job (or a containment-tuned band scheme over
     * |A|-normalized sketches at production scale). */
   def containmentPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
+    // same one-materialization shingle table as [[jaccardPairs]]
+    val sh = shingleSets(docs).localCheckpoint(eager = false)
     minhashCandidates(docs)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
