@@ -583,6 +583,66 @@ object Dedup {
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentThreshold)
   }
 
+  // ---- d17: segment-level corpus dedup (C4-style keep-first) --------------
+
+  /** Fixed segment width (tokens). C4's rule operates on three-sentence
+    * spans; the synthetic corpus has no sentence boundaries, so the
+    * segmenter is fixed-width token blocks — the OPERATION (discard all
+    * but the first occurrence of a repeated span, corpus-wide) is the
+    * published one and the segmenter is a parameter. */
+  val SegmentTokens = 10
+
+  /** Segments shorter than this (tail blocks only — a short segment can
+    * only be a document's last) never participate in dedup: a 2-token
+    * tail is not a meaningful span and corpus-wide it would be dropped
+    * from almost every document. */
+  val MinSegTokens = 5
+
+  /** d17: C4-style segment-level corpus dedup — the REWRITE operator of
+    * the family (d01–d16 report; this one edits the corpus). Documents
+    * are cut into fixed [[SegmentTokens]]-token segments; every repeated
+    * segment keeps its FIRST occurrence (min (doc_id, position), encoded
+    * as one integer so the rule is engine-exact) and is dropped from all
+    * later positions; surviving segments reassemble in position order.
+    * Output: one row per document — segment counts + the deduplicated
+    * text (possibly empty when every segment first occurred elsewhere).
+    *
+    * Scale shape: two corpus shuffles. (1) The keep-decision groupBy on
+    * the segment hash has map-side partial mins, so a corpus-wide
+    * boilerplate segment costs its reducer ONE pre-combined row per map
+    * task — the hot-hash skew lives in the decision JOIN back, which
+    * AQE's skew-join splitting covers; (2) reassembly groups by doc_id
+    * with rows bounded by each document's own segment count. Segment
+    * generation is map-side (posexplode of a slice transform); nothing
+    * driver-side, no windows over unbounded partitions. */
+  def segmentDedup(docs: DataFrame, w: Int = SegmentTokens,
+      minKeep: Int = MinSegTokens): DataFrame = {
+    val ws = words(col("text"))
+    val nseg = ((size(col("ws")) + lit(w - 1)) / lit(w)).cast("int")
+    val segs = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), nseg.as("n_segs"),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+      .withColumn("h", md5(col("seg")))
+    val code = col("doc_id") * lit(1000000L) + col("seg_idx")
+    val firsts = segs
+      .filter(size(split(col("seg"), " ")) >= minKeep)
+      .groupBy("h").agg(min(code).as("fc"))
+    val kept = segs.join(firsts, Seq("h"), "left")
+      .filter(col("fc").isNull || col("fc") === code)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        x => x("seg")), " ").as("text_dedup"))
+    segs.groupBy(col("doc_id")).agg(max(col("n_segs")).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ---- d05: embedding-cosine ----------------------------------------------
 
   /** Minimum sign-LSH width (the width the 500–2k-vector TEST corpus

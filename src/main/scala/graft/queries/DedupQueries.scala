@@ -132,6 +132,11 @@ object DedupQueries {
     "d05_dedup_embcos" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")),
 
+    // d17: C4-style segment dedup — the corpus REWRITE operator (every
+    // repeated fixed-width segment keeps only its first occurrence)
+    "d17_dedup_segments" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents")).orderBy("doc_id")),
+
     // d08: aligned-block partial-duplicate pairs (shared verbatim
     // spans; boilerplate-frequency blocks excluded, which also bounds
     // the block-bucket skew)
@@ -290,6 +295,31 @@ object DedupQueries {
          |            JOIN sh r ON cand.doc_b = r.doc_id)
          |WHERE greatest(cont_a_in_b, cont_b_in_a) >= ${Dedup.ContainmentThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d17: same segmentation (fixed token blocks), same integer
+    // keep-first code (doc_id*1e6 + position), same reassembly order
+    "d17_dedup_segments" -> {
+      val w = Dedup.SegmentTokens
+      s"""WITH ww AS (SELECT doc_id, $sqlWordsE AS words FROM documents),
+         |idx AS (SELECT doc_id, words,
+         |  unnest(range(0, (len(words) + ${w - 1}) // $w)) AS seg_idx FROM ww),
+         |segs AS (SELECT doc_id, seg_idx,
+         |  array_to_string(words[(seg_idx*$w+1):(seg_idx*$w+$w)], ' ') AS seg FROM idx),
+         |hashed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h,
+         |  len(string_split(seg, ' ')) AS ntok FROM segs),
+         |firsts AS (SELECT h, MIN(doc_id*1000000 + seg_idx) AS fc FROM hashed
+         |  WHERE ntok >= ${Dedup.MinSegTokens} GROUP BY h),
+         |kept AS (SELECT k.doc_id, k.seg_idx, k.seg FROM hashed k
+         |  LEFT JOIN firsts f ON k.h = f.h
+         |  WHERE f.fc IS NULL OR f.fc = k.doc_id*1000000 + k.seg_idx),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup FROM kept GROUP BY doc_id),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_segs FROM hashed GROUP BY doc_id)
+         |SELECT c.doc_id, c.n_segs, COALESCE(r.n_kept, 0) AS n_kept,
+         |  COALESCE(r.text_dedup, '') AS text_dedup
+         |FROM counts c LEFT JOIN reb r ON c.doc_id = r.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    },
 
     "d08_block_overlap" ->
       s"""WITH n AS (SELECT doc_id, ${sqlNormText("text")} AS norm FROM documents),

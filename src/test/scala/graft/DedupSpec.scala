@@ -382,4 +382,48 @@ class DedupSpec extends SparkSpec {
       s"CDC dedup must shuffle only on chunk content:\n$plan")
     assert(!plan.contains("Window"), s"no per-doc window allowed:\n$plan")
   }
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).as("n_chars"))
+  }
+
+  test("d17 keeps the first occurrence of a repeated segment and rewrites later docs") {
+    // doc 1: segments A B; doc 2: segments A C (A repeats — doc 2 loses
+    // it); doc 3: B then a 3-token tail (tail below MinSegTokens is
+    // always kept even though it never "first-occurred" anywhere)
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val tail = "t1 t2 t3"
+    val out = Dedup.segmentDedup(mkDocs(Seq(
+        1L -> s"$segA $segB", 2L -> s"$segA $segC", 3L -> s"$segB $tail")))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, s"$segA $segB")), s"doc 1 keeps both: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, segC)), s"doc 2 loses A, keeps C in order: ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, tail)), s"doc 3 loses B, tail survives: ${out(3L)}")
+  }
+
+  test("d17 rewrite empties a verbatim duplicate of full segments") {
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val out = Dedup.segmentDedup(mkDocs(Seq(
+        1L -> s"$segA $segB", 2L -> s"$segA $segB")))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == s"$segA $segB")
+    assert(out(1).getLong(2) == 0L && out(1).getString(3) == "",
+      s"the later verbatim copy must empty out: ${out(1)}")
+  }
+
+  test("d17 keep-decision aggregate combines map-side (skew lives in the join, not the min)") {
+    val plan = Dedup.segmentDedup(docs).queryExecution.executedPlan.toString()
+    // partial_min before the exchange on the segment-hash groupBy: a
+    // corpus-wide boilerplate segment reaches its reducer pre-combined
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"keep-first min must have a map-side partial:\n$plan")
+    assert(!plan.contains("Window"), s"no unbounded per-hash window allowed:\n$plan")
+  }
 }
