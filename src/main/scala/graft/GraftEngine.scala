@@ -141,12 +141,8 @@ final class GraftEngine(val spark: SparkSession,
     val embs = spark.table("embeddings")
     operators.Dedup.exact(docs)
       .createOrReplaceTempView("graft_dedup_exact")
-    // persist-share for the same reason as graft_substring_pairs below
-    operators.Dedup.minhashCandidates(docs, share = { b =>
-      val p = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sharedPlans += p
-      p
-    }).createOrReplaceTempView("graft_minhash_pairs")
+    operators.Dedup.minhashCandidates(docs)
+      .createOrReplaceTempView("graft_minhash_pairs")
     operators.Dedup.simhashPairs(docs)
       .createOrReplaceTempView("graft_simhash_pairs")
     // persist, NOT the operator's default lazy localCheckpoint: this

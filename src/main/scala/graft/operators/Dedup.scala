@@ -127,19 +127,18 @@ object Dedup {
   /** Candidate near-dup pairs: equi-join on the band-bucket key — the
     * scale-safe path; pair generation happens within buckets only.
     *
-    * The banded-bucket table (4 narrow rows/doc) is materialized via
-    * `share` so the shingle+minhash pass over the corpus runs ONCE and
-    * both self-join sides read the materialization — the in-run
-    * mirror of the STORED band index d09 joins against at ingest.
-    * Default is a lazy localCheckpoint (right for per-call plans);
-    * LONG-LIVED consumers (view registration) pass `_.persist(...)`
-    * instead, exactly [[substringSpanPairs]]'s share contract — a
-    * checkpoint-marked plan dies permanently if a storage sweep lands
-    * between registration and first read, and the checkpoint's plan
-    * finalization runs jobs under AQE, which registration must not. */
-  def minhashCandidates(docs: DataFrame,
-      share: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
-    val b = share(bandedBuckets(docs))
+    * The banded-bucket subtree is deliberately NOT checkpointed even
+    * though both self-join sides plan it: a LogicalRDD carries no size
+    * statistics, so every downstream join loses its broadcast decision
+    * at plan time — measured in round 10 as d04/d16 DOUBLING at sf1
+    * (the tiny candidate set stopped broadcasting into the shingle
+    * joins and the fat arrays sort-merge-shuffled instead). The
+    * deployment answer to re-running the signature pass is the STORED
+    * band index (d09's bucketed table), which keeps parquet statistics
+    * and zero-exchange joins; in-run, recomputing the narrow band rows
+    * twice is cheaper than what checkpoint-blind stats cost. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val b = bandedBuckets(docs)
     b.as("l").join(b.as("r"),
         col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -533,15 +532,18 @@ object Dedup {
     * `filter`+`array_contains` HOF, which is O(|A|·|B|) per evaluation
     * and falls out of codegen.
     *
-    * The shingle-set table is checkpointed LAZILY (d10's discipline):
-    * it feeds both join sides, and planned twice the corpus is
-    * re-tokenized and re-shingled per side (measured 6 corpus scans
-    * in d16's executed plan, same shape) — one materialization, two
-    * readers. Lazy, so plan construction costs nothing and the
-    * per-call path (plan lives for one invocation) never strands
-    * storage. */
+    * The shingle-set table feeds both join sides and is deliberately
+    * RECOMPUTED per side, not materialized: the arrays are ~3× the
+    * text they come from, and a round-10 measurement of the
+    * checkpointed form DOUBLED d04/d16 at sf1 (4.2 → 12 s, stable
+    * across passes) — serializing, storing and re-reading the fat
+    * arrays costs more than the map-side re-shingling it saves, at
+    * every scale where text I/O is cheaper than array I/O. The narrow
+    * band table inside [[minhashCandidates]] IS materialized (16
+    * bytes/row — measured neutral locally, and it is the stored-index
+    * shape at deployment). */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs).localCheckpoint(eager = false)
+    val sh = shingleSets(docs)
     minhashCandidates(docs)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
@@ -571,8 +573,8 @@ object Dedup {
     * machinery's job (or a containment-tuned band scheme over
     * |A|-normalized sketches at production scale). */
   def containmentPairs(docs: DataFrame): DataFrame = {
-    // same one-materialization shingle table as [[jaccardPairs]]
-    val sh = shingleSets(docs).localCheckpoint(eager = false)
+    // same recompute-don't-materialize shingle trade as [[jaccardPairs]]
+    val sh = shingleSets(docs)
     minhashCandidates(docs)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
