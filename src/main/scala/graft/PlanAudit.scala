@@ -146,6 +146,12 @@ object PlanAudit {
       "window, no positional shuffle); the single corpus-sized exchange is " +
       "the partial-aggregated groupBy on chunk content — d01's one-shuffle " +
       "discipline at sub-document granularity."),
+    "d17_dedup_segments" -> ("Segment rewrite dedup: segment generation is a " +
+      "map-side posexplode inside the scan stage; the keep-first decision is " +
+      "a partial-aggregated min on the segment hash (boilerplate hashes " +
+      "arrive pre-combined — the skew lives in the decision join, which AQE " +
+      "splits), and reassembly is one groupBy per doc. No windows over " +
+      "unbounded partitions, no driver-side pass."),
     "q20_rollup" -> ("ROLLUP as hierarchical re-aggregation: NO Expand " +
       "operator (native rollup would scan-multiply the corpus once per " +
       "grouping set); the corpus aggregates once to the finest grain and " +
