@@ -617,22 +617,23 @@ object Dedup {
     * with rows bounded by each document's own segment count. Segment
     * generation is map-side (posexplode of a slice transform); nothing
     * driver-side, no windows over unbounded partitions. */
-  def segmentDedup(docs: DataFrame, w: Int = SegmentTokens,
-      minKeep: Int = MinSegTokens): DataFrame = {
+  /** One row per (doc, segment): map-side posexplode of the fixed-width
+    * slice transform, with the segment's md5 and the doc's segment
+    * count. Shared by [[segmentDedup]] and [[segmentDedupIncremental]]. */
+  private def segmentRows(docs: DataFrame, w: Int): DataFrame = {
     val ws = words(col("text"))
     val nseg = ((size(col("ws")) + lit(w - 1)) / lit(w)).cast("int")
-    val segs = docs.select(col("doc_id"), ws.as("ws"))
+    docs.select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), nseg.as("n_segs"),
         posexplode(transform(sequence(lit(0), nseg - 1),
           i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
       .withColumn("h", md5(col("seg")))
-    val code = col("doc_id") * lit(1000000L) + col("seg_idx")
-    val firsts = segs
-      .filter(size(split(col("seg"), " ")) >= minKeep)
-      .groupBy("h").agg(min(code).as("fc"))
-    val kept = segs.join(firsts, Seq("h"), "left")
-      .filter(col("fc").isNull || col("fc") === code)
+  }
+
+  /** Reassemble kept segments into one row per input document (docs
+    * that lost every segment surface with empty text, not dropped). */
+  private def reassembleSegments(segs: DataFrame, kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       array_join(transform(
@@ -644,6 +645,60 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  def segmentDedup(docs: DataFrame, w: Int = SegmentTokens,
+      minKeep: Int = MinSegTokens): DataFrame = {
+    val segs = segmentRows(docs, w)
+    val code = col("doc_id") * lit(1000000L) + col("seg_idx")
+    val firsts = segs
+      .filter(size(split(col("seg"), " ")) >= minKeep)
+      .groupBy("h").agg(min(code).as("fc"))
+    val kept = segs.join(firsts, Seq("h"), "left")
+      .filter(col("fc").isNull || col("fc") === code)
+    reassembleSegments(segs, kept)
+  }
+
+  /** d17 ingest shape: rewrite a BATCH against the STORED segment-hash
+    * index of everything already admitted — the [[incrementalKeep]]
+    * pattern at segment granularity, for pipelines that dedup
+    * continuously instead of re-running [[segmentDedup]] over the
+    * whole corpus. A batch segment survives when its hash is NOT in
+    * the history index AND it is the batch's own first occurrence
+    * (same integer-code min; sub-`minKeep` tails always survive);
+    * survivors reassemble per document exactly as the batch form.
+    *
+    * Cost is O(|batch|): the history side is an equi-join probe on the
+    * hash — stored bucketed by `h` (TableLayout's single-key layout)
+    * it joins with ZERO exchange on the index side and is never
+    * rescanned, re-segmented, or rewritten. The caller appends the
+    * admitted segments' hashes ([[segmentHashes]] of the REWRITTEN
+    * output) to the index afterwards, keeping admission idempotent. */
+  def segmentDedupIncremental(historyHashes: DataFrame, batch: DataFrame,
+      w: Int = SegmentTokens, minKeep: Int = MinSegTokens): DataFrame = {
+    val segs = segmentRows(batch, w)
+    val code = col("doc_id") * lit(1000000L) + col("seg_idx")
+    val eligible = size(split(col("seg"), " ")) >= minKeep
+    // explicit column list: a using-column join reorders `h` to the
+    // front and unionAll is positional
+    val segCols = segs.columns.toSeq.map(col)
+    val fresh = segs.filter(!eligible).select(segCols: _*).unionAll(
+      segs.filter(eligible).join(historyHashes.select("h"), Seq("h"), "left_anti")
+        .select(segCols: _*))
+    val firsts = fresh.filter(eligible)
+      .groupBy("h").agg(min(code).as("fc"))
+    val kept = fresh.join(firsts, Seq("h"), "left")
+      .filter(col("fc").isNull || col("fc") === code)
+    reassembleSegments(segs, kept)
+  }
+
+  /** Distinct dedup-eligible segment hashes of a corpus or rewritten
+    * batch — the rows [[segmentDedupIncremental]]'s stored index holds
+    * (append the admitted batch's hashes after each ingest). */
+  def segmentHashes(docs: DataFrame, w: Int = SegmentTokens,
+      minKeep: Int = MinSegTokens): DataFrame =
+    segmentRows(docs, w)
+      .filter(size(split(col("seg"), " ")) >= minKeep)
+      .select("h").distinct()
 
   // ---- d05: embedding-cosine ----------------------------------------------
 

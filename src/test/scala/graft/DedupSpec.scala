@@ -418,6 +418,31 @@ class DedupSpec extends SparkSpec {
       s"the later verbatim copy must empty out: ${out(1)}")
   }
 
+  test("d17 incremental: history drops, batch keep-first holds, tails survive, admission is idempotent") {
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val tail = "t1 t2"
+    val history = Dedup.segmentHashes(mkDocs(Seq(1L -> s"$segA $segC")))
+    // batch doc 10: A (in history → dropped) + B (fresh → kept);
+    // doc 11: B again (batch-first is doc 10 → dropped) + tail (kept)
+    val batch = mkDocs(Seq(10L -> s"$segA $segB", 11L -> s"$segB $tail"))
+    val out = Dedup.segmentDedupIncremental(history, batch)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) == ((1L, segB)), s"doc 10 drops history A, keeps fresh B: ${out(10L)}")
+    assert(out(11L) == ((1L, tail)), s"doc 11 loses B to doc 10, tail survives: ${out(11L)}")
+    // idempotence: append the admitted hashes, re-admit the REWRITTEN
+    // output — nothing further drops
+    val updated = history.unionAll(Dedup.segmentHashes(
+      mkDocs(Seq(10L -> segB)))).distinct()
+    val again = Dedup.segmentDedupIncremental(updated,
+        mkDocs(Seq(20L -> segB)))
+      .collect().head
+    assert(again.getLong(2) == 0L && again.getString(3) == "",
+      s"already-admitted segment must not re-admit: $again")
+  }
+
   test("d17 keep-decision aggregate combines map-side (skew lives in the join, not the min)") {
     val plan = Dedup.segmentDedup(docs).queryExecution.executedPlan.toString()
     // partial_min before the exchange on the segment-hash groupBy: a
