@@ -22,6 +22,56 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  // ---- corpus row count without a per-call scan ----------------------------
+
+  /** fingerprint+plan → exact row count (process-wide; counts are tiny). */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact row count of a corpus frame WITHOUT paying a count job per
+    * call, in preference order:
+    *  1. the optimized plan's own `rowCount` when the frame is a LEAF
+    *     relation carrying statistics (a catalog table whose stats were
+    *     fed by [[graft.operators.Profile.feedSessionCatalog]] /
+    *     ANALYZE, a materialized cache) — zero jobs, and exact, because
+    *     leaf-relation row counts come from a counted source, never a
+    *     cardinality estimate (non-leaf plans are NOT trusted: a
+    *     filter's rowCount is an estimate);
+    *  2. a process-wide cache keyed by the ArtifactStore source
+    *     fingerprint (path+length+mtime of every input file) plus the
+    *     canonicalized plan hash (so a FILTERED frame over the same
+    *     files never shares a full-corpus count): the first call per
+    *     corpus snapshot pays one count job, every later call is a
+    *     driver-side map hit, and a regenerated corpus flips the
+    *     fingerprint so a stale count can never be served;
+    *  3. a plain `count()` for fileless frames (nothing stable to key on).
+    *
+    * Exactness matters here, not just order-of-magnitude: d05's oracle
+    * derives the adaptive LSH width from SQL COUNT(*) over the same
+    * integer thresholds, so an estimated count could straddle a width
+    * boundary the oracle doesn't. */
+  def corpusRowCount(df: DataFrame): Long = {
+    val plan = df.queryExecution.optimizedPlan
+    val leafStats = plan match {
+      case leaf: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        leaf.stats.rowCount
+      case _ => None
+    }
+    leafStats match {
+      case Some(rc) => rc.toLong
+      case None if df.inputFiles.isEmpty => df.count()
+      case None =>
+        // the canonicalized plan STRING, not its hashCode: two reads of
+        // the same path render identically, while the case-class hash
+        // varies with relation object identity (a fresh read would
+        // always miss the cache)
+        val fp = graft.sources.ArtifactStore.sourceFingerprint(
+          df, df.sparkSession.sparkContext.hadoopConfiguration,
+          salt = s"plan:${plan.canonicalized.toString}")
+        countCache.computeIfAbsent(fp, _ => df.count()).longValue()
+    }
+  }
+
   // ---- d01: exact dedup ---------------------------------------------------
 
   /** Exact dedup: group by normalized-content fingerprint; keep the
@@ -539,9 +589,11 @@ object Dedup {
     * across passes) — serializing, storing and re-reading the fat
     * arrays costs more than the map-side re-shingling it saves, at
     * every scale where text I/O is cheaper than array I/O. The narrow
-    * band table inside [[minhashCandidates]] IS materialized (16
-    * bytes/row — measured neutral locally, and it is the stored-index
-    * shape at deployment). */
+    * band table inside [[minhashCandidates]] is likewise recomputed
+    * per side in-run (a checkpoint would erase its size statistics and
+    * the downstream broadcast decisions with them — see the note
+    * there); the STORED band index (d09's bucketed table) is the
+    * deployment shape that avoids both recompute and stats loss. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val sh = shingleSets(docs)
     minhashCandidates(docs)
@@ -600,6 +652,26 @@ object Dedup {
     * from almost every document. */
   val MinSegTokens = 5
 
+  /** Base of the keep-first segment code doc_id·base + seg_idx: one
+    * long encodes the (doc, position) total order so the keep rule is
+    * a single integer `min` with map-side partials. 1e9 admits ~10B
+    * tokens per document at the default width before seg_idx would
+    * collide into the next doc_id's range — and the guard in
+    * [[segKeepCode]] RAISES at that point instead of silently keeping
+    * a wrong "first" occurrence (the oracle shares this constant, so a
+    * collision would be invisible to the hash gate). doc_id must stay
+    * under ~9.2e9 (Long.MaxValue / base); every generated corpus tops
+    * out near 1e9. */
+  val SegCodeBase = 1000000000L
+
+  /** The guarded keep-first code (see [[SegCodeBase]]). The guard is a
+    * codegen'd branch per segment row — free next to the md5. */
+  private[graft] def segKeepCode(docId: Column, segIdx: Column): Column =
+    when(segIdx >= SegCodeBase, raise_error(concat(
+      lit(s"segment index overflows keep-code base $SegCodeBase: doc_id="),
+      docId.cast("string"), lit(" seg_idx="), segIdx.cast("string"))))
+      .otherwise(docId * lit(SegCodeBase) + segIdx)
+
   /** d17: C4-style segment-level corpus dedup — the REWRITE operator of
     * the family (d01–d16 report; this one edits the corpus). Documents
     * are cut into fixed [[SegmentTokens]]-token segments; every repeated
@@ -649,7 +721,7 @@ object Dedup {
   def segmentDedup(docs: DataFrame, w: Int = SegmentTokens,
       minKeep: Int = MinSegTokens): DataFrame = {
     val segs = segmentRows(docs, w)
-    val code = col("doc_id") * lit(1000000L) + col("seg_idx")
+    val code = segKeepCode(col("doc_id"), col("seg_idx"))
     val firsts = segs
       .filter(size(split(col("seg"), " ")) >= minKeep)
       .groupBy("h").agg(min(code).as("fc"))
@@ -676,7 +748,7 @@ object Dedup {
   def segmentDedupIncremental(historyHashes: DataFrame, batch: DataFrame,
       w: Int = SegmentTokens, minKeep: Int = MinSegTokens): DataFrame = {
     val segs = segmentRows(batch, w)
-    val code = col("doc_id") * lit(1000000L) + col("seg_idx")
+    val code = segKeepCode(col("doc_id"), col("seg_idx"))
     val eligible = size(split(col("seg"), " ")) >= minKeep
     // explicit column list: a using-column join reorders `h` to the
     // front and unionAll is positional
@@ -763,9 +835,12 @@ object Dedup {
     * sqrt is deterministic, so the per-pair value (and the oracle) is
     * unchanged while the pair-side arithmetic drops 3×.
     *
-    * `signBits ≤ 0` (the default) selects [[adaptiveSignBits]] from a
-    * corpus count — one cheap count job buys a bucket key whose
-    * population stays bounded as the corpus grows (measured: the fixed
+    * `signBits ≤ 0` (the default) selects [[adaptiveSignBits]] from the
+    * corpus size via [[corpusRowCount]] — catalog statistics or a
+    * fingerprint-cached count, so repeat invocations (and any
+    * deployment that ANALYZEs its tables) pay ZERO count jobs; only the
+    * first sight of a corpus snapshot scans it. The adaptive key keeps
+    * bucket population bounded as the corpus grows (measured: the fixed
     * 4-bit key ground 324 s on the 200k-vector sf10 corpus; the
     * adaptive 9-bit key is the same plan with 32× fewer candidate
     * pairs). Verbatim duplicates (cosine 1.0) share every sign bit, so
@@ -777,7 +852,7 @@ object Dedup {
       signBits: Int = 0,
       threshold: Double = CosineThreshold): DataFrame = {
     val bits =
-      if (signBits > 0) signBits else adaptiveSignBits(embeddings.count())
+      if (signBits > 0) signBits else adaptiveSignBits(corpusRowCount(embeddings))
     val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))

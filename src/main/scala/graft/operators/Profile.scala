@@ -94,10 +94,19 @@ object Profile {
         case FloatType | DoubleType => Some(v.toString)
         case _ => None
       }
+      // isNullAt, not Option(getAs[Double]): getAs unboxes SQL NULL
+      // (an all-null column's min/max) to primitive 0.0, which would
+      // feed the CBO a fabricated min=max="0" range for a column that
+      // has NO range — silently skewing every selectivity estimate
+      // over it. A null stat must stay absent.
+      def numOpt(colName: String): Option[Double] = {
+        val i = one.fieldIndex(colName)
+        if (one.isNullAt(i)) None else Some(one.getDouble(i))
+      }
       val (mn, mx) =
         if (isNum(f.dataType))
-          (Option(one.getAs[Double](s"mn_${f.name}")).flatMap(ext),
-            Option(one.getAs[Double](s"mx_${f.name}")).flatMap(ext))
+          (numOpt(s"mn_${f.name}").flatMap(ext),
+            numOpt(s"mx_${f.name}").flatMap(ext))
         else (None, None)
       f.name -> CatalogColumnStat(
         distinctCount = Some(BigInt(one.getAs[Long](s"ad_${f.name}"))),

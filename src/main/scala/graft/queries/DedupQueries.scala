@@ -297,7 +297,7 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // d17: same segmentation (fixed token blocks), same integer
-    // keep-first code (doc_id*1e6 + position), same reassembly order
+    // keep-first code (doc_id*SegCodeBase + position), same reassembly order
     "d17_dedup_segments" -> {
       val w = Dedup.SegmentTokens
       s"""WITH ww AS (SELECT doc_id, $sqlWordsE AS words FROM documents),
@@ -307,11 +307,11 @@ object DedupQueries {
          |  array_to_string(words[(seg_idx*$w+1):(seg_idx*$w+$w)], ' ') AS seg FROM idx),
          |hashed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h,
          |  len(string_split(seg, ' ')) AS ntok FROM segs),
-         |firsts AS (SELECT h, MIN(doc_id*1000000 + seg_idx) AS fc FROM hashed
+         |firsts AS (SELECT h, MIN(doc_id*${Dedup.SegCodeBase} + seg_idx) AS fc FROM hashed
          |  WHERE ntok >= ${Dedup.MinSegTokens} GROUP BY h),
          |kept AS (SELECT k.doc_id, k.seg_idx, k.seg FROM hashed k
          |  LEFT JOIN firsts f ON k.h = f.h
-         |  WHERE f.fc IS NULL OR f.fc = k.doc_id*1000000 + k.seg_idx),
+         |  WHERE f.fc IS NULL OR f.fc = k.doc_id*${Dedup.SegCodeBase} + k.seg_idx),
          |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
          |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup FROM kept GROUP BY doc_id),
          |counts AS (SELECT doc_id, COUNT(*) AS n_segs FROM hashed GROUP BY doc_id)

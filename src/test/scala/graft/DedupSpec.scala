@@ -451,4 +451,49 @@ class DedupSpec extends SparkSpec {
       s"keep-first min must have a map-side partial:\n$plan")
     assert(!plan.contains("Window"), s"no unbounded per-hash window allowed:\n$plan")
   }
+
+  test("corpusRowCount: repeat resolution is job-free; filtered frames never share a count") {
+    val n = embs.count()
+    // first resolution may pay the one fingerprint-keyed count job
+    assert(Dedup.corpusRowCount(embs) == n)
+    // construct the fresh frame BEFORE listening: read.parquet itself
+    // runs a schema-inference job, which is not what this test gates
+    val again = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a FRESH frame over the same files resolves from the cache
+      assert(Dedup.corpusRowCount(again) == n)
+      // and d05 construction itself (the original count() call site)
+      // no longer runs any job at plan-construction time
+      Dedup.embeddingCosinePairs(again)
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"cached corpus count still ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a filtered frame has a different canonicalized plan: its count is
+    // keyed separately, never served from the full-corpus entry
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    val halfN = half.count()
+    assert(halfN != n && Dedup.corpusRowCount(half) == halfN)
+  }
+
+  test("segment keep-code raises on seg_idx overflow instead of colliding across docs") {
+    import spark.implicits._
+    val ok = Seq((3L, 7)).toDF("doc_id", "seg_idx")
+      .select(Dedup.segKeepCode(col("doc_id"), col("seg_idx"))).head.getLong(0)
+    assert(ok == 3L * Dedup.SegCodeBase + 7)
+    val ex = intercept[Exception] {
+      Seq((1L, Int.MaxValue)).toDF("doc_id", "seg_idx")
+        .select(Dedup.segKeepCode(col("doc_id"), col("seg_idx"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("overflows keep-code base")),
+      s"expected the overflow guard, got: ${messages(ex).mkString(" | ")}")
+  }
 }

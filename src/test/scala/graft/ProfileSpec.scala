@@ -57,4 +57,30 @@ class ProfileSpec extends SparkSpec {
     val key = out.find(_.getString(0) == "o_orderkey").get
     assert(key.getLong(3) == n, "o_orderkey must be unique")
   }
+
+  test("feedSessionCatalog: an all-null numeric column feeds NO fabricated min/max range") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_allnull_${System.nanoTime()}"
+    Seq((1L, Option.empty[Double], 5L), (2L, Option.empty[Double], 9L))
+      .toDF("id", "dead", "live")
+      .write.mode("overwrite").parquet(dir)
+    val name = "graft_cat_allnull"
+    try {
+      Profile.feedSessionCatalog(spark, name, dir)
+      val stats = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .stats.get
+      val dead = stats.colStats("dead")
+      // the round-11 bug: SQL NULL unboxed to 0.0 → min=max="0.0" on a
+      // column with no values at all
+      assert(dead.min.isEmpty && dead.max.isEmpty,
+        s"all-null column fed a fabricated range: min=${dead.min} max=${dead.max}")
+      assert(dead.nullCount.contains(BigInt(2)))
+      // columns with values keep their real range
+      val live = stats.colStats("live")
+      assert(live.min.contains("5") && live.max.contains("9"), live)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    }
+  }
 }
