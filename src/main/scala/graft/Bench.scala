@@ -189,6 +189,7 @@ object Bench {
     val prepAnnSec = prepSec(queries.SimilarityQueries.ensureAnnIndex(spark, sfDir))
     val prepClusterSec = prepSec(queries.DedupQueries.ensureClusterIndex(spark, sfDir))
     val prepPqSec = prepSec(queries.SimilarityQueries.ensurePqIndex(spark, sfDir))
+    val prepSpanSec = prepSec(queries.DedupQueries.ensureWindowIndex(spark, sfDir))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -302,6 +303,7 @@ object Bench {
         s""""prepMediaSec":${num(prepMediaSec, 3)},"prepAnnSec":${num(prepAnnSec, 3)},""" +
         s""""prepClusterSec":${num(prepClusterSec, 3)},""" +
         s""""prepPqSec":${num(prepPqSec, 3)},""" +
+        s""""prepSpanSec":${num(prepSpanSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

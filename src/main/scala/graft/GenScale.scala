@@ -64,6 +64,10 @@ object GenScale {
     //    between different flips), so non-verbatim replicas share no
     //    dedup signal in any modality.
     val keepEvery = if (factor <= 20) 2 else 10
+    // the sign-flip salt's injectivity (prime modulus 101 below) holds
+    // only while every replica index stays under the modulus
+    require(!saltVec || factor <= 101,
+      s"saltVec flip patterns repeat past factor 101 (got $factor); raise the prime modulus")
     (0 until factor).map { i =>
       val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
         d.withColumn(c, col(c) + lit(i * off))
@@ -79,7 +83,17 @@ object GenScale {
       else salted.withColumn("embedding",
         zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1),
-          (x, j) => when(pmod((j + 1) * lit(i), lit(7)) < 3, -x).otherwise(x)))
+          // sign-flip pattern INJECTIVE in the replica index: modulus
+          // 101 is prime and > any factor ≤ 100, so j → (j+1)·i mod 101
+          // is a distinct permutation per replica — no two salted
+          // replicas share a flip pattern. (The round-11 advisor found
+          // the earlier mod-7 pattern repeated every 7 replicas,
+          // planting ~13-way cosine-1.0 groups at factor 100, so the
+          // sf10 vector numbers measured planted pathology rather than
+          // scaling.) Threshold 43/101 ≈ 0.43 flips per dim keeps
+          // expected cross-replica cosine near 0 and flip-vs-verbatim
+          // cosine ≈ 0.15 — both below the 0.35 dedup threshold.
+          (x, j) => when(pmod((j + 1) * lit(i), lit(101)) < 43, -x).otherwise(x)))
     }.reduce(_ unionAll _)
   }
 

@@ -190,6 +190,36 @@ final class GraftEngine(val spark: SparkSession,
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  private var spanIndexViewRegistered = false
+
+  /** Repoint `graft_substring_pairs` at the COMMITTED span-window index
+    * ([[operators.Dedup.storedSpanIndex]]): window derivation + df-cap
+    * run once per corpus snapshot, and every later x04-style SQL query
+    * probes the parquet-backed index — which also keeps size statistics
+    * (broadcast decisions) and survives cache sweeps without the
+    * persist/repin dance the in-session view needs. Separate from
+    * [[registerPipelineViews]] for the same reason as
+    * [[registerAnnView]]: an index is BUILT, not declared — the first
+    * sight of a corpus snapshot runs the window-generation job, and the
+    * lazy view registration must not pay for it (later engines resolve
+    * the committed artifact with a driver-side fingerprint check only).
+    * Idempotent per engine; a fileless (in-process) corpus keeps the
+    * lazy in-session view — no file identity to fingerprint. */
+  def registerSpanIndexView(indexPath: Option[String] = None): Unit = synchronized {
+    if (!spanIndexViewRegistered) {
+      val docs = spark.table("documents")
+      if (docs.inputFiles.nonEmpty) {
+        implicit val s: SparkSession = spark
+        val idx = indexPath.getOrElse(sources.ArtifactStore.pathFor(
+          config.storageRoot, "span_windows",
+          registered.getOrElse("documents", "documents")))
+        operators.Dedup.substringSpanPairsStored(docs, idx)
+          .createOrReplaceTempView("graft_substring_pairs")
+      }
+      spanIndexViewRegistered = true
+    }
+  }
+
   private var annViewRegistered = false
 
   /** SQL-surface the DEFAULT ANN search (`graft_ann_topk`: k-means

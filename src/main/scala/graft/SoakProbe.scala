@@ -8,14 +8,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.{Event, EventStreams}
 
-/** Streaming soak (round-4 verdict item 8): drive the two stateful
-  * shapes — q31 sessionization (flatMapGroupsWithState, RocksDB
-  * provider) and q38's stream-stream interval join — from a
-  * rate-limited source for minutes of wall time and record the
-  * state-store row count per progress tick. The claim under test:
-  * state PLATEAUS at the watermark horizon instead of growing with
-  * events processed — the invariant a long-lived 100 TB streaming job
-  * stands on.
+/** Streaming soak (round-4 verdict item 8; round-12 widens it): drive
+  * the STATEFUL shapes — q31 sessionization, q38's stream-stream
+  * interval join, and the four newer flatMapGroupsWithState twins (q47
+  * funnel, q49 transitions, q53 anomaly ring, q58 silences) — all under
+  * the RocksDB state-store provider, from a rate-limited source for
+  * minutes of wall time, recording the state-store row count per
+  * progress tick. The claim under test: state PLATEAUS (at the
+  * watermark horizon, the active-key cardinality, or the completion
+  * eviction — each operator's documented bound) instead of growing
+  * with events processed — the invariant a long-lived 100 TB streaming
+  * job stands on.
   *
   * Event time is synthetic and ACCELERATED (each rate-source row
   * advances it 100 ms × rows/sec ≈ 200× wall speed), so hour-scale
@@ -41,13 +44,19 @@ object SoakProbe {
     implicit val s: SparkSession = spark
 
     // rate source → events: user cycles over NUsers; event time advances
-    // 100 ms per row (≈ 200× wall at 2000 rows/s)
+    // 100 ms per row (≈ 200× wall at 2000 rows/s). Event types cycle
+    // view → click → purchase per user-event index, so every user walks
+    // the q47 funnel IN ORDER and completes it every third event — the
+    // completion-eviction path is exercised continuously, and the
+    // click/purchase rows still feed the q38 join.
     def events = spark.readStream.format("rate")
       .option("rowsPerSecond", rps).load()
       .select(col("value").as("event_id"),
         to_timestamp(lit(1704067200L) + col("value") * 0.1).as("ts"),
         (col("value") % NUsers).as("user_id"),
-        when(col("value") % 2 === 0, "click").otherwise("purchase").as("event_type"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase")),
+          ((col("value") / NUsers) % 3).cast("int") + 1).as("event_type"),
         (col("value") % 97).cast("double").as("value"))
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft_soak").toString
@@ -63,6 +72,31 @@ object SoakProbe {
         events.filter(col("event_type") === "purchase"),
         watermark = "60 seconds", windowMs = 10 * 60 * 1000L)
       .writeStream.format("noop").option("checkpointLocation", s"$ckpt/join")
+      .outputMode("append").start()
+
+    // q47 shape: funnel progress — state bounded by active users, with
+    // completion eviction firing every 3rd event per user
+    val funnel = EventStreams.funnelProgress(events.as[Event], watermark = "60 seconds")
+      .writeStream.format("noop").option("checkpointLocation", s"$ckpt/funnel")
+      .outputMode("append").start()
+
+    // q49 shape: path transitions — one LastEvent entry per user
+    val transitions = EventStreams.transitionSteps(events.as[Event], watermark = "60 seconds")
+      .writeStream.format("noop").option("checkpointLocation", s"$ckpt/trans")
+      .outputMode("append").start()
+
+    // q53 shape: daily-volume anomaly ring — state bounded by the event-
+    // type vocabulary (3 types × an 8-long ring), volume-independent
+    val anomaly = EventStreams.anomalyFacts(events.as[Event], watermark = "60 seconds")
+      .writeStream.format("noop").option("checkpointLocation", s"$ckpt/anom")
+      .outputMode("append").start()
+
+    // q58 shape: silence detection keyed by event type — one long per key.
+    // Each type recurs every ~300 ms of event time, so a 200 ms floor
+    // emits facts continuously while state stays at |types|
+    val silences = EventStreams.silenceFacts(events.as[Event],
+        minGapUs = 200000L, watermark = "60 seconds")
+      .writeStream.format("noop").option("checkpointLocation", s"$ckpt/sil")
       .outputMode("append").start()
 
     final case class Sample(sec: Long, op: String, rows: Long, bytes: Long)
@@ -84,8 +118,12 @@ object SoakProbe {
       val t = ((System.nanoTime() - t0) / 1e9).toLong
       sample("session", sessions, t)
       sample("join", join, t)
+      sample("funnel", funnel, t)
+      sample("transitions", transitions, t)
+      sample("anomaly", anomaly, t)
+      sample("silences", silences, t)
     }
-    sessions.stop(); join.stop()
+    Seq(sessions, join, funnel, transitions, anomaly, silences).foreach(_.stop())
 
     // plateau verdict: for each operator, peak state rows in the middle
     // third vs the final third of the soak — bounded state means the

@@ -429,7 +429,7 @@ object Dedup {
     * keys; no cross product anywhere. */
   def substringSpanPairs(docs: DataFrame, w: Int = WindowTokens,
       maxWindowDf: Int = MaxWindowDf,
-      share: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+      share: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame =
     // materialize the generated windows once (d06's lineage discipline):
     // the df-cap aggregate AND both sides of the pair self-join consume
     // them, and without materialization Spark re-runs the scan + window
@@ -445,11 +445,32 @@ object Dedup {
     // lives for one invocation); fatal for a LONG-LIVED view, which
     // passes `_.persist(...)` instead — recoverable recompute if
     // storage is swept, shared subplan while the cache entry lives.
+    spanPairsOfWindows(pairableWindows(docs, w, maxWindowDf, share), w)
+
+  /** The window rows that can PAIR: document frequency 2..`maxWindowDf`.
+    * A window seen in ONE document can never produce a pair (the pair
+    * join requires two distinct doc ids on one hash), and windows above
+    * the df cap are corpus-wide boilerplate (dropping them is also the
+    * skew bound) — so this is EXACTLY the row set the pair self-join
+    * consumes, at a fraction of the full window table (on a corpus
+    * whose duplication is group-structured, most windows are unique
+    * and die here). This is the SPAN-INDEX content: d09's stored-band
+    * discipline at window granularity ([[storedSpanIndex]]). */
+  def pairableWindows(docs: DataFrame, w: Int = WindowTokens,
+      maxWindowDf: Int = MaxWindowDf,
+      share: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
     val wins = share(tokenWindows(docs, w))
-    val rare = wins.select(col("doc_id"), col("wh")).distinct()
+    val pairable = wins.select(col("doc_id"), col("wh")).distinct()
       .groupBy("wh").agg(count(lit(1)).as("wdf"))
-      .filter(col("wdf") <= maxWindowDf).select("wh")
-    val fw = wins.join(rare, "wh")
+      .filter(col("wdf") >= 2 && col("wdf") <= maxWindowDf).select("wh")
+    wins.join(pairable, "wh").select(col("doc_id"), col("pos"), col("wh"))
+  }
+
+  /** Pair/run assembly over an (already df-capped) window table — the
+    * stage [[substringSpanPairs]] runs after window generation and the
+    * stored-index path ([[substringSpanPairsStored]]) runs over the
+    * committed files directly. */
+  def spanPairsOfWindows(fw: DataFrame, w: Int = WindowTokens): DataFrame = {
     // one row per (pair, position-in-a) at which SOME shared window starts
     val hits = fw.as("l").join(fw.as("r"),
         col("l.wh") === col("r.wh") && col("l.doc_id") < col("r.doc_id"))
@@ -465,6 +486,71 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("run")).as("shared_windows"),
         (max(col("run")) + w - 1).as("longest_span"))
+  }
+
+  /** Build-once committed span index of a FILE-BACKED corpus:
+    * [[pairableWindows]] persisted through the fingerprint-guarded
+    * [[graft.sources.ArtifactStore]] (the stored-cluster/ANN-index
+    * discipline at window-hash granularity — round-10/12 verdict item:
+    * d10/x04 were the suite's two dominant sf10 costs because every
+    * invocation re-derived the sliding window hashes from the corpus).
+    * The committed table is parquet-backed, so downstream plans keep
+    * size statistics (the broadcast decisions a LogicalRDD checkpoint
+    * erases) and survive any cache/checkpoint hygiene sweep. A
+    * regenerated corpus or changed (w, df-cap) parameters flip the
+    * fingerprint and force a rebuild. */
+  def storedSpanIndex(docs: DataFrame, path: String, w: Int = WindowTokens,
+      maxWindowDf: Int = MaxWindowDf)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.sources.ArtifactStore.getOrBuild(docs, path,
+      salt = s"span_windows:$w:$maxWindowDf")(
+      pairableWindows(docs, w, maxWindowDf))
+
+  /** [[substringSpanPairs]] served from the committed span index —
+    * value-identical (the index IS the pairable row set), but window
+    * generation + df-cap run once per corpus snapshot instead of once
+    * per query. */
+  def substringSpanPairsStored(docs: DataFrame, path: String,
+      w: Int = WindowTokens, maxWindowDf: Int = MaxWindowDf)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spanPairsOfWindows(storedSpanIndex(docs, path, w, maxWindowDf), w)
+
+  /** Distinct window hashes of a corpus at df ≤ `maxWindowDf` — the
+    * rows the INGEST-gate span index holds (boilerplate-frequency
+    * windows excluded, both as non-signal and as the skew bound; the
+    * caller appends the admitted batch's hashes after each ingest).
+    * Broader than [[pairableWindows]] on purpose: an ingest gate must
+    * match a batch doc against a span seen in even ONE history doc,
+    * so df = 1 rows stay. */
+  def windowHashes(docs: DataFrame, w: Int = WindowTokens,
+      maxWindowDf: Int = MaxWindowDf): DataFrame =
+    tokenWindows(docs, w).select(col("doc_id"), col("wh")).distinct()
+      .groupBy("wh").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") <= maxWindowDf).select("wh")
+
+  /** d10's ingest shape: admit only batch docs that share NO
+    * [[WindowTokens]]-token span with the stored history window index
+    * ([[windowHashes]], persisted bucketed-by-`wh` at scale) nor with
+    * an earlier (smaller-id) doc of the same batch —
+    * [[incrementalKeep]] at window granularity, for pipelines that
+    * gate span-duplication continuously instead of re-running the
+    * corpus-wide pair report. Cost is O(|batch|): both checks are
+    * semi-joins on the window hash, the final keep is an anti-join on
+    * doc_id, and the history corpus is never rescanned or re-windowed.
+    * Within-batch comparison applies no df cap (d09's rule: a batch is
+    * bounded by definition, so within-batch skew is too). */
+  def spanIncrementalKeep(historyHashes: DataFrame, batch: DataFrame,
+      w: Int = WindowTokens): DataFrame = {
+    val bw = tokenWindows(batch, w)
+    val dupVsHistory = bw.as("n").join(historyHashes.as("h"),
+        col("n.wh") === col("h.wh"), "left_semi")
+      .select("doc_id")
+    val dupInBatch = bw.as("l").join(bw.as("r"),
+        col("l.wh") === col("r.wh") && col("l.doc_id") > col("r.doc_id"),
+        "left_semi")
+      .select("doc_id")
+    batch.select("doc_id")
+      .join(dupVsHistory.union(dupInBatch), Seq("doc_id"), "left_anti")
   }
 
   // ---- d07: benchmark decontamination -------------------------------------

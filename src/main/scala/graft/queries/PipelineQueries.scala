@@ -169,31 +169,7 @@ object PipelineQueries {
     // doc-keyed shuffle; top-k plans as TakeOrderedAndProject. Per-term
     // logs round to 6 dp and sum in exact decimal (t10's discipline),
     // so the top-k cut is engine-identical.
-    "p10_dsir_select" -> ((s, dir) => {
-      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), (col("lang") === DsirTargetLang).as("is_target"),
-          explode(words(col("text"))).as("word"))
-        .withColumn("b",
-          conv(substring(md5(concat(lit("dsir|"), col("word"))), 1, 4), 16, 10)
-            .cast("long") % DsirBuckets)
-      val stats = toks.groupBy("b").agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
-        .localCheckpoint(eager = false) // 64 rows, read twice below
-      val tot = stats.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
-      val wts = stats.crossJoin(broadcast(tot))
-        .select(col("b"), round(log(
-          ((col("ct") + lit(1)).cast("double") / (col("t") + lit(DsirBuckets)).cast("double")) /
-            ((col("cr") + lit(1)).cast("double") / (col("r") + lit(DsirBuckets)).cast("double"))),
-          6).as("w"))
-      toks.join(broadcast(wts), "b")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("w").cast(dec)).cast("double").as("logw"))
-        .orderBy(col("logw").desc, col("doc_id"))
-        .limit(DsirTopK)
-    }),
+    "p10_dsir_select" -> ((s, dir) => dsirSelect(s, dir, exactDecimal = true)),
 
     // p11 weighted sampling without replacement (priority sampling,
     // Duffield-Lund-Thorup): keep PriK docs weighted by character
@@ -203,6 +179,45 @@ object PipelineQueries {
       graft.operators.Splits.prioritySample(
         t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = PriK)
         .orderBy(col("priority").desc, col("doc_id"))))
+
+  /** p10's plan in both decimal modes. `exactDecimal = true` sums the
+    * 6-dp per-term logs in DECIMAL(28,6) so the top-k cut is engine-
+    * identical (the oracle discipline); false is the production mode —
+    * plain double sums, same plan (the h01/q57/t16 dual-mode pattern;
+    * FastMathSpec bounds the twin's drift at 1e-9 relative). */
+  private[graft] def dsirSelect(s: org.apache.spark.sql.SparkSession, dir: String,
+      exactDecimal: Boolean): org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), (col("lang") === DsirTargetLang).as("is_target"),
+        explode(words(col("text"))).as("word"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("dsir|"), col("word"))), 1, 4), 16, 10)
+          .cast("long") % DsirBuckets)
+    val stats = toks.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(eager = false) // 64 rows, read twice below
+    val tot = stats.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val wts = stats.crossJoin(broadcast(tot))
+      .select(col("b"), round(log(
+        ((col("ct") + lit(1)).cast("double") / (col("t") + lit(DsirBuckets)).cast("double")) /
+          ((col("cr") + lit(1)).cast("double") / (col("r") + lit(DsirBuckets)).cast("double"))),
+        6).as("w"))
+    val logwSum =
+      if (exactDecimal) sum(col("w").cast(dec)).cast("double")
+      else sum(col("w"))
+    toks.join(broadcast(wts), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        logwSum.as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  /** Bench hook: p10 in production (double-sum) mode. */
+  def dsirSelectFast(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    dsirSelect(s, dir, exactDecimal = false)
 
   /** p08 quota: max docs kept per source/domain. */
   val CapPerSource = 10

@@ -24,5 +24,6 @@ object Queries {
   def fastTwins: Seq[(String, (SparkSession, String) => DataFrame)] =
     TpchQueries.decimalBound.map(n => n -> (TpchQueries.fastQuery(n) _)) ++ Seq(
       "q57_corr_ols" -> (CoreQueries.corrOlsFast _),
-      "t16_bigram_ppl" -> (TextQueries.bigramPplFast _))
+      "t16_bigram_ppl" -> (TextQueries.bigramPplFast _),
+      "p10_dsir_select" -> (PipelineQueries.dsirSelectFast _))
 }

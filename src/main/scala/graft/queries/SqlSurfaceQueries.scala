@@ -67,15 +67,22 @@ object SqlSurfaceQueries {
 
     // span-level duplication report from SQL: the d10 substring-span
     // view joined back to the corpus for the worst verbatim overlaps —
-    // the "show me what's actually copied" audit a curation user runs
-    "x04_sql_span_report" -> ((s, dir) => engine(s, dir).sql(
+    // the "show me what's actually copied" audit a curation user runs.
+    // registerSpanIndexView repoints the view at the committed span
+    // index first (built-or-reused, the x06 registerAnnView pattern),
+    // so the query probes stored windows instead of re-deriving them
+    "x04_sql_span_report" -> ((s, dir) => {
+      val e = engine(s, dir)
+      e.registerSpanIndexView()
+      e.sql(
       """SELECT p.doc_a, p.doc_b, p.longest_span, p.shared_windows,
         |  a.lang AS lang_a, b.lang AS lang_b
         |FROM graft_substring_pairs p
         |JOIN documents a ON a.doc_id = p.doc_a
         |JOIN documents b ON b.doc_id = p.doc_b
         |WHERE p.longest_span >= 12
-        |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin)),
+        |ORDER BY p.longest_span DESC, p.doc_a, p.doc_b""".stripMargin)
+    }),
 
     // split audit from SQL: the deterministic train/val/test assignment
     // crossed with language — the mixture-per-split sanity report every

@@ -555,12 +555,20 @@ object TextQueries {
     val nllSum =
       if (exactDecimal) sum(col("nll").cast(dec6)).cast("double")
       else sum(col("nll"))
-    bi.join(bf, Seq("w1", "w2"))
-      .join(leftCounts, "w1")
+    // the per-bigram NLL depends ONLY on model-side values (c12, c1, V),
+    // so it is computed once per DISTINCT bigram on the vocabulary-sized
+    // model table and the corpus side joins a finished double — not per
+    // occurrence, which evaluated log+round corpus-bigram times (~1000×
+    // the distinct count at sf10) and was t16's real residual cost (the
+    // round-11 verdict: the fast twin bought ~10 % because the decimal
+    // sum never was the bottleneck; this is)
+    val model = bf.join(leftCounts, "w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("nll", round(-log(
+      .select(col("w1"), col("w2"), round(-log(
         (col("c12").cast("double") + lit(BigramK)) /
-          (col("c1").cast("double") + lit(BigramK) * col("v").cast("double"))), 6))
+          (col("c1").cast("double") + lit(BigramK) * col("v").cast("double"))), 6)
+        .as("nll"))
+    bi.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (nllSum / count(lit(1))).as("mean_nll"))

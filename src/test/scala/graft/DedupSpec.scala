@@ -482,6 +482,67 @@ class DedupSpec extends SparkSpec {
     assert(halfN != n && Dedup.corpusRowCount(half) == halfN)
   }
 
+  test("d10 stored span index: identical pairs, df=1 rows pruned, artifact reused") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val direct = Dedup.substringSpanPairs(docs).orderBy("doc_a", "doc_b")
+      .collect().toSeq
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_span_idx")
+      .resolve("idx").toString
+    val stored = Dedup.substringSpanPairsStored(docs, idxPath)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(stored == direct, "stored-index pairs must equal the direct computation")
+    // the committed index holds ONLY pairable rows: every stored hash
+    // spans >= 2 distinct docs (df=1 windows can never produce a pair,
+    // so dropping them is free — and it is most of the window table)
+    val idx = spark.read.parquet(idxPath)
+    val loners = idx.select(col("doc_id"), col("wh")).distinct()
+      .groupBy("wh").agg(count(lit(1)).as("d")).filter(col("d") < 2).count()
+    assert(loners == 0, "index must not store unpairable (df=1) windows")
+    assert(idx.count() < Dedup.tokenWindows(docs).count(),
+      "index must be smaller than the raw window table")
+    // second resolution reuses the committed files (fingerprint match —
+    // no rebuild): the artifact's file listing is byte-identical after
+    val dir = new java.io.File(idxPath)
+    def listing = dir.listFiles().map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val before = listing
+    val again = Dedup.substringSpanPairsStored(docs, idxPath)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(again == direct && listing == before,
+      "second resolution must serve the committed artifact unchanged")
+  }
+
+  test("d10 incremental span gate: history and earlier-batch spans reject; fresh docs admit") {
+    import spark.implicits._
+    val span = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val fresh = (1 to 12).map(i => s"f$i").mkString(" ")
+    val novel = (1 to 12).map(i => s"n$i").mkString(" ")
+    val history = Seq((0L, s"prefix words here $span trailing")).toDF("doc_id", "text")
+    val historyIdx = Dedup.windowHashes(history)
+    val batch = Seq(
+      (11L, s"$span entirely different tail words one two three"), // span hits history
+      (13L, fresh),                                                // fresh: admitted
+      (15L, s"$fresh plus a few extra words"),                     // shares fresh's windows with 13
+      (17L, novel),                                                // admitted
+      (19L, "too short")                                           // < w tokens: no windows, admitted
+    ).toDF("doc_id", "text")
+    val kept = Dedup.spanIncrementalKeep(historyIdx, batch)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(13L, 17L, 19L), s"got $kept")
+    // idempotence: append the admitted docs' hashes, re-admitting the
+    // same span must now reject
+    val updated = historyIdx.unionAll(Dedup.windowHashes(
+      batch.filter(col("doc_id") === 13L))).distinct()
+    val reKept = Dedup.spanIncrementalKeep(updated,
+        Seq((23L, fresh)).toDF("doc_id", "text"))
+      .count()
+    assert(reKept == 0, "already-admitted span must not re-admit")
+    // join-based keep decision, never a cartesian product
+    val plan = Dedup.spanIncrementalKeep(historyIdx, batch)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair-free plan expected:\n$plan")
+  }
+
   test("segment keep-code raises on seg_idx overflow instead of colliding across docs") {
     import spark.implicits._
     val ok = Seq((3L, 7)).toDF("doc_id", "seg_idx")
