@@ -190,6 +190,7 @@ object Bench {
     val prepClusterSec = prepSec(queries.DedupQueries.ensureClusterIndex(spark, sfDir))
     val prepPqSec = prepSec(queries.SimilarityQueries.ensurePqIndex(spark, sfDir))
     val prepSpanSec = prepSec(queries.DedupQueries.ensureWindowIndex(spark, sfDir))
+    val prepSemSec = prepSec(queries.SimilarityQueries.ensureSemIndex(spark, sfDir))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -304,6 +305,7 @@ object Bench {
         s""""prepClusterSec":${num(prepClusterSec, 3)},""" +
         s""""prepPqSec":${num(prepPqSec, 3)},""" +
         s""""prepSpanSec":${num(prepSpanSec, 3)},""" +
+        s""""prepSemSec":${num(prepSemSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

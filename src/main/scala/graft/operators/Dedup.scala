@@ -977,9 +977,19 @@ object Dedup {
     * the corpus is never shuffled by vector content, only by the cell
     * key, and AQE's skew split covers an over-full cell. */
   def semanticDedup(embeddings: DataFrame, cents: DataFrame,
+      threshold: Double = SemThreshold): DataFrame =
+    semanticDedupAssigned(Similarity.assignCells(
+      Similarity.preparedCorpus(embeddings), cents), threshold)
+
+  /** [[semanticDedup]]'s keep-first stage over a PREBUILT assignment
+    * table (vec_id, v, norm, cell) — the shape the d12 query runs
+    * against the stored assignment artifact
+    * ([[Similarity.storedSemanticAssignments]]): the O(n·k)
+    * nearest-centroid pass is an ingest-once property of the corpus
+    * snapshot, so a dedup run pays only the within-cell pairwise
+    * stage (bounded by the adaptive cell count). */
+  def semanticDedupAssigned(assigned: DataFrame,
       threshold: Double = SemThreshold): DataFrame = {
-    val assigned = Similarity.assignCells(
-      Similarity.preparedCorpus(embeddings), cents)
     val dups = assigned.as("l").join(assigned.as("r"),
         col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
       .filter(round(dot(col("l.v"), col("r.v")) /

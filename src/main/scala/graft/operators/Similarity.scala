@@ -259,6 +259,59 @@ object Similarity {
       salt = s"kmeans:$nCentroids:$iters")(
       kmeansCentroids(embeddings, nCentroids, iters))
 
+  /** Mean cell population [[adaptiveCells]] aims for — SemDeDup's
+    * published dial is cluster count ∝ corpus size (~10⁵ clusters for
+    * 10⁸ points ≈ 10³ per cell); 500 keeps the within-cell pairwise
+    * stage at ≤ ~125k candidate pairs per cell. */
+  val SemCellTarget = 500L
+
+  /** Adaptive-cell-count cap: 4096 cells covers corpora to ~2M vectors
+    * at the target population; past that a deployment picks the cell
+    * count (and a sampled training set) explicitly, per the SemDeDup
+    * recipe. */
+  val MaxSemCells = 4096
+
+  /** Smallest power-of-2 k in [[[NCentroids]], [[MaxSemCells]]] with
+    * n ≤ [[SemCellTarget]]·k — integer doubling over exact thresholds
+    * (d05's adaptiveSignBits discipline), so the oracle's generated
+    * CASE chain ([[graft.queries.Ops.sqlAdaptiveCells]]) can never
+    * disagree on a boundary. Keeps Σ|cell|² linear in n as the corpus
+    * grows: the fixed 16-cell index measured 285 s at sf10 (200k
+    * vectors → 12.5k per cell → ~1.2B within-cell pairs) — the same
+    * quadratic d05 hit before its key went adaptive. */
+  def adaptiveCells(n: Long): Int = {
+    var k = NCentroids
+    while (k < MaxSemCells && n > SemCellTarget * k) k *= 2
+    k
+  }
+
+  /** Cell assignments for semantic dedup at the ADAPTIVE cell count:
+    * train (deterministic decimal-exact Lloyd) and assign, returning
+    * one row per vector (vec_id, v, norm, cell). */
+  def semanticAssignments(embeddings: DataFrame, nCells: Int,
+      iters: Int = KmeansIters): DataFrame =
+    assignCells(preparedCorpus(embeddings),
+      kmeansCentroids(embeddings, nCells, iters))
+
+  /** Build-once PERSISTED semantic-dedup assignments: cell membership
+    * is an ingest-once property of a corpus snapshot (the pq_codes
+    * discipline) — training AND the O(n·k) nearest-centroid assignment
+    * pay once per snapshot, and every d12 run reads the committed
+    * (vec_id, v, norm, cell) table and pays only the within-cell
+    * pairwise stage. The cell count resolves adaptively from catalog
+    * statistics / the fingerprint-cached corpus count
+    * ([[Dedup.corpusRowCount]] — no count job on repeat invocations);
+    * new batches admit against the same centroids in O(|batch|) via
+    * [[admitBatch]]. */
+  def storedSemanticAssignments(embeddings: DataFrame, path: String,
+      iters: Int = KmeansIters)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val k = adaptiveCells(Dedup.corpusRowCount(embeddings))
+    graft.sources.ArtifactStore.getOrBuild(embeddings, path,
+      salt = s"semcells:$k:$iters")(
+      semanticAssignments(embeddings, k, iters))
+  }
+
   /** Probe count for [[annDefault]]: 8 of [[NCentroids]] = 16 cells.
     * On the 500-vector test corpora that is what recall ≥ 0.9 needs
     * (16 centroids over 500 points underfit; measured recall@10 =

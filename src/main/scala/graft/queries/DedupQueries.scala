@@ -221,16 +221,19 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // d12: SemDeDup — pairwise cosine confined to the STORED k-means
-    // cells (the same committed index s04/s05/s07 resolve), keep-first
-    // greedy within each cell; the cluster count bounds the pairwise
-    // work at any corpus size
+    // d12: SemDeDup — pairwise cosine confined to STORED k-means cells
+    // at the ADAPTIVE cell count (count ∝ corpus size, the published
+    // SemDeDup dial: the fixed 16-cell index measured 285 s at sf10 —
+    // 12.5k vectors/cell → ~1.2B within-cell pairs), keep-first greedy
+    // within each cell. Cell assignment is an ingest-once artifact
+    // (the pq_codes discipline), so a dedup run pays only the
+    // within-cell pairwise stage; at oracle scale the adaptive count
+    // resolves to the same 16 cells as before.
     "d12_semantic_dedup" -> ((s, dir) => {
       implicit val spark = s
-      val e = t(s, dir, "embeddings")
-      Dedup.semanticDedup(e,
-          graft.operators.Similarity.storedKmeansCentroids(
-            e, SimilarityQueries.annIndexPath(dir)))
+      Dedup.semanticDedupAssigned(
+          graft.operators.Similarity.storedSemanticAssignments(
+            t(s, dir, "embeddings"), SimilarityQueries.semIndexPath(dir)))
         .orderBy("vec_id")
     }),
 
@@ -438,12 +441,14 @@ object DedupQueries {
          |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
-    // d12: the oracle replays the full k-means training chain (the
-    // stored index is value-identical to a training replay — pinned by
-    // s04), then the same within-cell pairwise keep-first policy
+    // d12: the oracle replays the full k-means training chain at the
+    // same adaptive cell count (the stored assignment artifact is
+    // value-identical to a training replay — pinned by s04 for the
+    // shared chain), then the same within-cell pairwise keep-first
+    // policy
     "d12_semantic_dedup" ->
-      s"""WITH ${SimilarityQueries.sqlKmeansPrelude},
-         |an AS (SELECT vec_id, v, cell, ${sqlListNorm("v")} AS nrm FROM assignF),
+      s"""WITH ${SimilarityQueries.sqlSemDedupPrelude},
+         |an AS (SELECT vec_id, v, cell, ${sqlListNorm("v")} AS nrm FROM sd_assignF),
          |dups AS (SELECT DISTINCT r.vec_id
          |  FROM an l JOIN an r ON l.cell = r.cell AND l.vec_id < r.vec_id
          |  WHERE round(${sqlListDot("l.v", "r.v")} / (l.nrm * r.nrm), 6)

@@ -60,6 +60,19 @@ object Ops {
     s"(CASE $cases ELSE ${Dedup.MaxSignBits} END)"
   }
 
+  /** DuckDB twin of [[graft.operators.Similarity.adaptiveCells]]: the
+    * power-of-2 doubling over the SAME integer thresholds
+    * (target · k), generated from the same constants. */
+  def sqlAdaptiveCells(countExpr: String): String = {
+    import graft.operators.Similarity
+    val ks = Iterator.iterate(Similarity.NCentroids)(_ * 2)
+      .takeWhile(_ < Similarity.MaxSemCells).toSeq
+    val cases = ks
+      .map(k => s"WHEN $countExpr <= ${Similarity.SemCellTarget * k} THEN $k")
+      .mkString(" ")
+    s"(CASE $cases ELSE ${Similarity.MaxSemCells} END)"
+  }
+
   /** Variable-width twin of [[sqlSignBucket]] for when the bit count
     * is itself a SQL expression (the adaptive-width oracle). */
   def sqlSignBucketVar(v: String, bitsExpr: String): String =

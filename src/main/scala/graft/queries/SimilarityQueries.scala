@@ -44,6 +44,25 @@ object SimilarityQueries {
     ()
   }
 
+  /** Canonical stored semantic-dedup assignment location for a corpus
+    * dir ([[graft.operators.Similarity.storedSemanticAssignments]] —
+    * the adaptive-cell-count index d12 reads; distinct from the
+    * 16-cell s04 ANN index, whose probe economics want FEW cells while
+    * SemDeDup's pairwise stage wants cell POPULATION bounded). */
+  def semIndexPath(dir: String): String =
+    graft.sources.ArtifactStore.pathFor(
+      graft.sources.ArtifactStore.defaultRoot, "semdedup_cells",
+      s"$dir/embeddings.parquet")
+
+  /** Train-or-reuse the stored semantic-dedup assignments for `dir`
+    * (Bench's untimed prepare; d12 then measures the within-cell
+    * pairwise dedup, not training or the O(n·k) assignment pass). */
+  def ensureSemIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    implicit val spark = s
+    Similarity.storedSemanticAssignments(t(s, dir, "embeddings"), semIndexPath(dir))
+    ()
+  }
+
   /** Canonical stored-PQ-index locations (codebooks + encoded corpus)
     * for a corpus dir. */
   def pqIndexPaths(dir: String): (String, String) = {
@@ -121,10 +140,12 @@ object SimilarityQueries {
   private[queries] def sqlKmeansPrelude: String = s"$sqlPrep,\n$sqlKmeansChain"
 
   /** [[sqlKmeansChain]] parameterized by source CTE, name prefix, and
-    * codebook size — one instance per PQ subspace. Ends with
-    * `${pfx}cents$iters` and `${pfx}assignF`. */
+    * codebook size (a SQL expression, so an adaptive count can resolve
+    * from a scalar subquery) — one instance per PQ subspace, plus
+    * d12's adaptive-cell prelude. Ends with `${pfx}cents$iters` and
+    * `${pfx}assignF`. */
   private def sqlKmeansChainFor(src: String, pfx: String,
-      n: Int, iters: Int): String = {
+      n: String, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = s"${pfx}cents${i - 1}"
       s"""${pfx}assign$i AS (
@@ -155,6 +176,20 @@ object SimilarityQueries {
        |    FROM $src e CROSS JOIN ${pfx}cents$iters c) WHERE rn = 1)""".stripMargin
   }
 
+  /** d12's k-means prelude at the ADAPTIVE cell count
+    * ([[graft.operators.Similarity.adaptiveCells]], mirrored as an
+    * integer CASE chain over COUNT(*)): same Lloyd replay, init bound
+    * resolved from the corpus size — at the oracle-checked test scales
+    * (≤ [[graft.operators.Similarity.SemCellTarget]] · 16 vectors) it
+    * resolves to the same 16 cells the s04 index trains, so the replay
+    * is value-identical there; at bench scale the cell count grows
+    * with the corpus, which is what keeps Σ|cell|² linear. Ends with
+    * `sd_assignF`. */
+  private[queries] def sqlSemDedupPrelude: String =
+    s"""$sqlPrep,
+       |kcells AS (SELECT ${Ops.sqlAdaptiveCells("COUNT(*)")} AS k FROM embeddings),
+       |${sqlKmeansChainFor("e", "sd_", "(SELECT k FROM kcells)", Similarity.KmeansIters)}""".stripMargin
+
   /** s09 oracle: unit-normalize, replay one decimal-exact Lloyd chain
     * per subspace, encode, ADC via 6-dp-rounded decimal-summed dot
     * tables, shortlist, exact re-rank — term-for-term the Spark plan. */
@@ -165,7 +200,7 @@ object SimilarityQueries {
       val lo = m * sub + 1
       val hi = m * sub + sub
       s"""sm$m AS (SELECT vec_id, u[$lo:$hi] AS v FROM u),
-         |${sqlKmeansChainFor(s"sm$m", s"m${m}_", PqCodebook, KmeansIters)}""".stripMargin
+         |${sqlKmeansChainFor(s"sm$m", s"m${m}_", s"$PqCodebook", KmeansIters)}""".stripMargin
     }.mkString(",\n")
     val terms = (0 until PqSubspaces).map { m =>
       val lo = m * sub + 1

@@ -276,6 +276,33 @@ class DedupSpec extends SparkSpec {
       .filter(col("is_kept") === 0).count() == 0)
   }
 
+  test("d12 adaptive cell count doubles over integer thresholds; stored assignments match a fresh run") {
+    import graft.operators.Similarity
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // test-corpus regime stays at the 16-cell floor (byte-identical to
+    // the fixed-count behavior the oracle has always replayed)
+    assert(Similarity.adaptiveCells(0) == Similarity.NCentroids)
+    assert(Similarity.adaptiveCells(500) == Similarity.NCentroids)
+    assert(Similarity.adaptiveCells(Similarity.SemCellTarget * 16) == 16)
+    assert(Similarity.adaptiveCells(Similarity.SemCellTarget * 16 + 1) == 32)
+    // the measured scale corpora: sf1 = 20k → 64 cells, sf10 = 200k → 512
+    assert(Similarity.adaptiveCells(20000L) == 64)
+    assert(Similarity.adaptiveCells(200000L) == 512)
+    assert(Similarity.adaptiveCells(Long.MaxValue) == Similarity.MaxSemCells)
+    // stored assignment artifact == in-session train+assign, and d12
+    // over it == d12 over the fresh assignment
+    val e = embs
+    val path = java.nio.file.Files.createTempDirectory("graft_sem_idx")
+      .resolve("idx").toString
+    val stored = Similarity.storedSemanticAssignments(e, path)
+    val fresh = Similarity.semanticAssignments(e,
+      Similarity.adaptiveCells(e.count()))
+    assert(stored.select("vec_id", "cell").orderBy("vec_id").collect().toSeq ==
+      fresh.select("vec_id", "cell").orderBy("vec_id").collect().toSeq)
+    assert(Dedup.semanticDedupAssigned(stored).orderBy("vec_id").collect().toSeq ==
+      Dedup.semanticDedupAssigned(fresh).orderBy("vec_id").collect().toSeq)
+  }
+
   test("d13 bloom decontamination equals the exact broadcast form; probe is in the plan") {
     import graft.functions.TextFunctions.words
     val d = docs
