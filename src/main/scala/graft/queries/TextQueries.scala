@@ -568,7 +568,14 @@ object TextQueries {
         (col("c12").cast("double") + lit(BigramK)) /
           (col("c1").cast("double") + lit(BigramK) * col("v").cast("double"))), 6)
         .as("nll"))
-    bi.join(model, Seq("w1", "w2"))
+    // model is vocab-sized BY CONSTRUCTION (one row per distinct
+    // bigram) but its subtree ends in a cross join whose size estimate
+    // is unknown, so the unhinted planner picked the CORPUS side as
+    // the build relation (measured at sf1: broadcasting 5M occurrence
+    // rows, 2.7 s → 6.3 s). The hint states what the plan shape
+    // already guarantees; at vocabularies too big for one executor the
+    // join degrades to shuffle by removing the hint, not by rewriting.
+    bi.join(broadcast(model), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (nllSum / count(lit(1))).as("mean_nll"))
