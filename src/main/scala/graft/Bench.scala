@@ -192,6 +192,7 @@ object Bench {
     val prepSpanSec = prepSec(queries.DedupQueries.ensureWindowIndex(spark, sfDir))
     val prepSemSec = prepSec(queries.SimilarityQueries.ensureSemIndex(spark, sfDir))
     val prepBandSec = prepSec(queries.DedupQueries.ensureBandIndex(spark, sfDir))
+    val prepSimhashSec = prepSec(queries.DedupQueries.ensureSimhashIndex(spark, sfDir))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -308,6 +309,7 @@ object Bench {
         s""""prepSpanSec":${num(prepSpanSec, 3)},""" +
         s""""prepSemSec":${num(prepSemSec, 3)},""" +
         s""""prepBandSec":${num(prepBandSec, 3)},""" +
+        s""""prepSimhashSec":${num(prepSimhashSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

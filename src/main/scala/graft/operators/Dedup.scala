@@ -669,15 +669,80 @@ object Dedup {
   /** Near-dup pairs: bucket on the first [[SimhashPrefixBits]] bits
     * (near-identical docs agree on the prefix w.h.p.), then exact
     * hamming ≤ [[MaxHamming]] within bucket. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
-    val s = simhashed(docs)
-    s.as("l").join(s.as("r"),
+  def simhashPairs(docs: DataFrame): DataFrame =
+    simhashPairsFrom(simhashed(docs))
+
+  /** The prefix-bucket self-join + hamming confirm alone, over an
+    * explicit signature table — [[simhashed]] computed in-session, or
+    * the committed signature index ([[storedSimhashIndex]]). The join
+    * shuffles 64-char strings keyed by a 16-char prefix: tiny rows,
+    * bounded buckets (near-identical docs share the prefix, unrelated
+    * docs split across 2^16 buckets), no pair set wider than the
+    * collisions themselves. */
+  def simhashPairsFrom(sigs: DataFrame): DataFrame =
+    sigs.as("l").join(sigs.as("r"),
         substring(col("l.simhash"), 1, SimhashPrefixBits) ===
           substring(col("r.simhash"), 1, SimhashPrefixBits) &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
       .filter(col("hamming") <= MaxHamming)
+
+  /** Build-once committed simhash signature index of a FILE-BACKED
+    * corpus: [[simhashed]] persisted through the fingerprint-guarded
+    * ArtifactStore — the stored-band-index discipline
+    * ([[storedBandIndex]]) at signature granularity. A document's
+    * simhash is an ingest-once property of a corpus snapshot: the
+    * shingle → md5 → 64-counter majority vote is the d03 pipeline's
+    * whole corpus-scan cost (measured 17.0 s of d03's sf10 time vs
+    * ~1 s for the bucket join it feeds), and it never changes until
+    * the corpus does. One 64-char string per document, so the
+    * committed table is ~100 bytes/doc — far smaller than the corpus
+    * it indexes — and parquet-backed, which keeps the size statistics
+    * the pair join's planning needs. A regenerated corpus or changed
+    * shingle parameters flip the fingerprint and force a rebuild. */
+  def storedSimhashIndex(docs: DataFrame, path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.sources.ArtifactStore.getOrBuild(docs, path,
+      salt = s"simhash:$ShingleK")(
+      simhashed(docs))
+
+  /** [[simhashPairs]] served from the committed signature index —
+    * value-identical; signature derivation leaves the per-query path. */
+  def simhashPairsStored(docs: DataFrame, path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    simhashPairsFrom(storedSimhashIndex(docs, path))
+
+  /** Simhash-criterion incremental ingest: admit only batch docs that
+    * are near-dup (prefix match + hamming ≤ [[MaxHamming]]) of NEITHER
+    * the existing corpus NOR an earlier (smaller-id) doc of the same
+    * batch — [[incrementalKeep]]'s shape at signature granularity, for
+    * pipelines that gate on the simhash criterion continuously instead
+    * of re-running the corpus-wide d03 pair report.
+    *
+    * `historySigs` is the stored signature index ([[storedSimhashIndex]]
+    * rows); admitting a batch costs O(|batch|) signature work plus
+    * prefix-bucket joins against the index — the history corpus is
+    * never rescanned or re-hashed. Both near-dup checks are LEFT SEMI
+    * joins (the hamming confirm rides the join as its non-equi
+    * residual; no pair set is materialized) and the final keep is an
+    * anti-join on doc_id. Appending the admitted docs' signatures to
+    * the index afterwards makes re-admission idempotent, exactly as in
+    * d09/d17. */
+  def simhashIncrementalKeep(historySigs: DataFrame, batch: DataFrame): DataFrame = {
+    def near(l: Column, r: Column): Column =
+      substring(l, 1, SimhashPrefixBits) === substring(r, 1, SimhashPrefixBits) &&
+        hamming(l, r) <= MaxHamming
+    val bs = simhashed(batch)
+    val dupVsHistory = bs.as("n").join(historySigs.as("h"),
+        near(col("n.simhash"), col("h.simhash")), "left_semi")
+      .select("doc_id")
+    val dupInBatch = bs.as("l").join(bs.as("r"),
+        near(col("l.simhash"), col("r.simhash")) && col("l.doc_id") > col("r.doc_id"),
+        "left_semi")
+      .select("doc_id")
+    batch.select("doc_id")
+      .join(dupVsHistory.union(dupInBatch), Seq("doc_id"), "left_anti")
   }
 
   // ---- d04: n-gram Jaccard ------------------------------------------------

@@ -528,6 +528,62 @@ class DedupSpec extends SparkSpec {
     assert(idx.columns.toSet == Set("doc_id", "band_idx", "bh"))
   }
 
+  test("d03 stored simhash index: identical pairs, artifact reused untouched") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_simhash_idx")
+      .resolve("idx").toString
+    val direct = Dedup.simhashPairs(docs).orderBy("doc_a", "doc_b").collect().toSeq
+    val stored = Dedup.simhashPairsStored(docs, idxPath)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(stored == direct, "stored-index pairs must equal the direct computation")
+    // the committed index is the signature table itself — one 64-char
+    // signature per shingled doc, the rows d18's admission probes
+    val idx = spark.read.parquet(idxPath)
+    assert(idx.columns.toSet == Set("doc_id", "simhash"))
+    assert(idx.select(length(col("simhash"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64))
+    // second resolution reuses the committed files (fingerprint match —
+    // no rebuild): the artifact's file listing is byte-identical after
+    val dir = new java.io.File(idxPath)
+    def listing = dir.listFiles().map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val before = listing
+    val again = Dedup.simhashPairsStored(docs, idxPath)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(again == direct && listing == before,
+      "second resolution must serve the committed artifact unchanged")
+  }
+
+  test("d18 simhash incremental: history and earlier-batch near-dups reject; admission is idempotent") {
+    import spark.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textB = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "red orange yellow green blue indigo violet cyan magenta teal maroon olive"
+    val history = Seq((0L, textA)).toDF("doc_id", "text")
+    val historySigs = Dedup.simhashed(history)
+    val batch = Seq(
+      (11L, textA), // verbatim dup of history (hamming 0): rejected
+      (13L, textB), // fresh: admitted
+      (15L, textB), // verbatim dup of earlier batch doc 13: rejected
+      (17L, textC)  // fresh: admitted
+    ).toDF("doc_id", "text")
+    val kept = Dedup.simhashIncrementalKeep(historySigs, batch)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(13L, 17L), s"got $kept")
+    // idempotence: append the admitted docs' signatures, re-admitting
+    // the same text must now reject
+    val updated = historySigs.unionAll(Dedup.simhashed(
+      batch.filter(col("doc_id") === 13L)))
+    val reKept = Dedup.simhashIncrementalKeep(updated,
+        Seq((23L, textB)).toDF("doc_id", "text"))
+      .count()
+    assert(reKept == 0, "already-admitted text must not re-admit")
+    // prefix-bucketed semi-joins, never a cartesian product
+    val plan = Dedup.simhashIncrementalKeep(historySigs, batch)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair-free plan expected:\n$plan")
+  }
+
   test("d10 stored span index: identical pairs, df=1 rows pruned, artifact reused") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val direct = Dedup.substringSpanPairs(docs).orderBy("doc_a", "doc_b")
