@@ -613,6 +613,34 @@ class DedupSpec extends SparkSpec {
       "second resolution must serve the committed artifact unchanged")
   }
 
+  test("d11 from the stored full window table: identical report; narrower products project from it") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val twPath = java.nio.file.Files.createTempDirectory("graft_token_wins")
+      .resolve("idx").toString
+    val bench = docs.filter(col("doc_id") < DedupQueries.BenchmarkDocs)
+    val corpus = docs.filter(col("doc_id") >= DedupQueries.BenchmarkDocs)
+    val direct = Dedup.spanDecontaminate(corpus, bench).orderBy("doc_id").collect().toSeq
+    val wins = Dedup.storedTokenWindows(docs, twPath)
+    val stored = Dedup.spanDecontaminateFrom(
+        wins.filter(col("doc_id") >= DedupQueries.BenchmarkDocs), bench)
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct, "stored-window report must equal the direct computation")
+    // the committed table is the FULL (df-uncapped) window set —
+    // exactly tokenWindows' rows, nothing pruned
+    assert(spark.read.parquet(twPath).count() == Dedup.tokenWindows(docs).count())
+    // the pairable span index built by PROJECTING the committed windows
+    // is row-identical to one built from the raw corpus
+    val spPath = java.nio.file.Files.createTempDirectory("graft_span_from_wins")
+      .resolve("idx").toString
+    val projected = Dedup.storedSpanIndexFrom(docs, wins, spPath)
+      .orderBy("doc_id", "pos", "wh").collect().toSeq
+    assert(projected ==
+      Dedup.pairableWindows(docs).orderBy("doc_id", "pos", "wh").collect().toSeq)
+    // the ingest-gate hash set projects from the same artifact
+    assert(Dedup.windowHashesFrom(wins).orderBy("wh").collect().toSeq ==
+      Dedup.windowHashes(docs).orderBy("wh").collect().toSeq)
+  }
+
   test("d10 incremental span gate: history and earlier-batch spans reject; fresh docs admit") {
     import spark.implicits._
     val span = (1 to 14).map(i => s"tok$i").mkString(" ")
