@@ -186,6 +186,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val prepMediaSec = prepSec(queries.MultimodalQueries.ensureMediaStore(spark, sfDir))
+    val prepDecodeSec = prepSec(queries.MultimodalQueries.ensureDecodedFeatures(spark, sfDir))
     val prepAnnSec = prepSec(queries.SimilarityQueries.ensureAnnIndex(spark, sfDir))
     val prepClusterSec = prepSec(queries.DedupQueries.ensureClusterIndex(spark, sfDir))
     val prepPqSec = prepSec(queries.SimilarityQueries.ensurePqIndex(spark, sfDir))
@@ -303,7 +304,8 @@ object Bench {
     val envJson =
       s"""{"cpus":$cpus,"heapMaxMb":$heapMax,"gcTotalMs":${gcMillis()},""" +
         s""""wallSec":${(System.currentTimeMillis() - startMs) / 1000.0},""" +
-        s""""prepMediaSec":${num(prepMediaSec, 3)},"prepAnnSec":${num(prepAnnSec, 3)},""" +
+        s""""prepMediaSec":${num(prepMediaSec, 3)},"prepDecodeSec":${num(prepDecodeSec, 3)},""" +
+        s""""prepAnnSec":${num(prepAnnSec, 3)},""" +
         s""""prepClusterSec":${num(prepClusterSec, 3)},""" +
         s""""prepPqSec":${num(prepPqSec, 3)},""" +
         s""""prepSpanSec":${num(prepSpanSec, 3)},""" +

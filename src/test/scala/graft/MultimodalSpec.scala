@@ -152,6 +152,49 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"resize must be map-side:\n$plan")
   }
 
+  test("decode-once feature artifact: every projection equals its live-decode form; artifact reused") {
+    implicit val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft_decoded").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feats = Multimodal.materializeDecodedFeatures(docs, s"$root/media", s"$root/decoded")
+    val stored = Multimodal.materializeMedia(docs, s"$root/media")
+    def rows(df: org.apache.spark.sql.DataFrame, by: String*) =
+      df.orderBy(by.map(col): _*).collect().toSeq
+    // m01 projection == live extractFeatures
+    assert(rows(feats.select("doc_id", "modality", "n_bytes", "content_md5",
+        "width", "height", "n_frames"), "doc_id") ==
+      rows(Multimodal.extractFeatures(stored, () => new Multimodal.JdkMediaDecoder).toDF(), "doc_id"))
+    // m03 projection == live decodeImages
+    assert(rows(feats.filter(col("modality") === "image")
+        .select("doc_id", "width", "height", "red", "green", "blue"), "doc_id") ==
+      rows(Multimodal.decodeImages(stored).toDF(), "doc_id"))
+    // m04 projection == live decodeAudio
+    assert(rows(feats.filter(col("modality") === "audio")
+        .select("doc_id", "sample_rate", "channels", "n_samples", "duration_ms", "peak"), "doc_id") ==
+      rows(Multimodal.decodeAudio(stored).toDF(), "doc_id"))
+    // m05 projection (unnested frames) == live decodeVideoFrames
+    assert(rows(feats.filter(col("modality") === "video")
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.red").as("red"), col("f.green").as("green"), col("f.blue").as("blue")),
+        "doc_id", "frame_idx") ==
+      rows(Multimodal.decodeVideoFrames(stored).toDF(), "doc_id", "frame_idx"))
+    // m06 projection == live resizeImages
+    assert(rows(feats.filter(col("modality") === "image")
+        .select(col("doc_id"), col("width").as("src_width"), col("height").as("src_height"),
+          col("thumb_width"), col("thumb_height"),
+          col("thumb_red").as("red"), col("thumb_green").as("green"),
+          col("thumb_blue").as("blue")), "doc_id") ==
+      rows(Multimodal.resizeImages(stored).toDF(), "doc_id"))
+    // second resolution reuses the committed files (fingerprint match)
+    def mtimes = new java.io.File(s"$root/decoded").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    Multimodal.materializeDecodedFeatures(docs, s"$root/media", s"$root/decoded")
+    assert(mtimes == before, "second materialize rewrote the feature store")
+  }
+
   test("decoder is deterministic across instances (same payload, same features)") {
     val wav = Multimodal.AudioSynth.wav(7L)
     val r = MediaRecord(7L, "audio", "payload-bytes".getBytes("UTF-8"), wav)
