@@ -428,4 +428,58 @@ class PropertySpec extends SparkSpec {
     }
     check("containment", 10, prop)
   }
+
+  // ---- adaptive dials vs their generated SQL CASE twins -------------------
+
+  test("property: adaptive dials equal their SQL CASE twins across every threshold boundary") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.queries.Ops
+    // every integer threshold either dial can straddle, probed at ±1 —
+    // an off-by-one in EITHER the Scala loop or the generated CASE
+    // chain (the oracle's side) must show up here, not at a corpus
+    // size the fixtures never reach
+    val signThresholds = (Dedup.SignBits until Dedup.MaxSignBits)
+      .map(b => Dedup.SignBucketTarget << b)
+    val cellThresholds = Iterator.iterate(Similarity.NCentroids.toLong)(_ * 2)
+      .takeWhile(_ < Similarity.MaxSemCells)
+      .map(_ * Similarity.SemCellTarget).toSeq
+    val boundary = (signThresholds ++ cellThresholds)
+      .flatMap(t => Seq(t - 1, t, t + 1))
+    // plus seeded random draws across the whole plausible corpus range
+    // (to 2^41 ≈ 2.2e12 docs — far past either dial's cap)
+    val random = Gen.listOfN(256, Gen.choose(1L, 1L << 41))
+      .apply(Gen.Parameters.default, Seed(0xD1A75)).get
+    val ns = (Seq(1L, 2L) ++ boundary ++ random).distinct
+    val rows = ns.toDF("n")
+      .selectExpr("n",
+        s"${Ops.sqlAdaptiveSignBits("n")} AS sql_bits",
+        s"${Ops.sqlAdaptiveCells("n")} AS sql_cells")
+      .collect()
+    assert(rows.length == ns.length)
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getInt(1) == Dedup.adaptiveSignBits(n),
+        s"adaptiveSignBits($n)=${Dedup.adaptiveSignBits(n)} but SQL CASE says ${r.getInt(1)}")
+      assert(r.getInt(2) == Similarity.adaptiveCells(n),
+        s"adaptiveCells($n)=${Similarity.adaptiveCells(n)} but SQL CASE says ${r.getInt(2)}")
+    }
+    // and the dials' own contract: smallest width/count within bounds
+    // whose mean bucket population meets the target; monotone in n
+    ns.foreach { n =>
+      val b = Dedup.adaptiveSignBits(n)
+      assert(b >= Dedup.SignBits && b <= Dedup.MaxSignBits)
+      if (b < Dedup.MaxSignBits) assert(n <= (Dedup.SignBucketTarget << b))
+      if (b > Dedup.SignBits) assert(n > (Dedup.SignBucketTarget << (b - 1)))
+      val k = Similarity.adaptiveCells(n)
+      assert(k >= Similarity.NCentroids && k <= Similarity.MaxSemCells)
+      if (k < Similarity.MaxSemCells) assert(n <= Similarity.SemCellTarget * k)
+      if (k > Similarity.NCentroids) assert(n > Similarity.SemCellTarget * (k / 2))
+    }
+    val sorted = ns.sorted
+    assert(sorted.map(Dedup.adaptiveSignBits) == sorted.map(Dedup.adaptiveSignBits).sorted,
+      "adaptiveSignBits must be monotone in corpus size")
+    assert(sorted.map(Similarity.adaptiveCells) == sorted.map(Similarity.adaptiveCells).sorted,
+      "adaptiveCells must be monotone in corpus size")
+  }
 }
