@@ -735,21 +735,44 @@ object Dedup {
   def simhashPairs(docs: DataFrame): DataFrame =
     simhashPairsFrom(simhashed(docs))
 
+  /** The signature string parsed ONCE PER ROW into two 32-bit halves
+    * (`conv` base-2), so the per-PAIR hamming inside the join is two
+    * `bit_count(xor)` machine ops instead of 64 substring CASEs — the
+    * same exact positional-mismatch count (each '0'/'1' char is one
+    * bit of the parsed half), at a fraction of the candidate-pair CPU
+    * the confirm stage pays on a prefix-skewed corpus. The ORACLE
+    * keeps the portable 64-way CASE sum; equal by construction. */
+  private def sigHalves(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("h1"),
+      conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("h2"))
+
+  /** Pairwise hamming over pre-parsed halves; the first
+    * [[SimhashPrefixBits]] bits are the top bits of h1, so the bucket
+    * key is one shift. */
+  private def halvesHamming(l: String, r: String): Column =
+    (bit_count(col(s"$l.h1").bitwiseXOR(col(s"$r.h1"))) +
+      bit_count(col(s"$l.h2").bitwiseXOR(col(s"$r.h2")))).cast("int")
+
+  private def prefixKey(side: String): Column =
+    shiftright(col(s"$side.h1"), 32 - SimhashPrefixBits)
+
   /** The prefix-bucket self-join + hamming confirm alone, over an
     * explicit signature table — [[simhashed]] computed in-session, or
     * the committed signature index ([[storedSimhashIndex]]). The join
-    * shuffles 64-char strings keyed by a 16-char prefix: tiny rows,
+    * shuffles two longs per row keyed by the 16-bit prefix: tiny rows,
     * bounded buckets (near-identical docs share the prefix, unrelated
     * docs split across 2^16 buckets), no pair set wider than the
     * collisions themselves. */
-  def simhashPairsFrom(sigs: DataFrame): DataFrame =
-    sigs.as("l").join(sigs.as("r"),
-        substring(col("l.simhash"), 1, SimhashPrefixBits) ===
-          substring(col("r.simhash"), 1, SimhashPrefixBits) &&
+  def simhashPairsFrom(sigs: DataFrame): DataFrame = {
+    val s = sigHalves(sigs)
+    s.as("l").join(s.as("r"),
+        prefixKey("l") === prefixKey("r") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
+        halvesHamming("l", "r").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
+  }
 
   /** Build-once committed simhash signature index of a FILE-BACKED
     * corpus: [[simhashed]] persisted through the fingerprint-guarded
@@ -793,15 +816,14 @@ object Dedup {
     * the index afterwards makes re-admission idempotent, exactly as in
     * d09/d17. */
   def simhashIncrementalKeep(historySigs: DataFrame, batch: DataFrame): DataFrame = {
-    def near(l: Column, r: Column): Column =
-      substring(l, 1, SimhashPrefixBits) === substring(r, 1, SimhashPrefixBits) &&
-        hamming(l, r) <= MaxHamming
-    val bs = simhashed(batch)
-    val dupVsHistory = bs.as("n").join(historySigs.as("h"),
-        near(col("n.simhash"), col("h.simhash")), "left_semi")
+    def near(l: String, r: String): Column =
+      prefixKey(l) === prefixKey(r) && halvesHamming(l, r) <= MaxHamming
+    val bs = sigHalves(simhashed(batch))
+    val hs = sigHalves(historySigs)
+    val dupVsHistory = bs.as("n").join(hs.as("h"), near("n", "h"), "left_semi")
       .select("doc_id")
     val dupInBatch = bs.as("l").join(bs.as("r"),
-        near(col("l.simhash"), col("r.simhash")) && col("l.doc_id") > col("r.doc_id"),
+        near("l", "r") && col("l.doc_id") > col("r.doc_id"),
         "left_semi")
       .select("doc_id")
     batch.select("doc_id")
