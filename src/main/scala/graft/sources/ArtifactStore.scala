@@ -35,7 +35,14 @@ object ArtifactStore {
     s"${sys.props("java.io.tmpdir")}/graft_store")
 
   /** Canonical artifact path for a (kind, source-dir) pair under
-    * `root`, e.g. `<root>/media/_root_testdata_sf0.1`. */
+    * `root`, e.g. `<root>/media/_root_testdata_sf0.1`.
+    *
+    * The sanitized leaf starts with '_' (absolute source paths begin
+    * with '/'), which makes Spark's DataSource log a benign "All paths
+    * were ignored" WARN on each read before resolving the explicitly
+    * given directory anyway — cosmetic only (every artifact read is
+    * value-oracled downstream). Kept as-is: changing the naming would
+    * orphan every committed artifact for zero behavioral gain. */
   def pathFor(root: String, kind: String, sourceDir: String): String =
     s"$root/$kind/${sourceDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
