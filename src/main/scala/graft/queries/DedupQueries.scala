@@ -220,10 +220,15 @@ object DedupQueries {
     // = near-dup (prefix match + hamming ≤ 8) of neither a corpus doc
     // nor an earlier batch doc. d09's O(|batch|) admission shape at
     // signature granularity.
+    // The history side reads the STORED signature index filtered to
+    // its slice (signatures are per-doc — d09's commute argument);
+    // only the batch derives signatures.
     "d18_simhash_ingest" -> ((s, dir) => {
+      implicit val spark = s
       val docs = t(s, dir, "documents")
       Dedup.simhashIncrementalKeep(
-        Dedup.simhashed(docs.filter(col("doc_id") % 2 === 0)),
+        Dedup.storedSimhashIndex(docs, simhashIndexPath(dir))
+          .filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
@@ -294,14 +299,19 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // d09: incremental ingest — even doc_ids act as the existing corpus
-    // (its LSH band index would be a stored table at scale), odd doc_ids
-    // as the incoming batch; admitted = near-dup of neither corpus nor
-    // an earlier batch doc
+    // d09: incremental ingest — even doc_ids act as the existing corpus,
+    // odd doc_ids as the incoming batch; admitted = near-dup of neither
+    // corpus nor an earlier batch doc. The history side reads the
+    // STORED band index filtered to its slice (band generation is
+    // per-doc, so filtering committed rows equals deriving from the
+    // filtered corpus — spec-pinned); only the batch pays signature
+    // work, which is the operator's whole point.
     "d09_dedup_incremental" -> ((s, dir) => {
+      implicit val spark = s
       val docs = t(s, dir, "documents")
       Dedup.incrementalKeep(
-        Dedup.bandedBuckets(docs.filter(col("doc_id") % 2 === 0)),
+        Dedup.storedBandIndex(docs, bandIndexPath(dir))
+          .filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),

@@ -526,6 +526,15 @@ class DedupSpec extends SparkSpec {
     // incremental admission can probe the same rows
     val idx = spark.read.parquet(idxPath)
     assert(idx.columns.toSet == Set("doc_id", "band_idx", "bh"))
+    // per-doc generation commutes with a doc filter: the stored index
+    // filtered to a slice IS that slice's band table, so d09's history
+    // side can read committed rows instead of re-deriving signatures
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    assert(Dedup.incrementalKeep(idx.filter(col("doc_id") % 2 === 0), batch)
+        .orderBy("doc_id").collect().toSeq ==
+      Dedup.incrementalKeep(Dedup.bandedBuckets(evens), batch)
+        .orderBy("doc_id").collect().toSeq)
   }
 
   test("d03 stored simhash index: identical pairs, artifact reused untouched") {
@@ -551,6 +560,14 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(again == direct && listing == before,
       "second resolution must serve the committed artifact unchanged")
+    // per-doc signatures commute with a doc filter: the stored index
+    // filtered to a slice serves d18's history side unchanged
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    assert(Dedup.simhashIncrementalKeep(idx.filter(col("doc_id") % 2 === 0), batch)
+        .orderBy("doc_id").collect().toSeq ==
+      Dedup.simhashIncrementalKeep(Dedup.simhashed(evens), batch)
+        .orderBy("doc_id").collect().toSeq)
   }
 
   test("d18 simhash incremental: history and earlier-batch near-dups reject; admission is idempotent") {
