@@ -581,11 +581,13 @@ class DedupSpec extends SparkSpec {
       (11L, textA), // verbatim dup of history (hamming 0): rejected
       (13L, textB), // fresh: admitted
       (15L, textB), // verbatim dup of earlier batch doc 13: rejected
-      (17L, textC)  // fresh: admitted
+      (17L, textC), // fresh: admitted
+      (19L, "ab")   // < ShingleK words: no signature, admitted (a gate
+                    //   can't hold what it can't fingerprint)
     ).toDF("doc_id", "text")
     val kept = Dedup.simhashIncrementalKeep(historySigs, batch)
       .collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept == Seq(13L, 17L), s"got $kept")
+    assert(kept == Seq(13L, 17L, 19L), s"got $kept")
     // idempotence: append the admitted docs' signatures, re-admitting
     // the same text must now reject
     val updated = historySigs.unionAll(Dedup.simhashed(

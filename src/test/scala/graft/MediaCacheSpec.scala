@@ -53,6 +53,36 @@ class MediaCacheSpec extends SparkSpec {
       "stale media store served after the source was regenerated")
   }
 
+  test("round-13 artifact kinds rebuild on source regeneration (simhash, token windows, decoded features)") {
+    implicit val s = spark
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_r13_artifacts").toString
+    val srcDir = s"$root/src"
+    writeSource(srcDir, 20)
+    def docs = spark.read.parquet(srcDir)
+
+    assert(Dedup.storedSimhashIndex(docs, s"$root/sim").count() ==
+      Dedup.simhashed(docs).count())
+    assert(Dedup.storedTokenWindows(docs, s"$root/win").count() ==
+      Dedup.tokenWindows(docs).count())
+    assert(Multimodal.materializeDecodedFeatures(docs, s"$root/media", s"$root/feat")
+      .count() == 20)
+
+    // regenerate the source in place with DIFFERENT rows: every kind's
+    // fingerprint flips and the fresh row set is served — no stale
+    // signatures/windows/features can leak into a dedup or m-query
+    writeSource(srcDir, 12)
+    assert(Dedup.storedSimhashIndex(docs, s"$root/sim").count() ==
+      Dedup.simhashed(docs).count(),
+      "stale simhash index served after source regeneration")
+    assert(Dedup.storedTokenWindows(docs, s"$root/win").count() ==
+      Dedup.tokenWindows(docs).count(),
+      "stale token-window table served after source regeneration")
+    assert(Multimodal.materializeDecodedFeatures(docs, s"$root/media", s"$root/feat")
+      .count() == 12,
+      "stale decoded-feature table served after source regeneration")
+  }
+
   test("a partial store (no _SUCCESS) is rewritten, never trusted") {
     implicit val s = spark
     val (srcDir, store) = freshDirs()
