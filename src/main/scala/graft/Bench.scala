@@ -194,6 +194,7 @@ object Bench {
     val prepSemSec = prepSec(queries.SimilarityQueries.ensureSemIndex(spark, sfDir))
     val prepBandSec = prepSec(queries.DedupQueries.ensureBandIndex(spark, sfDir))
     val prepSimhashSec = prepSec(queries.DedupQueries.ensureSimhashIndex(spark, sfDir))
+    val prepShingleSec = prepSec(queries.DedupQueries.ensureShingleSets(spark, sfDir))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -312,6 +313,7 @@ object Bench {
         s""""prepSemSec":${num(prepSemSec, 3)},""" +
         s""""prepBandSec":${num(prepBandSec, 3)},""" +
         s""""prepSimhashSec":${num(prepSimhashSec, 3)},""" +
+        s""""prepShingleSec":${num(prepShingleSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.ShingleExplode.registration)
     ext.injectFunction(graft.functions.SimhashAgg.registration)
     ext.injectFunction(graft.functions.StopwordHits.registration)
+    ext.injectFunction(graft.functions.OverlapCount.registration)
     ext.injectFunction(graft.functions.MinhashAgg.registration)
     ext.injectFunction(graft.functions.ShingleSet.registration)
     ext.injectFunction(graft.functions.RegexpCount.registration)

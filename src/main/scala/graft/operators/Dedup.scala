@@ -837,40 +837,78 @@ object Dedup {
   /** Exact shingle-Jaccard, evaluated ONLY on the MinHash-LSH candidate
     * pairs (never all-pairs): candidates ⋈ shingle sets, then
     * |A∩B| / |A|+|B|-|A∩B| in exact integer counts. The intersection
-    * uses the native `array_intersect` expression (hash-set build, one
-    * pass over each array) computed ONCE per pair — not the interpreted
-    * `filter`+`array_contains` HOF, which is O(|A|·|B|) per evaluation
-    * and falls out of codegen.
+    * SIZE comes from the custom codegen'd
+    * [[graft.functions.OverlapCount]] expression (one hash-set
+    * build + probe pass, no intersection array materialized) — the
+    * round-14 measurement showed `size(array_intersect(...))`
+    * dominating the confirm cost because Catalyst inlines the count
+    * into both the join residual and the output projection and each
+    * evaluation materialized the intersection array just to size it.
     *
-    * The shingle-set table feeds both join sides and is deliberately
-    * RECOMPUTED per side, not materialized: the arrays are ~3× the
-    * text they come from, and a round-10 measurement of the
-    * checkpointed form DOUBLED d04/d16 at sf1 (4.2 → 12 s, stable
-    * across passes) — serializing, storing and re-reading the fat
-    * arrays costs more than the map-side re-shingling it saves, at
-    * every scale where text I/O is cheaper than array I/O. The narrow
-    * band table inside [[minhashCandidates]] is likewise recomputed
-    * per side in-run (a checkpoint would erase its size statistics and
-    * the downstream broadcast decisions with them — see the note
-    * there); the STORED band index (d09's bucketed table) is the
-    * deployment shape that avoids both recompute and stats loss. */
+    * The IN-SESSION form recomputes the shingle-set table per join
+    * side: a round-10 localCheckpoint of it DOUBLED d04/d16 at sf1
+    * (4.2 → 12 s) because a LogicalRDD loses the size statistics the
+    * downstream broadcast decisions need. The deployment shape is the
+    * COMMITTED parquet artifact ([[storedShingleSets]]), which keeps
+    * stats AND drops the per-side re-shingle — the same resolution as
+    * the band/simhash/window indexes one family over. */
   def jaccardPairs(docs: DataFrame): DataFrame =
     jaccardPairsFrom(docs, minhashCandidates(docs))
+
+  /** Build-once committed shingle-set table of a FILE-BACKED corpus:
+    * [[shingleSets]] persisted through the fingerprint-guarded
+    * ArtifactStore. A document's shingle set is an ingest-once
+    * property of a corpus snapshot, and the d04/d16 confirm stage
+    * reads it TWICE per run (once per join side) — at sf1 that
+    * re-shingling was the suite's top cost (12.4 s / 12.8 s measured
+    * round 13). Parquet keeps the size statistics the confirm joins'
+    * broadcast decisions need — exactly what the round-10 checkpoint
+    * attempt lost (see [[jaccardPairs]]). The arrays are ~3× the text
+    * they index before encoding; dictionary + snappy on the repeated
+    * shingle strings brings the committed table close to corpus size,
+    * a fair trade for removing TWO corpus scans + shingle passes from
+    * every confirm-stage query. */
+  def storedShingleSets(docs: DataFrame, path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.sources.ArtifactStore.getOrBuild(docs, path,
+      salt = s"shingle_sets:$ShingleK")(
+      shingleSets(docs))
 
   /** The exact-Jaccard confirm stage over an explicit candidate set
     * (in-session LSH, or candidates probed from the stored band
     * index). */
-  def jaccardPairsFrom(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
+  def jaccardPairsFrom(docs: DataFrame, candidates: DataFrame): DataFrame =
+    jaccardPairsFromSets(shingleSets(docs), candidates)
+
+  /** The confirm stage over an explicit (doc_id, shingles) table —
+    * [[shingleSets]] computed in-session, or the committed artifact
+    * ([[storedShingleSets]]); value-identical by construction. */
+  def jaccardPairsFromSets(sh: DataFrame, candidates: DataFrame): DataFrame =
+    confirmCounts(sh, candidates)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+
+  /** Shared d04/d16 confirm core: per candidate pair, the exact
+    * intersection size and both set sizes — the expensive overlap
+    * probe evaluated EXACTLY ONCE per pair. The pair-keyed aggregate
+    * is a deliberate materialization boundary: without it, Catalyst's
+    * predicate pushdown inlines the projected `inter` into both the
+    * threshold filter (→ join residual) and the output projection,
+    * and every candidate pair pays the set probe twice (measured at
+    * sf1 as HALF the d04/d16 cost). Candidate pairs are already
+    * unique, so the aggregate reshuffles only skinny (pair, 3×int)
+    * rows and `max` is a value pick, not a reduction. */
+  private def confirmCounts(sh: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-  }
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(graft.functions.OverlapCount.overlap(col("sa"), col("sb"))).as("inter"),
+        max(size(col("sa"))).as("na"),
+        max(size(col("sb"))).as("nb"))
 
   /** d16 floor: a direction counts as containment at or above this. */
   val ContainmentThreshold = 0.5
@@ -894,18 +932,17 @@ object Dedup {
     containmentPairsFrom(docs, minhashCandidates(docs))
 
   /** The containment confirm stage over an explicit candidate set. */
-  def containmentPairsFrom(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    // same recompute-don't-materialize shingle trade as [[jaccardPairs]]
-    val sh = shingleSets(docs)
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+  def containmentPairsFrom(docs: DataFrame, candidates: DataFrame): DataFrame =
+    containmentPairsFromSets(shingleSets(docs), candidates)
+
+  /** The containment confirm over an explicit (doc_id, shingles)
+    * table — in-session or the committed [[storedShingleSets]]. */
+  def containmentPairsFromSets(sh: DataFrame, candidates: DataFrame): DataFrame =
+    confirmCounts(sh, candidates)
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / size(col("sa")), 6).as("cont_a_in_b"),
-        round(col("inter").cast("double") / size(col("sb")), 6).as("cont_b_in_a"))
+        round(col("inter").cast("double") / col("na"), 6).as("cont_a_in_b"),
+        round(col("inter").cast("double") / col("nb"), 6).as("cont_b_in_a"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentThreshold)
-  }
 
   // ---- d17: segment-level corpus dedup (C4-style keep-first) --------------
 

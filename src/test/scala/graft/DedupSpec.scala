@@ -40,6 +40,40 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("d04/d16 confirm from stored shingle sets: identical pairs, plan reads the artifact") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val shPath = java.nio.file.Files.createTempDirectory("graft_shingle_sets")
+      .resolve("idx").toString
+    val cands = Dedup.minhashCandidates(docs)
+    val freshJ = Dedup.jaccardPairsFrom(docs, cands)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val freshC = Dedup.containmentPairsFrom(docs, cands)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val sets = Dedup.storedShingleSets(docs, shPath)
+    val storedJ = Dedup.jaccardPairsFromSets(sets, cands).orderBy("doc_a", "doc_b")
+    val storedC = Dedup.containmentPairsFromSets(sets, cands).orderBy("doc_a", "doc_b")
+    assert(storedJ.collect().toSeq == freshJ,
+      "stored-set jaccard confirm must equal the in-session computation")
+    assert(storedC.collect().toSeq == freshC,
+      "stored-set containment confirm must equal the in-session computation")
+    // the confirm plan reads the COMMITTED artifact (both sides), not
+    // a re-shingling of the corpus: the committed table is one row per
+    // doc and its files appear in the scan set
+    val scanned = storedJ.inputFiles.filter(_.contains("graft_shingle_sets"))
+    assert(scanned.nonEmpty, s"expected artifact file scan, got: ${storedJ.inputFiles.toSeq}")
+    assert(spark.read.parquet(shPath).count() == docs.count(),
+      "committed shingle-set table must carry one row per document")
+    // second resolution reuses the committed files (fingerprint match)
+    val dir = new java.io.File(shPath)
+    def listing = dir.listFiles().map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val before = listing
+    val again = Dedup.jaccardPairsFromSets(
+        Dedup.storedShingleSets(docs, shPath), cands)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(again == freshJ && listing == before,
+      "second resolution must serve the committed artifact unchanged")
+  }
+
   test("d16 containment flags an asymmetric near-dup that symmetric jaccard hides") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
