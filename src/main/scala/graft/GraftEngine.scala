@@ -244,6 +244,36 @@ final class GraftEngine(val spark: SparkSession,
     }
   }
 
+  private var simhashIndexViewRegistered = false
+
+  /** Repoint `graft_simhash_pairs` at the COMMITTED signature index
+    * ([[operators.Dedup.storedSimhashIndex]]) and register the raw
+    * signature table as `graft_simhash_sigs` — the last stored index
+    * without a SQL surface (band/span/ANN all repoint views). Same
+    * build-don't-declare split as [[registerBandIndexView]]: the
+    * shingle → md5 → majority-vote derivation runs once per corpus
+    * snapshot, and a SQL user then probes parquet-backed signatures
+    * (the sigs view) or the hamming-confirmed near-dup pairs (the
+    * pairs view) without paying it. Fileless corpora get in-session
+    * views (no file identity to fingerprint). Idempotent per engine. */
+  def registerSimhashIndexView(indexPath: Option[String] = None): Unit = synchronized {
+    if (!simhashIndexViewRegistered) {
+      val docs = spark.table("documents")
+      implicit val s: SparkSession = spark
+      val sigs =
+        if (docs.inputFiles.nonEmpty) {
+          val idx = indexPath.getOrElse(sources.ArtifactStore.pathFor(
+            config.storageRoot, "simhash_index",
+            registered.getOrElse("documents", "documents")))
+          operators.Dedup.storedSimhashIndex(docs, idx)
+        } else operators.Dedup.simhashed(docs)
+      sigs.createOrReplaceTempView("graft_simhash_sigs")
+      operators.Dedup.simhashPairsFrom(sigs)
+        .createOrReplaceTempView("graft_simhash_pairs")
+      simhashIndexViewRegistered = true
+    }
+  }
+
   private var annViewRegistered = false
 
   /** SQL-surface the DEFAULT ANN search (`graft_ann_topk`: k-means

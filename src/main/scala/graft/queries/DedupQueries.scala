@@ -196,6 +196,13 @@ object DedupQueries {
        |sim AS (SELECT doc_id, $sim AS simhash FROM hs)""".stripMargin
   }
 
+  /** Standalone per-doc signature derivation (doc_id, simhash) — the
+    * DuckDB twin of the stored simhash index, for oracles that probe
+    * SIGNATURES rather than confirmed pairs (x12's bucket audit). */
+  val simhashSigsSql: String =
+    s"""$sqlSimhashCtes
+       |SELECT doc_id, simhash FROM sim""".stripMargin
+
   // adaptive-width sign bucket: bit count from the corpus size, the
   // same integer thresholds the Spark side uses (Dedup.adaptiveSignBits)
   private val sqlBucket =

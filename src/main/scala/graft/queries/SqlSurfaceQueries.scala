@@ -171,6 +171,26 @@ object SqlSurfaceQueries {
     "x10_sql_profile" -> ((s, dir) => engine(s, dir).sql(
       """SELECT * FROM graft_profile_orders ORDER BY col_name""".stripMargin)),
 
+    // x12: stored-SIGNATURE bucket audit from SQL. The simhash index
+    // was the only stored index without a SQL surface (band/span/ANN
+    // all repoint views): registerSimhashIndexView repoints
+    // graft_simhash_pairs at the committed index and registers the raw
+    // signature table as graft_simhash_sigs, and this audit groups
+    // signatures by their prefix bucket and reports the occupied ones —
+    // the bucket-skew probe a curation user runs BEFORE paying for the
+    // corpus-wide pair scan. The DuckDB oracle re-derives signatures
+    // from raw text (the d02/d03 stored-vs-fresh discipline).
+    "x12_sql_simhash_buckets" -> ((s, dir) => {
+      val e = engine(s, dir)
+      e.registerSimhashIndexView()
+      e.sql(
+        s"""SELECT substring(simhash, 1, ${graft.operators.Dedup.SimhashPrefixBits}) AS prefix,
+           |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+           |FROM graft_simhash_sigs
+           |GROUP BY 1 HAVING COUNT(*) > 1
+           |ORDER BY prefix""".stripMargin)
+    }),
+
     // x11: dbt-style data-quality constraint audit in plain SQL —
     // PK uniqueness, referential integrity (plans as an anti-join,
     // never per-row subquery re-execution), NOT NULL, and
@@ -345,7 +365,14 @@ object SqlSurfaceQueries {
     // x11: the audit SQL is engine-portable — the oracle runs the
     // identical text (the 'R' returnflag violation count is real data,
     // so both engines must count it identically)
-    "x11_sql_constraints" -> ConstraintAuditSql)
+    "x11_sql_constraints" -> ConstraintAuditSql,
+
+    "x12_sql_simhash_buckets" ->
+      s"""SELECT substring(simhash, 1, ${graft.operators.Dedup.SimhashPrefixBits}) AS prefix,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         |FROM (${DedupQueries.simhashSigsSql})
+         |GROUP BY 1 HAVING COUNT(*) > 1
+         |ORDER BY prefix""".stripMargin)
 
   /** DuckDB twin of [[mergedCustomerView]]'s merge, as CTEs: the anti-
     * join + union IS the MERGE semantics, so the oracle states it

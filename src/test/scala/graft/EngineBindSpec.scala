@@ -111,4 +111,34 @@ class EngineBindSpec extends SparkSpec {
     // restore the lazy views for any later spec sharing the session
     e.registerPipelineViews()
   }
+
+  test("simhash index view: pairs repoint at the committed signatures, sigs view registered") {
+    val e = GraftEngine.forDir(spark, sfDir)
+    e.registerPipelineViews()
+    val lazyPairs = spark.table("graft_simhash_pairs")
+    assert(lazyPairs.inputFiles.forall(_.contains("documents.parquet")))
+    val pairRows = lazyPairs.orderBy("doc_a", "doc_b").collect().toSeq
+    val root = Files.createTempDirectory("graft_simhash_repoint").toString
+    e.registerSimhashIndexView(Some(s"$root/sim"))
+    // the SAME pair view now plans over the committed signature index,
+    // answering identically; the raw signatures gained a SQL surface
+    val pairs = spark.table("graft_simhash_pairs")
+    val sigs = spark.table("graft_simhash_sigs")
+    assert(new java.io.File(s"$root/sim/_SUCCESS").exists())
+    assert(pairs.inputFiles.nonEmpty && pairs.inputFiles.forall(_.contains(s"$root/sim")),
+      s"pair view must read the committed index, got ${pairs.inputFiles.take(3).mkString(",")}")
+    assert(sigs.inputFiles.nonEmpty && sigs.inputFiles.forall(_.contains(s"$root/sim")))
+    assert(pairs.orderBy("doc_a", "doc_b").collect().toSeq == pairRows)
+    // the sigs view IS the index: one 64-bit signature per document
+    import org.apache.spark.sql.functions.{col, length}
+    assert(sigs.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())
+    assert(sigs.filter(length(col("simhash")) =!= 64).count() == 0)
+    // idempotent per engine: a second call neither rebuilds nor rebinds
+    def mtimes = new java.io.File(s"$root/sim").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    e.registerSimhashIndexView(Some(s"$root/sim"))
+    assert(mtimes == before)
+    e.registerPipelineViews()
+  }
 }
