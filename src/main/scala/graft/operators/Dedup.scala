@@ -527,13 +527,20 @@ object Dedup {
     * table instead of re-scanning the corpus — value-identical rows
     * and an identical fingerprint/salt, so the two build routes
     * interchange freely; a deployment that commits both artifacts pays
-    * the corpus scan + window md5 generation ONCE per snapshot total. */
-  def storedSpanIndexFrom(docs: DataFrame, wins: DataFrame, path: String,
+    * the corpus scan + window md5 generation ONCE per snapshot total.
+    *
+    * Takes the window artifact's PATH, not its rows: the committed
+    * index is fingerprinted against (`docs`, w), and resolving the
+    * window table here through the same fingerprint guard is what
+    * makes that binding unfalsifiable — a caller-supplied DataFrame
+    * could be any window set and would be committed as valid
+    * (round-14 advice). */
+  def storedSpanIndexFrom(docs: DataFrame, winsPath: String, path: String,
       w: Int = WindowTokens, maxWindowDf: Int = MaxWindowDf)(
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
     graft.sources.ArtifactStore.getOrBuild(docs, path,
       salt = s"span_windows:$w:$maxWindowDf")(
-      pairableWindowsFrom(wins, maxWindowDf))
+      pairableWindowsFrom(storedTokenWindows(docs, winsPath, w), maxWindowDf))
 
   /** Pair/run assembly over an (already df-capped) window table — the
     * stage [[substringSpanPairs]] runs after window generation and the
@@ -829,6 +836,89 @@ object Dedup {
     batch.select("doc_id")
       .join(dupVsHistory.union(dupInBatch), Seq("doc_id"), "left_anti")
   }
+
+  /** Per-doc simhash computed with PURE array expressions — no explode,
+    * no aggregation — so the whole signature chain is STATELESS and a
+    * readStream plans it with zero state ([[bandHashArray]]'s recipe at
+    * signature granularity). Value-identical to [[simhashed]]
+    * (spec-pinned): the same distinct shingles (ShingleSet builds the
+    * set ShingleExplode emits), the same md5 feature hashes parsed as
+    * two 32-bit halves, the same +1/−1 majority votes folded over the
+    * set — commutative integer sums, so set order cannot matter. Doc
+    * columns pass through; docs whose text yields NO shingles get a
+    * NULL `simhash` (mirroring [[simhashed]], where such docs simply
+    * have no signature row). */
+  def simhashArray(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // each shingle's md5, pre-parsed once into two unsigned 32-bit
+    // halves (conv of 8 hex digits fits a long safely; 16 would not)
+    val halves = transform(
+      graft.functions.ShingleSet.shingleSet(words(col(textCol)), ShingleK),
+      x => {
+        val h = md5(x)
+        struct(
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("a"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("b"))
+      })
+    // fold the ±1 votes of all shingles into one 64-long array
+    val votes = aggregate(col("__halves"), array_repeat(lit(0L), 64),
+      (acc, e) => zip_with(acc,
+        array((0 until 64).map { i =>
+          val half = if (i < 32) e.getField("a") else e.getField("b")
+          when(shiftright(half, 31 - (i % 32)).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))
+        }: _*),
+        (v, d) => v + d))
+    docs
+      .withColumn("__halves", halves)
+      .withColumn("simhash",
+        when(size(col("__halves")) > 0,
+          concat((0 until 64).map(i =>
+            when(element_at(votes, i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)))
+      .drop("__halves")
+  }
+
+  /** The [[SimhashPrefixBits]]-bit bucket key of a signature STRING —
+    * value-equal to the stored-index side's shifted-half key
+    * (`prefixKey`), so a gate probing string-derived prefixes against
+    * index-derived ones can never disagree on the bucket. */
+  def simhashPrefixOf(sig: Column): Column =
+    conv(substring(sig, 1, SimhashPrefixBits), 2, 10).cast("long")
+
+  /** Stateless streaming ingest gate on the SIMHASH criterion: admit
+    * only arriving docs whose signature prefix does NOT probe positive
+    * against the stored index's occupied-prefix bloom ([[streamAdmitGate]]'s
+    * recipe for d18's admission). The whole gate is a map-side filter
+    * over [[simhashArray]] — zero state operators, no stream-static
+    * join, no watermark.
+    *
+    *  - SOUND for the d03/d18 criterion: that criterion REQUIRES
+    *    prefix equality (pair generation buckets on the prefix), so
+    *    every true near-dup of the index has an occupied prefix and
+    *    is dropped — no false admits beyond bloom fp absence (blooms
+    *    have no false negatives).
+    *  - CONSERVATIVE the same way the minhash gate's bloom is: a doc
+    *    sharing a bucket at hamming > [[MaxHamming]] over-drops (plus
+    *    the bloom's ~1% fp) — the safe direction for an ingest gate;
+    *    pipelines needing the exact decision run
+    *    [[simhashIncrementalKeep]]'s confirm joins in batch on the
+    *    admitted sliver.
+    *
+    * Docs with no shingles (NULL signature) are ADMITTED, matching the
+    * batch form (no signature row → no collision evidence → kept).
+    * The signature column stays in the output so an accepting pipeline
+    * can append it to the stored index (d18's idempotence step). */
+  def simhashStreamAdmitGate(docs: DataFrame, prefixBloom: Array[Byte],
+      textCol: String = "text"): DataFrame =
+    simhashArray(docs, textCol)
+      .filter(col("simhash").isNull ||
+        !graft.functions.BloomFilters.mightContain(
+          lit(prefixBloom), simhashPrefixOf(col("simhash"))))
+
+  /** The stored signature index's occupied prefix buckets — the build
+    * side of [[simhashStreamAdmitGate]]'s bloom (distinct long keys;
+    * at most 2^[[SimhashPrefixBits]] rows regardless of corpus size). */
+  def simhashIndexPrefixes(sigs: DataFrame): DataFrame =
+    sigs.select(simhashPrefixOf(col("simhash")).as("prefix")).distinct()
 
   // ---- d04: n-gram Jaccard ------------------------------------------------
 

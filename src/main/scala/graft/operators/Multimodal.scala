@@ -123,6 +123,83 @@ object Multimodal {
     new String(out)
   }
 
+  // ---- shared per-modality feature extraction -----------------------------
+  // ONE implementation per codec path, reused by every operator that
+  // decodes the modality (the single-query decoders m03–m06, the
+  // decode-once artifact pass, the m01 metadata decoder) so parallel
+  // branches cannot drift — the audio peak scan and the TIFF frame walk
+  // each exist exactly once (round-14 advice).
+
+  /** Center-pixel color of a decoded raster (the value only a true
+    * pixel decode can produce — every image/video oracle checks it). */
+  private[operators] def centerColor(
+      img: java.awt.image.BufferedImage): java.awt.Color =
+    new java.awt.Color(img.getRGB(img.getWidth / 2, img.getHeight / 2))
+
+  /** Decode → rescale through a Graphics2D scaled draw (the JDK's
+    * software resize path) — shared by m06 and the decode-once pass. */
+  private[operators] def renderThumb(img: java.awt.image.BufferedImage,
+      w: Int, h: Int): java.awt.image.BufferedImage = {
+    val thumb = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = thumb.createGraphics()
+    try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+    thumb
+  }
+
+  /** Decoded audio-stream properties plus the PCM peak amplitude. The
+    * peak scan's sample layout is taken from the parsed FORMAT — 16-bit
+    * little-endian signed PCM (what the WAV store contains) is asserted,
+    * not assumed — and a stream that cannot report its frame count
+    * (`getFrameLength == -1`) raises instead of yielding negative
+    * n_samples/duration_ms. */
+  private[operators] def audioPcmFeatures(docId: Long,
+      ais: AudioInputStream): AudioFeatures = {
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"doc $docId: peak scan needs 16-bit little-endian signed PCM, got $fmt")
+    val frames = ais.getFrameLength
+    require(frames >= 0,
+      s"doc $docId: audio stream reports unknown frame length")
+    val pcm = ais.readAllBytes()
+    var peak = 0
+    var i = 0
+    while (i + 1 < pcm.length) {
+      val s = (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort.toInt
+      val a = if (s < 0) -s else s
+      if (a > peak) peak = a
+      i += 2
+    }
+    val rate = fmt.getSampleRate.toInt
+    AudioFeatures(docId, rate, fmt.getChannels, frames,
+      frames * 1000L / rate, peak)
+  }
+
+  /** Every `step`-th frame of a TIFF video container rasterized through
+    * a reused (per-partition) reader: (container frame count, sampled
+    * frame features). An empty container raises with the doc id — the
+    * image branch's undecodable-payload discipline; a non-empty one
+    * always samples frame 0, so callers may read `.head` for the
+    * representative frame. */
+  private[operators] def sampleVideoFrames(docId: Long,
+      reader: javax.imageio.ImageReader, media: Array[Byte],
+      step: Int): (Int, Vector[FrameFeature]) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(media))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n > 0, s"empty video container for doc $docId")
+      val sampled = (0 until n by step).map { f =>
+        val img = reader.read(f)
+        val c = centerColor(img)
+        FrameFeature(f, img.getWidth, img.getHeight,
+          c.getRed, c.getGreen, c.getBlue)
+      }.toVector
+      (n, sampled)
+    } finally iis.close()
+  }
+
   /** The per-partition decoder lifecycle every codec integration needs:
     * opened once per partition, rows streamed through, closed on task
     * completion (a native decoder holds handles that must not leak). */
@@ -152,8 +229,12 @@ object Multimodal {
             n_frames = Some(1))
         case "audio" =>
           val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
-          try base.copy(n_frames = Some(ais.getFrameLength.toInt))
-          finally ais.close()
+          try {
+            val frames = ais.getFrameLength
+            require(frames >= 0,
+              s"doc ${r.doc_id}: audio stream reports unknown frame length")
+            base.copy(n_frames = Some(frames.toInt))
+          } finally ais.close()
         case _ =>
           if (tiffReader == null)
             tiffReader = ImageIO.getImageReadersByFormatName("tiff").next()
@@ -161,6 +242,7 @@ object Multimodal {
           try {
             tiffReader.setInput(iis)
             val frames = tiffReader.getNumImages(true)
+            require(frames > 0, s"empty video container for doc ${r.doc_id}")
             val f0 = tiffReader.read(0)
             base.copy(width = Some(f0.getWidth), height = Some(f0.getHeight),
               n_frames = Some(frames))
@@ -338,12 +420,8 @@ object Multimodal {
           case "image" =>
             val img = ImageIO.read(new ByteArrayInputStream(r.media))
             require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-            val c = new java.awt.Color(img.getRGB(img.getWidth / 2, img.getHeight / 2))
-            val thumb = new java.awt.image.BufferedImage(
-              thumbW, thumbH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = thumb.createGraphics()
-            try g.drawImage(img, 0, 0, thumbW, thumbH, null) finally g.dispose()
-            val tc = new java.awt.Color(thumb.getRGB(thumbW / 2, thumbH / 2))
+            val c = centerColor(img)
+            val tc = centerColor(renderThumb(img, thumbW, thumbH))
             base.copy(
               width = Some(img.getWidth), height = Some(img.getHeight),
               n_frames = Some(1),
@@ -354,40 +432,19 @@ object Multimodal {
           case "audio" =>
             val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
             try {
-              val fmt = ais.getFormat
-              val frames = ais.getFrameLength
-              val pcm = ais.readAllBytes()
-              var peak = 0
-              var i = 0
-              while (i + 1 < pcm.length) {
-                val s = (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort.toInt
-                val a = if (s < 0) -s else s
-                if (a > peak) peak = a
-                i += 2
-              }
-              val rate = fmt.getSampleRate.toInt
-              base.copy(n_frames = Some(frames.toInt),
-                sample_rate = Some(rate), channels = Some(fmt.getChannels),
-                n_samples = Some(frames), duration_ms = Some(frames * 1000L / rate),
-                peak = Some(peak))
+              val a = audioPcmFeatures(r.doc_id, ais)
+              base.copy(n_frames = Some(a.n_samples.toInt),
+                sample_rate = Some(a.sample_rate), channels = Some(a.channels),
+                n_samples = Some(a.n_samples), duration_ms = Some(a.duration_ms),
+                peak = Some(a.peak))
             } finally ais.close()
           case _ =>
             if (tiffReader == null)
               tiffReader = ImageIO.getImageReadersByFormatName("tiff").next()
-            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
-            try {
-              tiffReader.setInput(iis)
-              val n = tiffReader.getNumImages(true)
-              val sampled = (0 until n by step).map { f =>
-                val img = tiffReader.read(f)
-                val c = new java.awt.Color(img.getRGB(img.getWidth / 2, img.getHeight / 2))
-                FrameFeature(f, img.getWidth, img.getHeight,
-                  c.getRed, c.getGreen, c.getBlue)
-              }.toVector
-              val f0 = sampled.head
-              base.copy(width = Some(f0.width), height = Some(f0.height),
-                n_frames = Some(n), frames = sampled)
-            } finally iis.close()
+            val (n, sampled) = sampleVideoFrames(r.doc_id, tiffReader, r.media, step)
+            val f0 = sampled.head
+            base.copy(width = Some(f0.width), height = Some(f0.height),
+              n_frames = Some(n), frames = sampled)
         }
       }
     }
@@ -460,7 +517,7 @@ object Multimodal {
     media.filter(col("modality") === "image").mapPartitions(_.map { r =>
       val img = ImageIO.read(new ByteArrayInputStream(r.media))
       require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-      val c = new java.awt.Color(img.getRGB(img.getWidth / 2, img.getHeight / 2))
+      val c = centerColor(img)
       ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
         c.getRed, c.getGreen, c.getBlue)
     })
@@ -483,11 +540,7 @@ object Multimodal {
     media.filter(col("modality") === "image").mapPartitions(_.map { r =>
       val img = ImageIO.read(new ByteArrayInputStream(r.media))
       require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-      val thumb = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = thumb.createGraphics()
-      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
-      val c = new java.awt.Color(thumb.getRGB(w / 2, h / 2))
+      val c = centerColor(renderThumb(img, w, h))
       ThumbFeatures(r.doc_id, img.getWidth, img.getHeight, w, h,
         c.getRed, c.getGreen, c.getBlue)
     })
@@ -503,22 +556,7 @@ object Multimodal {
     import spark.implicits._
     media.filter(col("modality") === "audio").mapPartitions(_.map { r =>
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
-      try {
-        val fmt = ais.getFormat
-        val frames = ais.getFrameLength
-        val pcm = ais.readAllBytes()
-        var peak = 0
-        var i = 0
-        while (i + 1 < pcm.length) {
-          val s = (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort.toInt
-          val a = if (s < 0) -s else s
-          if (a > peak) peak = a
-          i += 2
-        }
-        val rate = fmt.getSampleRate.toInt
-        AudioFeatures(r.doc_id, rate, fmt.getChannels, frames,
-          frames * 1000L / rate, peak)
-      } finally ais.close()
+      try audioPcmFeatures(r.doc_id, ais) finally ais.close()
     })
   }
 
@@ -526,7 +564,11 @@ object Multimodal {
     * TIFF container rasterized, center pixel reported. One stateful
     * reader per partition (disposed on task completion); frames of one
     * row are decoded eagerly (bounded by the container's frame count)
-    * but rows stream through the partition one at a time. */
+    * but rows stream through the partition one at a time. An EMPTY
+    * container raises with the doc id ([[sampleVideoFrames]]) — a
+    * payload that decodes to zero frames is corrupt data, the image
+    * branch's undecodable-require discipline, not a silent zero-row
+    * document. */
   def decodeVideoFrames(media: Dataset[MediaRecord], step: Int = FrameStep)(
       implicit spark: SparkSession): Dataset[VideoFrame] = {
     import spark.implicits._
@@ -535,17 +577,9 @@ object Multimodal {
       Option(TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
       it.flatMap { r =>
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
-        try {
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          (0 until n by step).map { f =>
-            val img = reader.read(f)
-            val c = new java.awt.Color(img.getRGB(img.getWidth / 2, img.getHeight / 2))
-            VideoFrame(r.doc_id, f, img.getWidth, img.getHeight,
-              c.getRed, c.getGreen, c.getBlue)
-          }.toVector
-        } finally iis.close()
+        sampleVideoFrames(r.doc_id, reader, r.media, step)._2.map(f =>
+          VideoFrame(r.doc_id, f.frame_idx, f.width, f.height,
+            f.red, f.green, f.blue))
       }
     }
   }

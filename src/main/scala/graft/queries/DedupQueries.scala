@@ -122,8 +122,8 @@ object DedupQueries {
   def ensureWindowIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     implicit val spark = s
     val docs = t(s, dir, "documents")
-    val wins = Dedup.storedTokenWindows(docs, tokenWindowsPath(dir))
-    Dedup.storedSpanIndexFrom(docs, wins, windowIndexPath(dir))
+    Dedup.storedTokenWindows(docs, tokenWindowsPath(dir))
+    Dedup.storedSpanIndexFrom(docs, tokenWindowsPath(dir), windowIndexPath(dir))
     ()
   }
 

@@ -369,6 +369,30 @@ class DedupSpec extends SparkSpec {
     assert(miss < 500, s"bloom rejects almost all non-members, passed $miss")
   }
 
+  test("simhashArray: the stateless expression form is value-identical to simhashed") {
+    val fromAgg = Dedup.simhashed(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val fromArr = Dedup.simhashArray(docs)
+      .select(col("doc_id"), col("simhash"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    // every doc with a signature row agrees bit-for-bit; docs WITHOUT
+    // a signature row (no shingles) are exactly the NULL-simhash docs
+    fromArr.foreach { case (id, sig) =>
+      assert(sig == fromAgg.get(id),
+        s"doc $id: expression simhash $sig != aggregate ${fromAgg.get(id)}")
+    }
+    assert(fromArr.size == docs.count(),
+      "simhashArray must pass every doc row through")
+    // and the string-derived prefix equals the stored index's parsed-half key
+    val viaString = Dedup.simhashed(docs)
+      .select(col("doc_id"), Dedup.simhashPrefixOf(col("simhash")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = Dedup.simhashIndexPrefixes(Dedup.simhashed(docs))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaString.map(_._2) == viaIndex,
+      "prefix-of-string must occupy exactly the index's prefix buckets")
+  }
+
   test("bandHashArray: the stateless array form is value-identical to bandedBuckets") {
     val fromAgg = Dedup.bandedBuckets(docs).select("doc_id", "bh")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -685,7 +709,7 @@ class DedupSpec extends SparkSpec {
     // is row-identical to one built from the raw corpus
     val spPath = java.nio.file.Files.createTempDirectory("graft_span_from_wins")
       .resolve("idx").toString
-    val projected = Dedup.storedSpanIndexFrom(docs, wins, spPath)
+    val projected = Dedup.storedSpanIndexFrom(docs, twPath, spPath)
       .orderBy("doc_id", "pos", "wh").collect().toSeq
     assert(projected ==
       Dedup.pairableWindows(docs).orderBy("doc_id", "pos", "wh").collect().toSeq)
@@ -729,7 +753,7 @@ class DedupSpec extends SparkSpec {
   test("segment keep-code raises on seg_idx overflow instead of colliding across docs") {
     import spark.implicits._
     val ok = Seq((3L, 7)).toDF("doc_id", "seg_idx")
-      .select(Dedup.segKeepCode(col("doc_id"), col("seg_idx"))).head.getLong(0)
+      .select(Dedup.segKeepCode(col("doc_id"), col("seg_idx"))).head().getLong(0)
     assert(ok == 3L * Dedup.SegCodeBase + 7)
     val ex = intercept[Exception] {
       Seq((1L, Int.MaxValue)).toDF("doc_id", "seg_idx")
