@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.MinhashAgg.registration)
     ext.injectFunction(graft.functions.ShingleSet.registration)
     ext.injectFunction(graft.functions.RegexpCount.registration)
+    ext.injectFunction(graft.functions.TokenCount.registration)
     ext.injectFunction(graft.functions.BloomFilters.aggRegistration)
     ext.injectFunction(graft.functions.BloomFilters.containsRegistration)
     ext.injectFunction(graft.functions.MisraGriesAgg.registration)

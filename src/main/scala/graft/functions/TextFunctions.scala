@@ -36,22 +36,26 @@ object TextFunctions {
   def sqlFingerprint(e: String): String = s"md5(${sqlNormText(e)})"
 
   /** Whitespace token count (t03): runs of non-space characters.
-    * Counted with [[RegexpCount]] (matcher loop, no per-token
-    * allocation) — identical to `size(regexp_extract_all(_, '\\S+', 0))`. */
+    * Counted with [[TokenCount]] (one pass over the UTF-8 bytes, no
+    * regex engine, no decoded-string copy) — identical to
+    * `size(regexp_extract_all(_, '\\S+', 0))`, pinned by
+    * RegexpCountSpec. */
   def wsTokenCount(c: Column): Column =
-    RegexpCount.regexpCount(trim(c), "\\S+")
+    TokenCount.tokenCount(c, "ws")
   def sqlWsTokenCount(e: String): String =
     s"len(regexp_extract_all(trim($e), '[^$SqlWs]+'))"
 
   /** BPE-ish subword-boundary token count (t03): letter runs, digit
     * runs, and single non-alphanumeric marks — the pre-tokenization
     * split most BPE vocabularies start from. Counted with
-    * [[RegexpCount]] (no per-token allocation). */
+    * [[TokenCount]] (byte-level class walk, no regex engine); the
+    * lower() stays OUTSIDE so the composition matches the regex form
+    * and the SQL twin exactly. */
   // the explicit class spelling keeps the SHARED pattern string
   // identical to `[^a-z0-9\s]` in Java while staying \x0B-correct in RE2
   val BpePattern = s"[a-z]+|[0-9]+|[^a-z0-9$SqlWs]"
   def bpeTokenCount(c: Column): Column =
-    RegexpCount.regexpCount(lower(c), BpePattern)
+    TokenCount.tokenCount(lower(c), "bpe")
   def sqlBpeTokenCount(e: String): String =
     s"len(regexp_extract_all(lower($e), '$BpePattern'))"
 

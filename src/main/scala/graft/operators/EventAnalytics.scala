@@ -261,25 +261,35 @@ object EventAnalytics {
     * ambiguity (DuckDB's quantile_cont and Spark's percentile
     * interpolate differently; rank selection sidesteps both).
     *
-    * Scale shape: one corpus shuffle; the rank window partitions by
-    * (key, DAY) — bounded by a day's traffic per key, the q58 blocked
-    * discipline — and the rollup reuses that partitioning.
+    * Scale shape: ONE aggregate over ONE corpus shuffle —
+    * `sort_array(collect_list(struct(v, tie)))` per (key, day), ranks
+    * read by array index. The round-13 form ranked with a row_number
+    * window plus a count window plus a rollup aggregate over the same
+    * partitioning; the window machinery (two WindowExec passes and a
+    * full partition sort feeding an aggregate that discards all but
+    * two rows per group) was 8.7 s at sf10 — this form selects the
+    * same values with no window machinery at all. The per-group array is
+    * bounded by a day's traffic per key — exactly the working set the
+    * rank window sorted per task (the q58 blocked-discipline bound);
+    * a corpus whose single key-day exceeds task memory moves to the
+    * q54 sketch twin, which is the same escape hatch the windowed
+    * form needed.
     */
   def percentileBands(events: DataFrame, keyCol: Column, tsCol: Column,
-                      valueCol: Column, tieCol: Column): DataFrame = {
-    val w = Window.partitionBy("__k", "__day").orderBy(col("__v"), col("__tie"))
+                      valueCol: Column, tieCol: Column): DataFrame =
     events
       .select(keyCol.as("__k"), to_date(tsCol).as("__day"),
         valueCol.as("__v"), tieCol.as("__tie"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("__k", "__day")))
       .groupBy(col("__k").as("key"), col("__day"))
-      .agg(max(col("n")).as("n"),
-        max(when(col("rn") === expr("(50 * n + 99) div 100"), col("__v"))).as("p50"),
-        max(when(col("rn") === expr("(95 * n + 99) div 100"), col("__v"))).as("p95"))
-      .select(col("key"), date_format(col("__day"), "yyyy-MM-dd").as("day"),
-        col("n"), col("p50"), col("p95"))
-  }
+      .agg(sort_array(collect_list(struct(col("__v"), col("__tie"))))
+        .as("__sorted"))
+      .select(col("key"),
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        size(col("__sorted")).cast("long").as("n"),
+        expr("__sorted[CAST((50 * size(__sorted) + 99) div 100 AS INT) - 1].__v")
+          .as("p50"),
+        expr("__sorted[CAST((95 * size(__sorted) + 99) div 100 AS INT) - 1].__v")
+          .as("p95"))
 
   /** Time-series resampling: densify a sparse (key, day, value) series
     * onto the full calendar between the series' global min and max

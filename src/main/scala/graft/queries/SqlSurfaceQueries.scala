@@ -192,16 +192,58 @@ object SqlSurfaceQueries {
     }),
 
     // x11: dbt-style data-quality constraint audit in plain SQL —
-    // PK uniqueness, referential integrity (plans as an anti-join,
-    // never per-row subquery re-execution), NOT NULL, and
-    // accepted-values, each one full-scan aggregate branch of a
-    // UNION ALL. One check is DELIBERATELY violated on the fixture
-    // (l_returnflag also carries 'R') so the audit provably DETECTS —
-    // an all-zeros report can't tell working checks from vacuous ones.
-    "x11_sql_constraints" -> ((s, dir) => engine(s, dir).sql(ConstraintAuditSql)))
+    // PK uniqueness, referential integrity, NOT NULL, and
+    // accepted-values. One check is DELIBERATELY violated on the
+    // fixture (l_returnflag also carries 'R') so the audit provably
+    // DETECTS — an all-zeros report can't tell working checks from
+    // vacuous ones. The Spark side runs the FUSED form: all lineitem
+    // checks ride ONE scan (the FK left join carries the qty and
+    // returnflag CASE-counts through the same pass) and all orders
+    // checks ride one aggregate, stack()ed into the verdict rows —
+    // the oracle keeps the portable one-scan-per-check UNION ALL,
+    // which at sf10 cost 10.2 s of separate full scans (round-13
+    // verdict item 3). Row-identity of the two forms is spec-pinned
+    // (SqlSurfaceSpec). */
+    "x11_sql_constraints" -> ((s, dir) => engine(s, dir).sql(ConstraintAuditFusedSql)))
 
-  /** x11's audit — identical text runs in Spark and DuckDB. */
-  private val ConstraintAuditSql =
+  /** x11's fused Spark-side audit: one pass over each table. CASE
+    * count semantics match the oracle's WHERE branches exactly — a
+    * NULL predicate (NULL returnflag/status, NULL l_orderkey in the
+    * FK check) counts in neither form. `stack` pivots the two one-row
+    * aggregates into the verdict rows; the cross join is 1×1. */
+  val ConstraintAuditFusedSql: String =
+    """WITH li AS (
+      |  SELECT
+      |    count(CASE WHEN l.l_orderkey IS NOT NULL AND o.__ok IS NULL
+      |               THEN 1 END) AS fk_orders,
+      |    count(CASE WHEN l.l_quantity <= 0 THEN 1 END) AS qty_positive,
+      |    count(CASE WHEN l.l_returnflag NOT IN ('A', 'N') THEN 1 END)
+      |      AS returnflag_in
+      |  FROM lineitem l
+      |  LEFT JOIN (SELECT DISTINCT o_orderkey AS __ok FROM orders) o
+      |    ON l.l_orderkey = o.__ok),
+      |ord AS (
+      |  SELECT
+      |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS custkey_null,
+      |    count(*) - count(DISTINCT o_orderkey) AS pk_unique,
+      |    count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+      |      AS status_accepted
+      |  FROM orders)
+      |SELECT check_name, violations FROM (
+      |  SELECT stack(6,
+      |    'lineitem_fk_orders', fk_orders,
+      |    'lineitem_qty_positive', qty_positive,
+      |    'lineitem_returnflag_in_A_N', returnflag_in,
+      |    'orders_custkey_not_null', custkey_null,
+      |    'orders_pk_unique', pk_unique,
+      |    'orders_status_accepted', status_accepted) AS (check_name, violations)
+      |  FROM li CROSS JOIN ord)
+      |ORDER BY check_name""".stripMargin
+
+  /** x11's audit in the portable one-scan-per-check form — the DuckDB
+    * oracle text, and the reference form the fused plan is spec-pinned
+    * row-identical to. */
+  val ConstraintAuditSql: String =
     """SELECT * FROM (
       |  SELECT 'lineitem_fk_orders' AS check_name, COUNT(*) AS violations
       |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)

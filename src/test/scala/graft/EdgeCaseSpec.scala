@@ -179,9 +179,30 @@ class EdgeCaseSpec extends SparkSpec {
     // the deliberately-violated accepted-values check must DETECT
     assert(rows("lineitem_returnflag_in_A_N") > 0L,
       "the audit failed to detect the planted returnflag violation")
-    // referential integrity plans as an anti-join, never a per-row subquery
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"), s"FK check must plan as an anti-join:\n$plan")
+  }
+
+  test("x11 fused audit is one lineitem scan and row-identical to the portable UNION ALL form") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val e = graft.GraftEngine.cachedForDir(spark, sfDir)
+    val fused = e.sql(queries.SqlSurfaceQueries.ConstraintAuditFusedSql)
+    // row-identity with the reference form (the DuckDB oracle text)
+    val portable = e.sql(queries.SqlSurfaceQueries.ConstraintAuditSql)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fused.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == portable, "fused audit diverged from the portable UNION ALL form")
+    // scan budget: ONE lineitem pass (FK left join carries the CASE
+    // counts), TWO orders passes (the key projection + the aggregate) —
+    // the portable form pays one full scan per check (4 + 3)
+    val scans = fused.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }
+    assert(scans.count(_.contains("lineitem")) == 1,
+      s"fused audit must read lineitem exactly once: $scans")
+    assert(scans.count(_.contains("orders")) <= 2,
+      s"fused audit must read orders at most twice: $scans")
   }
 
   test("q56 chi-square: correct df, consistent verdict, non-negative statistic") {

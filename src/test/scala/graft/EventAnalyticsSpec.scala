@@ -426,11 +426,13 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-02", 1L, 42.0, 42.0)))
   }
 
-  test("q60 rank window is blocked by (key, day), never key alone") {
+  test("q60 plans as one aggregate blocked by (key, day): no window machinery") {
     val plan = EventQueries.defs("q60_percentile_bands")(spark, sfDir)
       .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q60 must select ranks from the sorted-array aggregate, not a window:\n$plan")
     assert(plan.contains("hashpartitioning(__k") && plan.contains("__day"),
-      s"percentile window must partition by key-day blocks:\n$plan")
+      s"percentile aggregate must group by key-day blocks:\n$plan")
   }
 
   test("q58/q59 plan shape: one corpus exchange each, windows never global") {
