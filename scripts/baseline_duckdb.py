@@ -28,16 +28,27 @@ def main():
         skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
     oracles = json.load(open(os.path.join(vout, "oracle_sql.json")))
     oracles = {k: v for k, v in oracles.items() if k not in skip}
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        # Spark-written tables are directories of part files
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    # one bounded connection PER ORACLE — selfcheck.py's workaround for
+    # duckdb 1.0.0's buffer pool, which accumulates residue across a
+    # 150-query process under the default 80%-of-RAM limit and fails
+    # ~256 KB allocations mid-suite at sf1 even though every oracle
+    # passes alone. Per-query timings are unaffected (the warmup run
+    # repopulates whatever OS cache matters before the timed passes).
+    def connect():
+        con = duckdb.connect()
+        con.execute("SET memory_limit='24GB'")
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            # Spark-written tables are directories of part files
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return con
 
     results = {}
     for name in sorted(oracles):
         sql = oracles[name]
+        con = connect()
         try:
             con.execute(sql).fetchall()  # warmup
             times = []
@@ -49,6 +60,8 @@ def main():
         except Exception as e:
             print(f"[baseline] {name} FAILED: {e}", file=sys.stderr)
             results[name] = -1.0
+        finally:
+            con.close()
         print(f"{name}: {results[name]}", flush=True)
 
     ok = {k: v for k, v in results.items() if v >= 0}
