@@ -129,6 +129,52 @@ object Multimodal {
   // decode-once artifact pass, the m01 metadata decoder) so parallel
   // branches cannot drift — the audio peak scan and the TIFF frame walk
   // each exist exactly once (round-14 advice).
+  //
+  // Codec RESOLUTION follows the TIFF reader's per-partition plugin
+  // discipline for the other two modalities as well (round 14):
+  // `AudioSystem.getAudioInputStream` re-runs provider discovery per
+  // call — paying an UnsupportedAudioFileException per non-matching
+  // provider per ROW — and `ImageIO.read` re-scans readers per call.
+  // DecodeProbe measured audio as the live chain's dominant modality
+  // purely from that churn (WAV payloads are ~1 KB). The same JDK
+  // codec classes do the decoding; they are just resolved once per
+  // partition and fed per-row inputs.
+
+  /** The platform's WAV-capable [[javax.sound.sampled.spi.AudioFileReader]],
+    * resolved ONCE through the public SPI (probed with a synthesized
+    * WAV so provider order can't pick a non-WAV reader). */
+  private[operators] def newWavReader(): javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = AudioSynth.wav(1L)
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find { r =>
+        try { r.getAudioInputStream(new ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException(
+        "no WAV-capable AudioFileReader registered on this JVM"))
+  }
+
+  /** A PNG [[javax.imageio.ImageReader]] plugin instance (stateful —
+    * reuse per partition, dispose on task completion). */
+  private[operators] def newPngReader(): javax.imageio.ImageReader =
+    ImageIO.getImageReadersByFormatName("png").next()
+
+  /** Decode one stored image through a reused PNG reader — same codec
+    * `ImageIO.read` dispatches to, minus the per-row reader scan. */
+  private[operators] def readImage(reader: javax.imageio.ImageReader,
+      docId: Long, media: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(media))
+    try {
+      reader.setInput(iis)
+      try reader.read(0)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"undecodable image payload for doc $docId", e)
+      }
+    } finally iis.close()
+  }
 
   /** Center-pixel color of a decoded raster (the value only a true
     * pixel decode can produce — every image/video oracle checks it). */
@@ -208,12 +254,15 @@ object Multimodal {
     def close(): Unit
   }
 
-  /** Real decode for all three modalities via JDK codecs. The TIFF
-    * reader is stateful (native-style plugin instance) and reused across
-    * the partition's rows; `close()` disposes it. */
+  /** Real decode for all three modalities via JDK codecs. The codec
+    * plugin instances are stateful (native-style) and reused across the
+    * partition's rows — resolved lazily, once each; `close()` disposes
+    * what was opened. */
   final class JdkMediaDecoder extends MediaDecoder {
     private val md = java.security.MessageDigest.getInstance("MD5")
     private var tiffReader: javax.imageio.ImageReader = null
+    private var pngReader: javax.imageio.ImageReader = null
+    private var wavReader: javax.sound.sampled.spi.AudioFileReader = null
 
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.content.length.toLong
@@ -223,12 +272,13 @@ object Multimodal {
       require(r.media != null, s"missing media payload for doc ${r.doc_id}")
       r.modality match {
         case "image" =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.media))
-          require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+          if (pngReader == null) pngReader = newPngReader()
+          val img = readImage(pngReader, r.doc_id, r.media)
           base.copy(width = Some(img.getWidth), height = Some(img.getHeight),
             n_frames = Some(1))
         case "audio" =>
-          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+          if (wavReader == null) wavReader = newWavReader()
+          val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(r.media))
           try {
             val frames = ais.getFrameLength
             require(frames >= 0,
@@ -250,7 +300,11 @@ object Multimodal {
       }
     }
 
-    def close(): Unit = if (tiffReader != null) { tiffReader.dispose(); tiffReader = null }
+    def close(): Unit = {
+      if (tiffReader != null) { tiffReader.dispose(); tiffReader = null }
+      if (pngReader != null) { pngReader.dispose(); pngReader = null }
+      wavReader = null
+    }
   }
 
   /** Deterministic synthetic PNGs: dimensions and fill color are pure
@@ -405,9 +459,12 @@ object Multimodal {
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       var tiffReader: javax.imageio.ImageReader = null
+      var pngReader: javax.imageio.ImageReader = null
+      var wavReader: javax.sound.sampled.spi.AudioFileReader = null
       Option(TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit] { _ =>
           if (tiffReader != null) { tiffReader.dispose(); tiffReader = null }
+          if (pngReader != null) { pngReader.dispose(); pngReader = null }
         })
       it.map { r =>
         val digest = hex(md.digest(r.content)); md.reset()
@@ -418,8 +475,8 @@ object Multimodal {
           None, None, None, None, None, None, Nil)
         r.modality match {
           case "image" =>
-            val img = ImageIO.read(new ByteArrayInputStream(r.media))
-            require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+            if (pngReader == null) pngReader = newPngReader()
+            val img = readImage(pngReader, r.doc_id, r.media)
             val c = centerColor(img)
             val tc = centerColor(renderThumb(img, thumbW, thumbH))
             base.copy(
@@ -430,7 +487,8 @@ object Multimodal {
               thumb_red = Some(tc.getRed), thumb_green = Some(tc.getGreen),
               thumb_blue = Some(tc.getBlue))
           case "audio" =>
-            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+            if (wavReader == null) wavReader = newWavReader()
+            val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(r.media))
             try {
               val a = audioPcmFeatures(r.doc_id, ais)
               base.copy(n_frames = Some(a.n_samples.toInt),
@@ -514,13 +572,17 @@ object Multimodal {
     * the PNG was genuinely rasterized. */
   def decodeImages(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
     import spark.implicits._
-    media.filter(col("modality") === "image").mapPartitions(_.map { r =>
-      val img = ImageIO.read(new ByteArrayInputStream(r.media))
-      require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-      val c = centerColor(img)
-      ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
-        c.getRed, c.getGreen, c.getBlue)
-    })
+    media.filter(col("modality") === "image").mapPartitions { it =>
+      val reader = newPngReader()
+      Option(TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      it.map { r =>
+        val img = readImage(reader, r.doc_id, r.media)
+        val c = centerColor(img)
+        ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
+          c.getRed, c.getGreen, c.getBlue)
+      }
+    }
   }
 
   /** m06: image resize — decode the stored PNG and rasterize a
@@ -537,13 +599,17 @@ object Multimodal {
   def resizeImages(media: Dataset[MediaRecord], w: Int = ThumbSize,
       h: Int = ThumbSize)(implicit spark: SparkSession): Dataset[ThumbFeatures] = {
     import spark.implicits._
-    media.filter(col("modality") === "image").mapPartitions(_.map { r =>
-      val img = ImageIO.read(new ByteArrayInputStream(r.media))
-      require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-      val c = centerColor(renderThumb(img, w, h))
-      ThumbFeatures(r.doc_id, img.getWidth, img.getHeight, w, h,
-        c.getRed, c.getGreen, c.getBlue)
-    })
+    media.filter(col("modality") === "image").mapPartitions { it =>
+      val reader = newPngReader()
+      Option(TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      it.map { r =>
+        val img = readImage(reader, r.doc_id, r.media)
+        val c = centerColor(renderThumb(img, w, h))
+        ThumbFeatures(r.doc_id, img.getWidth, img.getHeight, w, h,
+          c.getRed, c.getGreen, c.getBlue)
+      }
+    }
   }
 
   val ThumbSize = 8
@@ -554,10 +620,13 @@ object Multimodal {
     * data was genuinely decoded (a header-only read can't produce it). */
   def decodeAudio(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
-    media.filter(col("modality") === "audio").mapPartitions(_.map { r =>
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
-      try audioPcmFeatures(r.doc_id, ais) finally ais.close()
-    })
+    media.filter(col("modality") === "audio").mapPartitions { it =>
+      val reader = newWavReader()
+      it.map { r =>
+        val ais = reader.getAudioInputStream(new ByteArrayInputStream(r.media))
+        try audioPcmFeatures(r.doc_id, ais) finally ais.close()
+      }
+    }
   }
 
   /** m05: real per-frame video decode — every `step`-th frame of each
