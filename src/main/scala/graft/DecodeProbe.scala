@@ -35,6 +35,10 @@ object DecodeProbe {
       println(f"""{"probe":"$name","sec":$best%.3f}""")
     }
 
+    time("metadata_chain")(Multimodal.extractFeatures(
+      media, () => new Multimodal.JdkMediaDecoder).toDF())
+    time("m01_decode_query")(
+      graft.queries.Queries.all("m01_decode")(spark, sfDir))
     time("decode_all")(Multimodal.decodeAllFeatures(media).toDF())
     time("image_only")(Multimodal.decodeImages(media).toDF())
     time("image_resize")(Multimodal.resizeImages(media).toDF())

@@ -19,14 +19,19 @@ object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
-    // #1 projection + row-level arithmetic (parser.rs:159-230)
+    // #1 projection + row-level arithmetic (parser.rs:159-230).
+    // NO global orderBy: the driver compare is row-sorted, and a global
+    // sort over a map-only child costs DOUBLE the chain — the range
+    // partitioner samples the child (executing the scan+project once)
+    // before the real pass runs it again; there is no shuffle boundary
+    // whose files the sample job could reuse. Measured at sf10: the
+    // sort was half the query (round 14).
     "q01_scan_project" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       l.select(
         l("l_orderkey"), l("l_linenumber"),
         (l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"),
         (l("l_extendedprice") * (lit(1.0) - l("l_discount")) * (lit(1.0) + l("l_tax"))).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // #2 compound filter: comparisons + AND/OR + date range (executor.rs:443-476)
@@ -38,7 +43,6 @@ object CoreQueries {
           l("l_discount") > 0.03 &&
           (l("l_returnflag") === "R" || l("l_quantity") < 10))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // #3 grouped aggregation, TPC-H Q1 shape (executor.rs:297-355)
@@ -219,7 +223,6 @@ object CoreQueries {
           upper(substring(col("c_name"), 1, 8)).as("prefix"),
           concat(col("c_mktsegment"), lit("/"), col("c_name")).as("tagged"),
           length(col("c_name")).as("name_len"))
-        .orderBy("c_custkey")
     }),
 
     // OLAP hierarchy rollup: subtotals per (flag, status), per flag, and

@@ -74,10 +74,15 @@ object MultimodalQueries {
     // JDK codec chain (PNG + WAV + TIFF) over every stored payload,
     // certified against the same oracle. This is the honest cost of
     // one decode pass; the artifact amortizes it across the suite.
+    // NO global orderBy (the driver compare is row-sorted): a global
+    // sort over this map-only chain made the range partitioner's
+    // sampling job run the WHOLE codec pass once before the real pass
+    // ran it again — measured at sf10 as 53 s for a 24 s chain
+    // (round 14; q01 carries the same note).
     "m01_decode" -> ((s, dir) => {
       implicit val spark = s
       Multimodal.extractFeatures(media(s, dir), () => new Multimodal.JdkMediaDecoder)
-        .toDF().orderBy("doc_id")
+        .toDF()
     }),
 
     // m02: per-video frame sampling (one row per sampled frame — the

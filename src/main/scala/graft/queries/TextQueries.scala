@@ -99,6 +99,14 @@ object TextQueries {
 
   val defs: Map[String, Q] = Map(
     // #25 language-ID: stopword-hit argmax (rows stay put; one scan)
+    // Per-doc MAP-ONLY outputs carry NO global orderBy (t01–t06, t04,
+    // t14): the driver compare is row-sorted, and a global sort over a
+    // map-only chain re-executes it — Spark's range partitioner samples
+    // the child as a separate job and no shuffle boundary exists whose
+    // files it could reuse (see q01's note; measured round 14). Queries
+    // whose plan already shuffles (t08–t10, t15, t16) keep the orderBy:
+    // there the sample job reuses the shuffle files and the sort is
+    // output-sized.
     "t01_langid" -> ((s, dir) => {
       val scored = scoreCols.foldLeft(t(s, dir, "documents")) {
         case (df, (lang, c)) => df.withColumn(s"s_$lang", c)
@@ -110,7 +118,6 @@ object TextQueries {
       }.otherwise(langs.last)
       scored.select(
         (col("doc_id") +: langs.map(l => col(s"s_$l"))) :+ pred.as("lang_pred"): _*)
-        .orderBy("doc_id")
     }),
 
     // #26 quality scoring: length/punct/stopword ratios + a composite
@@ -127,7 +134,6 @@ object TextQueries {
         (stopHits.cast("double") / nw).as("stop_ratio"),
         (when(nw.between(10, 500), 1.0).otherwise(0.5) *
           (lit(1.0) - punctRatio(col("text")))).as("quality_score"))
-        .orderBy("doc_id")
     }),
 
     // #27 token counting: whitespace + BPE-ish pre-tokenization
@@ -135,16 +141,14 @@ object TextQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         wsTokenCount(col("text")).as("ws_tokens"),
-        bpeTokenCount(col("text")).as("bpe_tokens"))
-        .orderBy("doc_id")),
+        bpeTokenCount(col("text")).as("bpe_tokens"))),
 
     // #28 document fingerprinting: md5 of whitespace-normalized content
     "t04_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
-        length(col("text")).as("raw_len"))
-        .orderBy("doc_id")),
+        length(col("text")).as("raw_len"))),
 
     // t07 vocabulary extraction: corpus-level token frequencies, top
     // 100 by count — the counting pass a tokenizer build starts from.
@@ -193,7 +197,7 @@ object TextQueries {
     // fully map-side — the filter battery a 100 TB curation pass runs
     // inside the read stage.
     "t14_gopher_rules" -> ((s, dir) =>
-      gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+      gopherRules(t(s, dir, "documents"))),
 
     // t15 hashed linear classifier inference — the fastText-style
     // quality-classifier scoring pass (CCNet/LLaMA-style curation):
@@ -464,7 +468,6 @@ object TextQueries {
         round(lit(1.0) - nd.cast("double") / nw, 6).as("word_rep_ratio"),
         round(nonspace.cast("double") / nw, 6).as("mean_word_len"),
         round(punct.cast("double") / nw, 6).as("symbols_per_word"))
-        .orderBy("doc_id")
     }),
 
     // t05 PII redaction: the synthetic corpus carries no PII-shaped
@@ -483,7 +486,6 @@ object TextQueries {
         regexp_count(aug, lit(EmailPattern)).as("n_emails"),
         regexp_count(regexp_replace(aug, EmailPattern, "<EMAIL>"),
           lit(PhonePattern)).as("n_phones"))
-        .orderBy("doc_id")
     }),
 
     // t12 BM25 retrieval scoring (§2 #35): Okapi BM25 of a fixed query
