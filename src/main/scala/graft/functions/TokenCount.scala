@@ -110,7 +110,9 @@ object TokenCount {
     (args: Seq[Expression]) => {
       require(args.length == 2, "graft_token_count takes (text, mode)")
       val mode = args(1) match {
-        case e if e.foldable && e.dataType == StringType =>
+        // `e.eval(null) != null` guards CAST(NULL AS STRING): foldable and
+        // string-typed, but folding to null — fall through to the clean error.
+        case e if e.foldable && e.dataType == StringType && e.eval(null) != null =>
           e.eval(null).toString
         case _ => throw new IllegalArgumentException(
           "graft_token_count: mode must be a string literal")

@@ -276,20 +276,76 @@ object EventAnalytics {
     * form needed.
     */
   def percentileBands(events: DataFrame, keyCol: Column, tsCol: Column,
-                      valueCol: Column, tieCol: Column): DataFrame =
-    events
+                      valueCol: Column, tieCol: Column,
+                      maxExactGroup: Long = DefaultMaxExactGroup): DataFrame = {
+    val prepped = events
       .select(keyCol.as("__k"), to_date(tsCol).as("__day"),
         valueCol.as("__v"), tieCol.as("__tie"))
+    // Guard: the array form's aggregation buffer is one (key, day)'s
+    // whole traffic and CANNOT spill (an oversized buffer is an OOM,
+    // not a slow task), so a cheap pre-count (map-side-combined, tiny
+    // shuffle) sizes the hottest group first and a corpus whose
+    // hottest key-day exceeds the bound takes the windowed form, which
+    // sorts the same working set through WindowExec's spillable path.
+    // Both branches are rank-exact — the oracle is unchanged either way.
+    val hottest = prepped.groupBy(col("__k"), col("__day")).count()
+      .agg(max(col("count"))).head()
+    val hotMax = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    if (hotMax <= maxExactGroup) percentileBandsArray(prepped)
+    else percentileBandsWindowed(prepped)
+  }
+
+  /** Array branch: ONE aggregate over ONE corpus shuffle —
+    * `sort_array(collect_list(struct(v, tie)))` per (key, day), ranks
+    * read by array index. size() is INT; the rank arithmetic casts to
+    * BIGINT before the multiply for exact parity with the windowed
+    * branch's long count (32-bit overflow would need >42.9M rows in
+    * one group — past the guard, but the cast makes the two branches
+    * identical by construction, not by bound). */
+  private def percentileBandsArray(prepped: DataFrame): DataFrame =
+    prepped
       .groupBy(col("__k").as("key"), col("__day"))
       .agg(sort_array(collect_list(struct(col("__v"), col("__tie"))))
         .as("__sorted"))
       .select(col("key"),
         date_format(col("__day"), "yyyy-MM-dd").as("day"),
         size(col("__sorted")).cast("long").as("n"),
-        expr("__sorted[CAST((50 * size(__sorted) + 99) div 100 AS INT) - 1].__v")
+        expr("__sorted[CAST((50 * CAST(size(__sorted) AS BIGINT) + 99) div 100 AS INT) - 1].__v")
           .as("p50"),
-        expr("__sorted[CAST((95 * size(__sorted) + 99) div 100 AS INT) - 1].__v")
+        expr("__sorted[CAST((95 * CAST(size(__sorted) AS BIGINT) + 99) div 100 AS INT) - 1].__v")
           .as("p95"))
+
+  /** Windowed branch (hot-group fallback): the same rank selection via
+    * row_number over (key, day) ordered by (v, tie) — one exchange,
+    * and WindowExec spills an oversized partition to disk instead of
+    * holding it in an aggregation buffer. Slower at normal shapes
+    * (full partition sort feeding an aggregate that keeps two rows per
+    * group — the measured 8.7 s vs 1.7 s at sf10), which is why it is
+    * the guarded branch and not the default. */
+  private def percentileBandsWindowed(prepped: DataFrame): DataFrame = {
+    val byGroup = Window.partitionBy(col("__k"), col("__day"))
+    val ranked = Window.partitionBy(col("__k"), col("__day"))
+      .orderBy(col("__v"), col("__tie"))
+    prepped
+      .withColumn("__rn", row_number().over(ranked).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .withColumn("__r50", expr("(50 * __n + 99) div 100"))
+      .withColumn("__r95", expr("(95 * __n + 99) div 100"))
+      .where(col("__rn") === col("__r50") || col("__rn") === col("__r95"))
+      .groupBy(col("__k").as("key"), col("__day"))
+      .agg(max(col("__n")).as("n"),
+        max(when(col("__rn") === col("__r50"), col("__v"))).as("p50"),
+        max(when(col("__rn") === col("__r95"), col("__v"))).as("p95"))
+      .select(col("key"), date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("p50"), col("p95"))
+  }
+
+  /** Hottest-(key, day) row count above which [[percentileBands]]
+    * abandons the unspillable array aggregate: 4M rows of (double,
+    * long) structs is ~100 MB of buffer — well inside one task's heap
+    * at the 32-thread/128 GiB profile, with 10x headroom below where
+    * collect_list actually dies. */
+  val DefaultMaxExactGroup: Long = 4000000L
 
   /** Time-series resampling: densify a sparse (key, day, value) series
     * onto the full calendar between the series' global min and max

@@ -780,18 +780,22 @@ object CoreQueries {
         |    AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin,
 
+    // q01/q02/q23 oracles carry NO ORDER BY, matching the unsorted
+    // Spark side (round-14 map-only sort drop): the driver compare and
+    // selfcheck both canonicalize by sorting rows, and the oracle is
+    // also the TIMED baseline text — a sorted oracle against an
+    // unsorted Spark plan would skew the cross-engine ratio.
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1.0 - l_discount) AS revenue,
         |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem""".stripMargin,
 
     "q02_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND l_discount > 0.03 AND (l_returnflag = 'R' OR l_quantity < 10)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |  AND l_discount > 0.03 AND (l_returnflag = 'R' OR l_quantity < 10)""".stripMargin,
 
     "q03_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -893,12 +897,13 @@ object CoreQueries {
         |SELECT side, c_mktsegment, COUNT(*) AS cnt
         |FROM tagged GROUP BY side, c_mktsegment ORDER BY side, c_mktsegment""".stripMargin,
 
+    // No ORDER BY — matches the unsorted map-only Spark side (q01's note).
     "q23_strfuncs" ->
       """SELECT c_custkey,
         |  upper(substring(c_name, 1, 8)) AS prefix,
         |  concat(c_mktsegment, '/', c_name) AS tagged,
         |  length(c_name) AS name_len
-        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
+        |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
 
     "q20_rollup" ->
       s"""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS gflag,

@@ -173,12 +173,16 @@ object MultimodalQueries {
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
         |       WHEN doc_id % 3 = 1 THEN doc_id % 400 + 100
         |       ELSE doc_id % 12 + 2 END AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // audio rows: no raster dims (NULL width/height); n_frames = PCM
     // sample frames. video rows: per-frame dims + container frame count.
-    "m01_multimodal" -> m01Oracle,
+    // m01_multimodal's Spark side sorts its (small, artifact-read)
+    // output, so its oracle sorts too; m01_decode's map-only live chain
+    // is unsorted on both sides — the oracle is also the TIMED baseline
+    // text, so sortedness must match per query (round-15 symmetry fix).
+    "m01_multimodal" -> (m01Oracle + "\nORDER BY doc_id"),
     "m01_decode" -> m01Oracle,
 
     "m02_frame_sample" ->

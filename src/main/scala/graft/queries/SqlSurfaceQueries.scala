@@ -209,7 +209,12 @@ object SqlSurfaceQueries {
   /** x11's fused Spark-side audit: one pass over each table. CASE
     * count semantics match the oracle's WHERE branches exactly — a
     * NULL predicate (NULL returnflag/status, NULL l_orderkey in the
-    * FK check) counts in neither form. `stack` pivots the two one-row
+    * FK check) counts in neither form. The oracle's FK subquery
+    * filters NULL o_orderkey explicitly: without it, a single NULL PK
+    * would flip NOT IN to zero violations (three-valued logic) while
+    * this left-join form still counts unmatched rows — the filter
+    * makes the two forms equivalent unconditionally, not just on
+    * NULL-free PK data. `stack` pivots the two one-row
     * aggregates into the verdict rows; the cross join is 1×1. */
   val ConstraintAuditFusedSql: String =
     """WITH li AS (
@@ -246,7 +251,9 @@ object SqlSurfaceQueries {
   val ConstraintAuditSql: String =
     """SELECT * FROM (
       |  SELECT 'lineitem_fk_orders' AS check_name, COUNT(*) AS violations
-      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                           WHERE o_orderkey IS NOT NULL)
       |  UNION ALL
       |  SELECT 'lineitem_qty_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 0
       |  UNION ALL

@@ -589,6 +589,11 @@ object TextQueries {
   def bigramPplFast(s: SparkSession, dir: String): DataFrame =
     bigramPpl(s, dir, exactDecimal = false)
 
+  // The map-only queries' oracles (t01-t06, t14) carry NO ORDER BY,
+  // matching their unsorted Spark sides: the driver compare and
+  // selfcheck canonicalize by sorting rows, and the oracle text is also
+  // what baseline_duckdb.py TIMES — a sorted oracle against an unsorted
+  // Spark plan would skew the cross-engine ratio (round-15 symmetry fix).
   val oracles: Map[String, String] = Map(
     "t01_langid" -> {
       val scores = langs.map(l => s"${sqlScore(l)} AS s_$l").mkString(",\n  ")
@@ -600,7 +605,7 @@ object TextQueries {
          |  CASE $cases ELSE '${langs.last}' END AS lang_pred
          |FROM (SELECT doc_id,
          |  $scores
-         |FROM documents) ORDER BY doc_id""".stripMargin
+         |FROM documents)""".stripMargin
     },
 
     "t02_quality" ->
@@ -613,7 +618,7 @@ object TextQueries {
          |    / ${sqlWsTokenCount("text")} AS stop_ratio,
          |  (CASE WHEN ${sqlWsTokenCount("text")} BETWEEN 10 AND 500 THEN 1.0 ELSE 0.5 END
          |    * (1.0 - ${sqlPunctRatio("text")})) AS quality_score
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents""".stripMargin,
 
     "t09_quality_gate" ->
       s"""WITH scored AS (
@@ -637,12 +642,12 @@ object TextQueries {
       s"""SELECT doc_id,
          |  ${sqlWsTokenCount("text")} AS ws_tokens,
          |  ${sqlBpeTokenCount("text")} AS bpe_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents""".stripMargin,
 
     "t04_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp,
          |  length(text) AS raw_len
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents""".stripMargin,
 
     "t08_tfidf" ->
       s"""WITH tf AS (
@@ -800,7 +805,7 @@ object TextQueries {
          |    AND (nonspace >= nw * 3 AND nonspace <= nw * 10)
          |    AND (punct * 10 <= nw) AND (alphaw * 5 >= nw * 4)
          |    AND (sh >= 2)) AS passes
-         |FROM f ORDER BY doc_id""".stripMargin,
+         |FROM f""".stripMargin,
 
     // t16: identical bigram generation (t11's), identical smoothing
     // arithmetic and parenthesization; integer counts → one double
@@ -849,7 +854,7 @@ object TextQueries {
          |    / len(${sqlWords("text")}), 6) AS mean_word_len,
          |  round(CAST(length(regexp_replace(lower(text), '[a-z0-9$SqlWs]', '', 'g')) AS DOUBLE)
          |    / len(${sqlWords("text")}), 6) AS symbols_per_word
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents""".stripMargin,
 
     "t05_pii" ->
       s"""WITH aug AS (SELECT doc_id,
@@ -861,5 +866,5 @@ object TextQueries {
          |  len(regexp_extract_all(
          |    regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'),
          |    '$PhonePattern')) AS n_phones
-         |FROM aug ORDER BY doc_id""".stripMargin)
+         |FROM aug""".stripMargin)
 }

@@ -435,6 +435,40 @@ class EventAnalyticsSpec extends SparkSpec {
       s"percentile aggregate must group by key-day blocks:\n$plan")
   }
 
+  test("q60 hot key-day guard: oversized group takes the spillable windowed branch, same rows") {
+    import graft.operators.EventAnalytics
+    def ts(day: Int, i: Int): Long =
+      java.time.LocalDate.of(2024, 1, 1 + day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L + i
+    // Planted hot key-day: 10 rows on day 0 vs a 5-row bound; day 1
+    // stays cold (1 row). The guard must reroute the WHOLE query to the
+    // windowed branch (branch choice is per-corpus, not per-group).
+    var eid = 0L
+    val rows = ((1 to 10).map { v => eid += 1; (ts(0, v), eid, v.toDouble) } :+
+      { eid += 1; (ts(1, 0), eid, 42.0) })
+      .map { case (t, id, v) => (7L, t, id, "view", v) }
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_type"), col("event_id"), col("value"))
+    val guarded = EventAnalytics.percentileBands(rows, col("event_type"),
+      col("ts"), col("value"), col("event_id"), maxExactGroup = 5L)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"a hot key-day past the bound must select ranks through WindowExec " +
+        s"(spillable), not the unspillable array aggregate:\n$plan")
+    // Same single corpus exchange as the array branch: both window specs
+    // and the final aggregate share hashpartitioning(__k, __day).
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).size == 1,
+      s"windowed fallback must still be one corpus exchange:\n$plan")
+    // Rank-exact parity with the array branch (the oracle is unchanged
+    // whichever branch the guard picks).
+    val out = guarded.orderBy("day").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 10L, 5.0, 10.0),
+      ("2024-01-02", 1L, 42.0, 42.0)))
+  }
+
   test("q58/q59 plan shape: one corpus exchange each, windows never global") {
     Seq("q58_silences", "q59_cohort_ltv").foreach { q =>
       val plan = EventQueries.defs(q)(spark, sfDir)

@@ -85,5 +85,11 @@ class RegexpCountSpec extends SparkSpec {
       spark.sql("SELECT graft_token_count('x', 'words')").collect()
     }
     assert(e.getMessage.contains("mode"))
+    // CAST(NULL AS STRING) is foldable and string-typed but folds to
+    // null — must hit the same clean mode error, not an NPE.
+    val en = intercept[Exception] {
+      spark.sql("SELECT graft_token_count('x', CAST(NULL AS STRING))").collect()
+    }
+    assert(en.getMessage.contains("mode"), s"got: ${en.getMessage}")
   }
 }
