@@ -195,6 +195,16 @@ object Bench {
     val prepBandSec = prepSec(queries.DedupQueries.ensureBandIndex(spark, sfDir))
     val prepSimhashSec = prepSec(queries.DedupQueries.ensureSimhashIndex(spark, sfDir))
     val prepShingleSec = prepSec(queries.DedupQueries.ensureShingleSets(spark, sfDir))
+    // ANALYZE-equivalent: feed fingerprint-cached table statistics into
+    // the session catalog and turn on cost-based join reorder for the
+    // SQL surface (h-suite multi-way joins pick orders by estimated
+    // cardinality instead of syntactic position). First contact with a
+    // corpus vintage pays one profiling scan per table, recorded here;
+    // warm runs read a one-row artifact.
+    // GRAFT_NO_CBO skips the feed (A/B plan attribution only).
+    val prepStatsSec =
+      if (sys.env.contains("GRAFT_NO_CBO")) 0.0
+      else prepSec(GraftEngine.cachedForDir(spark, sfDir).enableCbo(cached = true))
     releaseTransientStorage()
 
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -314,6 +324,7 @@ object Bench {
         s""""prepBandSec":${num(prepBandSec, 3)},""" +
         s""""prepSimhashSec":${num(prepSimhashSec, 3)},""" +
         s""""prepShingleSec":${num(prepShingleSec, 3)},""" +
+        s""""prepStatsSec":${num(prepStatsSec, 3)},""" +
         s""""startEpochMs":$startMs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

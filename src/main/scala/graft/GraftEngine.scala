@@ -403,11 +403,17 @@ final class GraftEngine(val spark: SparkSession,
     * re-running refreshes them (idempotent). In-process frames (no
     * file identity) and manifest tables (snapshot views) keep their
     * lazy registrations and estimate from file sizes as before. */
-  def enableCbo(): Unit = {
+  def enableCbo(cached: Boolean = false): Unit = {
     registered.toSeq.foreach { case (name, path) =>
       if (!path.startsWith("<in-process:")) {
-        val catName = s"graft_cat_$name"
-        operators.Profile.feedSessionCatalog(spark, catName, path)
+        // catalog names carry a path tag: CREATE TABLE IF NOT EXISTS
+        // cannot repoint, so two engines over different corpora in one
+        // session (spec suites, multi-dir sessions) must not collide
+        // on a shared `graft_cat_<name>` or the second corpus would
+        // silently read the first's files through the repointed view.
+        val dirTag = Integer.toHexString(path.hashCode)
+        val catName = s"graft_cat_${name}_$dirTag"
+        operators.Profile.feedSessionCatalog(spark, catName, path, cached)
         val cat = spark.table(catName)
         val df =
           if (name == "events" && cat.columns.contains("ts"))

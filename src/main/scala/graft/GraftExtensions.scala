@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `spark.sql.extensions=graft.GraftExtensions` on any cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer: implied-predicate extraction from multi-table ORs
+    // (TPC-H Q7/Q19 shape); runs inside the operator-optimization
+    // fixed point, so standard pushdown relocates what it derives.
+    ext.injectOptimizerRule(graft.plans.DeriveOrBranchPredicates.apply)
     ext.injectFunction(graft.functions.DotProduct.registration)
     ext.injectFunction(graft.functions.ShingleExplode.registration)
     ext.injectFunction(graft.functions.SimhashAgg.registration)

@@ -18,6 +18,10 @@ object PlanDump {
     val names = if (exec) args.tail else args
     val spark = GraftEngine.session(GraftConfig(
       master = "local[8]", appName = "graft-plandump", shufflePartitions = 8))
+    // Same planning mode as Bench/Verify (stats-fed CBO) unless
+    // GRAFT_NO_CBO is set — the escape hatch for before/after diffs.
+    if (!sys.env.contains("GRAFT_NO_CBO"))
+      GraftEngine.cachedForDir(spark, sfDir).enableCbo(cached = true)
     names.foreach { name =>
       val df = graft.queries.Queries.all(name)(spark, sfDir)
       val plan =

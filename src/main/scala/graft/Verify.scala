@@ -17,6 +17,12 @@ object Verify {
       master = s"local[$cpus]", appName = "graft-verify",
       shufflePartitions = cpus.toInt))
     new java.io.File(outDir).mkdirs()
+    // Same planning mode as the bench: stats-fed CBO on the SQL surface,
+    // so the correctness gate certifies the exact plans the bench times.
+    try GraftEngine.cachedForDir(spark, sfDir).enableCbo(cached = true)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stats feed failed (continuing stat-less): ${e.getMessage}")
+    }
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

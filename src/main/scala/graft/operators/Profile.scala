@@ -73,14 +73,34 @@ object Profile {
     * has paid for its worst shuffle before AQE sees the sizes, while
     * CBO orders the plan before anything runs. */
   def feedSessionCatalog(spark: org.apache.spark.sql.SparkSession,
-      name: String, path: String): Unit = {
+      name: String, path: String, cached: Boolean = false): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     val df = spark.read.parquet(path)
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING PARQUET LOCATION '$path'")
-    val one = statsRow(df).collect()(0)
+    // `cached` persists the single stats row as a fingerprint-guarded
+    // artifact: the ANALYZE scan runs once per corpus vintage, every
+    // later session feeds the catalog from a one-row parquet read —
+    // the amortization that lets the bench/verify path run CBO-fed
+    // without paying a profiling pass per run.
+    val statsDf =
+      if (cached)
+        graft.sources.ArtifactStore.getOrBuild(df,
+          graft.sources.ArtifactStore.pathFor(
+            graft.sources.ArtifactStore.defaultRoot, "table_stats", path))(
+          statsRow(df))(spark)
+      else statsRow(df)
+    val one = statsDf.collect()(0)
     val n = one.getAs[Long]("__n")
-    val colStats = df.schema.fields.iterator.map { f =>
+    // TimestampNTZ columns get NO column stat at all: Spark's
+    // FilterEstimation.evaluateBinary (4.1.2) matches the attribute's
+    // type before consulting the stat's bounds and has no NTZ case, so
+    // ANY range predicate over an NTZ column WITH a catalog stat
+    // MatchErrors the whole planning phase (h15's l_shipdate window
+    // found it). A missing stat falls back to default selectivity —
+    // degraded estimation beats a crashed plan.
+    val colStats = df.schema.fields.iterator
+      .filterNot(_.dataType == TimestampNTZType).map { f =>
       val nulls = n - one.getAs[Long](s"cnt_${f.name}")
       // numeric min/max travel in CatalogColumnStat's external string
       // form, which is parsed back BY COLUMN TYPE — an integral column

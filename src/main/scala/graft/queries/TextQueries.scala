@@ -33,6 +33,12 @@ object TextQueries {
     * 2^20+ buckets; the chain is bucket-count-agnostic. */
   val ClfBuckets = 64
 
+  /** t19 merge-training iterations. A production tokenizer runs tens of
+    * thousands; the loop is step-count-agnostic (state is the
+    * vocabulary, never the corpus) and ten steps keep the unrolled
+    * oracle CTE chain readable. */
+  val BpeTrainSteps = 10
+
   /** t17 TextRank: power iterations and keyword-list size. Ten
     * iterations is the published convergence budget for keyword graphs
     * (Mihalcea & Tarau 2004 report 20-30 to 1e-4; the 10-dp-rounded
@@ -187,6 +193,17 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("c")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("pair"))
         .limit(BpeTopPairs)),
+
+    // t19 BPE merge TRAINING: t13 computes one round of pair
+    // statistics; this runs the real trainer loop — count pairs over
+    // the VOCABULARY, merge the argmax pair into every word, recount —
+    // for BpeTrainSteps rounds, emitting the learned merge table. The
+    // GraphRank/d06 checkpointed-loop discipline applied to t13's
+    // aggregate: ONE corpus pass builds the word-count vocabulary;
+    // every iteration after that reads the checkpointed vocab
+    // (vocabulary-sized state, corpus never rescanned — the shape that
+    // makes tokenizer training feasible at 100 TB).
+    "t19_bpe_train" -> ((s, dir) => bpeTrain(s, dir)),
 
     // t14 Gopher rules: the published heuristic filter battery as
     // per-document boolean flags + the conjunction. Every rule is
@@ -589,12 +606,120 @@ object TextQueries {
   def bigramPplFast(s: SparkSession, dir: String): DataFrame =
     bigramPpl(s, dir, exactDecimal = false)
 
+  /** t19: corpus pass → vocabulary, then the merge loop. Trainer input
+    * is restricted to pure-alnum words: BPE training always runs after
+    * pre-tokenization, and the restriction is also what makes the
+    * `(sym)` string encoding below collision-free (symbols can never
+    * contain the delimiter characters). */
+  def bpeTrain(s: SparkSession, dir: String,
+               steps: Int = BpeTrainSteps): DataFrame = {
+    val vocab0 = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(col("c"), regexp_replace(col("word"), "(.)", "($1)").as("repr"))
+    bpeTrainMerges(s, vocab0, steps)
+  }
+
+  /** The merge-training loop over a (c, repr) vocabulary, where `repr`
+    * encodes a word's current symbol sequence as `(s1)(s2)...(sn)`.
+    *
+    * Why a string encoding and not a symbol array: applying one merge
+    * is then a single codegen'd `regexp_replace` whose global
+    * replacement IS the trainer's left-to-right non-overlap semantics
+    * (the scan resumes after each match, so `(a)(a)(a)` under merge
+    * (a,a) yields `(aa)(a)`, never `(aa)(aa)`), and the pattern can
+    * never match mid-symbol because every occurrence carries its own
+    * `)(`-delimiters — adjacent matches share no characters. The same
+    * two regex calls replay identically in the DuckDB oracle (RE2 and
+    * Java regex agree on all constructs used: one dot-capture and
+    * literal alternation-free patterns).
+    *
+    * Scale shape: the loop state is the VOCABULARY (one row per
+    * distinct word), localCheckpoint'd each round so iteration k's
+    * lineage does not replay rounds 1..k-1 (the GraphRank loop
+    * discipline); per round one vocabulary-sized aggregate + a 1-row
+    * argmax collect. The corpus is touched exactly once, by the
+    * vocab build in [[bpeTrain]].
+    */
+  def bpeTrainMerges(s: SparkSession, vocab0: DataFrame,
+                     steps: Int): DataFrame = {
+    import s.implicits._
+    var vocab = vocab0.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var dry = false
+    while (k <= steps && !dry) {
+      val top = vocab
+        .select(col("c"),
+          split(expr("substring(repr, 2, length(repr) - 2)"), "\\)\\(").as("s"))
+        // single-symbol words carry no pairs; they must ALSO be dropped
+        // before the transform — Spark's sequence(1, 0) is a DESCENDING
+        // [1, 0], so the lambda would index past the array, not skip it
+        .filter(size(col("s")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) dry = true // every word fused to one symbol
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, cnt))
+        vocab = vocab.select(col("c"),
+          regexp_replace(col("repr"), s"\\($a\\)\\($b\\)", s"($a$b)").as("repr"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    merges.result().toDF("step", "merge_a", "merge_b", "pair_count")
+  }
+
+  /** t19's DuckDB oracle: the trainer unrolled as a CTE chain (t17's
+    * recipe) — v0 is the vocabulary, then per step k: pair counts over
+    * v(k-1), a 1-row argmax (same count-desc/lexicographic tie-break),
+    * and v(k) via the same delimiter-anchored global regexp_replace. */
+  private def bpeTrainOracleSql(steps: Int): String = {
+    val v0 =
+      s"""v0 AS (
+         |  SELECT COUNT(*) AS c, regexp_replace(word, '(.)', '(\\1)', 'g') AS repr
+         |  FROM (SELECT unnest(${sqlWords("text")}) AS word FROM documents)
+         |  WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+$$')
+         |  GROUP BY word)""".stripMargin
+    val chain = (1 to steps).map { k =>
+      s"""p$k AS (
+         |  SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM (SELECT c, s, unnest(range(1, len(s))) AS i
+         |        FROM (SELECT c, string_split(trim(repr, '()'), ')(') AS s
+         |              FROM v${k - 1}))
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$k AS (
+         |  SELECT c, regexp_replace(repr,
+         |    '\\(' || a || '\\)\\(' || b || '\\)', '(' || a || b || ')', 'g') AS repr
+         |  FROM v${k - 1} CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to steps)
+      .map(k => s"SELECT $k AS step, a, b, cnt FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $v0,
+       |$chain
+       |SELECT CAST(step AS INTEGER) AS step, a AS merge_a, b AS merge_b,
+       |  cnt AS pair_count
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
   // The map-only queries' oracles (t01-t06, t14) carry NO ORDER BY,
   // matching their unsorted Spark sides: the driver compare and
   // selfcheck canonicalize by sorting rows, and the oracle text is also
   // what baseline_duckdb.py TIMES — a sorted oracle against an unsorted
   // Spark plan would skew the cross-engine ratio (round-15 symmetry fix).
   val oracles: Map[String, String] = Map(
+    "t19_bpe_train" -> bpeTrainOracleSql(BpeTrainSteps),
+
     "t01_langid" -> {
       val scores = langs.map(l => s"${sqlScore(l)} AS s_$l").mkString(",\n  ")
       val cases = langs.init.zipWithIndex.map { case (lang, i) =>

@@ -84,6 +84,60 @@ class CboSpec extends SparkSpec {
     assert(n == withCbo(enabled = false)(spark.sql(q).collect()(0).getLong(0)))
   }
 
+  test("NTZ columns carry NO catalog column stat: a stat-fed timestamp range plans (h15 pin)") {
+    // Spark 4.1.2's FilterEstimation.evaluateBinary has no
+    // TimestampNTZType case: a range predicate over an NTZ column WITH
+    // a catalog stat MatchErrors the planning phase. The feed must
+    // omit those columns (default selectivity beats a crash).
+    graft.operators.Profile.feedSessionCatalog(
+      spark, "graft_cat_lineitem_ntz", s"$sfDir/lineitem.parquet")
+    val rel = spark.table("graft_cat_lineitem_ntz").queryExecution
+      .optimizedPlan.collect { case lr: LogicalRelation => lr }.head
+    val stats = rel.catalogTable.get.stats.get
+    assert(!stats.colStats.contains("l_shipdate"),
+      "NTZ column got a stat — FilterEstimation will MatchError on it")
+    assert(stats.colStats.contains("l_orderkey"))
+    withCbo(enabled = true) {
+      // the h15 shape: stat-fed scan under a timestamp range filter
+      val n = spark.sql(
+        """SELECT count(*) FROM graft_cat_lineitem_ntz
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(n > 0)
+    }
+  }
+
+  test("cached stats feed: second session-feed reads the artifact, no profiling scan") {
+    val path = s"$sfDir/supplier.parquet"
+    graft.operators.Profile.feedSessionCatalog(
+      spark, "graft_cat_supplier_c1", path, cached = true)
+    // artifact committed on first contact
+    val art = graft.sources.ArtifactStore.pathFor(
+      graft.sources.ArtifactStore.defaultRoot, "table_stats", path)
+    assert(new java.io.File(art, "_SUCCESS").exists(), s"no stats artifact at $art")
+    // the second feed must not launch a profiling job over the table —
+    // only the one-row artifact read (tracked via a job listener)
+    var scanned = 0L
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        scanned += t.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      graft.operators.Profile.feedSessionCatalog(
+        spark, "graft_cat_supplier_c2", path, cached = true)
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    val supplierRows = spark.read.parquet(path).count()
+    assert(scanned < supplierRows,
+      s"cached feed re-scanned the table ($scanned records vs $supplierRows rows)")
+    val rel = spark.table("graft_cat_supplier_c2").queryExecution
+      .optimizedPlan.collect { case lr: LogicalRelation => lr }.head
+    assert(rel.catalogTable.get.stats.exists(_.rowCount.contains(BigInt(supplierRows))))
+  }
+
   test("engine.enableCbo repoints views at stats-backed catalog relations") {
     val e = GraftEngine.cachedForDir(spark, sfDir)
     e.enableCbo()

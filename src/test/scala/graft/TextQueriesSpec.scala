@@ -12,7 +12,7 @@ class TextQueriesSpec extends SparkSpec {
     // filter; t17 ranks the vocabulary graph; t18 emits heavy hitters
     (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate" -
         "t11_collocations" - "t12_bm25" - "t13_bpe_pairs" -
-        "t17_textrank" - "t18_heavy_hitters").foreach { case (name, fn) =>
+        "t17_textrank" - "t18_heavy_hitters" - "t19_bpe_train").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
   }
@@ -201,5 +201,57 @@ class TextQueriesSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(r.getDouble(3) - ppl) < 1e-9, s"ppl != round(exp(mean_nll)): $r")
     }
+  }
+
+  test("t19 BPE training: hand-computed merges, overlap semantics, early stop") {
+    import spark.implicits._
+    // vocab: abab x3, ab x2, ba x1.
+    //  step 1: pairs (a,b)=3*2+2=8, (b,a)=3+1=4 -> merge (a,b,8)
+    //  step 2: (ab,ab)=3, (b,a)=1            -> merge (ab,ab,3)
+    //  step 3: (b,a)=1                        -> merge (b,a,1)
+    //  step 4: no pairs left -> trainer stops early (7 steps unused)
+    val vocab0 = Seq((3L, "abab"), (2L, "ab"), (1L, "ba")).toDF("c", "word")
+      .select(col("c"), regexp_replace(col("word"), "(.)", "($1)").as("repr"))
+    val out = TextQueries.bpeTrainMerges(spark, vocab0, steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "b", "a", 1L)))
+  }
+
+  test("t19 merge application is left-to-right non-overlapping: (a)(a)(a) -> (aa)(a)") {
+    import spark.implicits._
+    // one word 'aaa': step-1 pair (a,a) counts BOTH adjacent positions
+    // (standard pair statistics are overlapping) but the merge must
+    // fuse only the leftmost occurrence.
+    val vocab0 = Seq((1L, "(a)(a)(a)")).toDF("c", "repr")
+    val out = TextQueries.bpeTrainMerges(spark, vocab0, steps = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step 1: (a,a) seen twice; step 2 proves the merge yielded
+    // [aa, a] (pair (aa,a)=1), not [aa, aa]
+    assert(out.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("t19 loop state is the vocabulary: the corpus is scanned exactly once") {
+    // file-scheme bytesRead across the whole training run must stay
+    // within ~1.2x of a single corpus pass: iterations read the
+    // checkpointed vocab, never the parquet again.
+    def fileBytesRead: Long =
+      org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+        .get("file") match {
+        case null => 0L
+        case s => s.getLong("bytesRead")
+      }
+    // warm the session and measure one corpus pass
+    val b0 = fileBytesRead
+    spark.read.parquet(s"$sfDir/documents.parquet").selectExpr("sum(length(text))").collect()
+    val onePass = fileBytesRead - b0
+    assert(onePass > 0)
+    val b1 = fileBytesRead
+    val merges = TextQueries.bpeTrain(spark, sfDir, steps = 10).collect()
+    val trained = fileBytesRead - b1
+    assert(merges.length == 10)
+    assert(trained < onePass * 2.2,
+      s"training read $trained bytes vs $onePass for one pass — iterations are rescanning the corpus")
   }
 }
