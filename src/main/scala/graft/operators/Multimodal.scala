@@ -160,11 +160,23 @@ object Multimodal {
   private[operators] def newPngReader(): javax.imageio.ImageReader =
     ImageIO.getImageReadersByFormatName("png").next()
 
+  /** In-memory ImageInputStream over an already-buffered payload.
+    * `ImageIO.createImageInputStream` defaults (useCache=true) to
+    * FileCacheImageInputStream — a TEMP FILE created, written, read
+    * through, and deleted PER ROW, for bytes we already hold on-heap.
+    * DecodeProbe (round 15, sf10) measured that hidden disk round-trip
+    * as the bulk of the metadata chain's cost: the header-only codec
+    * reads are microseconds, the stream plumbing was the query. */
+  private[operators] def memStream(
+      media: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(media))
+
   /** Decode one stored image through a reused PNG reader — same codec
     * `ImageIO.read` dispatches to, minus the per-row reader scan. */
   private[operators] def readImage(reader: javax.imageio.ImageReader,
       docId: Long, media: Array[Byte]): java.awt.image.BufferedImage = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(media))
+    val iis = memStream(media)
     try {
       reader.setInput(iis)
       try reader.read(0)
@@ -231,7 +243,7 @@ object Multimodal {
   private[operators] def sampleVideoFrames(docId: Long,
       reader: javax.imageio.ImageReader, media: Array[Byte],
       step: Int): (Int, Vector[FrameFeature]) = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(media))
+    val iis = memStream(media)
     try {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
@@ -273,9 +285,22 @@ object Multimodal {
       r.modality match {
         case "image" =>
           if (pngReader == null) pngReader = newPngReader()
-          val img = readImage(pngReader, r.doc_id, r.media)
-          base.copy(width = Some(img.getWidth), height = Some(img.getHeight),
-            n_frames = Some(1))
+          // header-only read: getWidth/getHeight parse the IHDR through
+          // the same PNG plugin, WITHOUT rasterizing — this chain
+          // reports container metadata, and decoding every pixel to
+          // answer width/height was most of its cost (DecodeProbe sf10
+          // round 15: image_only full decode 12.4 s vs sub-second
+          // header walk). The raster path stays certified by the
+          // artifact build + m03/m06, which do decode pixels.
+          val iis = memStream(r.media)
+          try {
+            pngReader.setInput(iis)
+            base.copy(width = Some(pngReader.getWidth(0)),
+              height = Some(pngReader.getHeight(0)), n_frames = Some(1))
+          } catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"undecodable image payload for doc ${r.doc_id}", e)
+          } finally iis.close()
         case "audio" =>
           if (wavReader == null) wavReader = newWavReader()
           val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(r.media))
@@ -288,13 +313,19 @@ object Multimodal {
         case _ =>
           if (tiffReader == null)
             tiffReader = ImageIO.getImageReadersByFormatName("tiff").next()
-          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+          val iis = memStream(r.media)
           try {
             tiffReader.setInput(iis)
+            // getNumImages(true) walks the IFD chain; getWidth(0) reads
+            // frame 0's directory entries — both through the TIFF
+            // plugin, neither decodes a raster (read(0) did, and was
+            // ~half of the sf10 metadata chain: DecodeProbe round 15,
+            // video_only 11.9 s full decode). Frame rasters stay
+            // certified by the artifact build + m05's sampled frames.
             val frames = tiffReader.getNumImages(true)
             require(frames > 0, s"empty video container for doc ${r.doc_id}")
-            val f0 = tiffReader.read(0)
-            base.copy(width = Some(f0.getWidth), height = Some(f0.getHeight),
+            base.copy(width = Some(tiffReader.getWidth(0)),
+              height = Some(tiffReader.getHeight(0)),
               n_frames = Some(frames))
           } finally iis.close()
       }

@@ -295,7 +295,9 @@ object SqlSurfaceQueries {
     * balance; keys %17==3 re-insert shifted by 1e7 into the 'MERGED'
     * segment), register the merged table as `view` (a 2-snapshot log
     * per build). */
-  private def mergedCustomerView(e: GraftEngine, view: String): Unit = {
+  // private[graft] so MergeSplitProbe can time the WRITE phase apart
+  // from the query phase (the PLANS.md x07/x08 exemption evidence).
+  private[graft] def mergedCustomerView(e: GraftEngine, view: String): Unit = {
     val customer = e.table("customer")
     val root = mergeRoots.getOrElseUpdate((e.spark, view),
       java.nio.file.Files.createTempDirectory("graft_merge").toString)
