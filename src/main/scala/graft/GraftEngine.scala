@@ -424,6 +424,19 @@ final class GraftEngine(val spark: SparkSession,
     }
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // Estimator-matched broadcast threshold: with CBO on, plan sizes
+    // come from rowCount × schema width (decompressed), which runs
+    // ~4× the snappy-parquet FILE sizes the 10m default was tuned
+    // against — marginal builds (h04's filtered orders at small SF)
+    // flipped from broadcast to sort-merge on the estimator change
+    // alone, measured 3× on h09 at sf10. Scale the threshold with the
+    // estimator; AQE still converts the other way at runtime from
+    // EXACT shuffle sizes, so an over-estimate only costs a shuffle
+    // that adaptive re-planning can no longer avoid, never an OOM
+    // (the 40m cap bounds a worst-case build at ~tens of MB on-heap
+    // per executor — the same class of build the 10m/file-size pair
+    // admitted).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "40m")
   }
 
   /** Run a TPC-H-suite query by name in this engine's decimal mode

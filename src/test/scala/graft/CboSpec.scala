@@ -154,6 +154,10 @@ class CboSpec extends SparkSpec {
       Tables.all.foreach(t => e.loadTable(t, s"$sfDir/$t.parquet"))
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      // enableCbo also raised the broadcast threshold to match its
+      // estimator; later suites in this shared session expect the
+      // file-size default
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
     }
   }
 }
