@@ -45,14 +45,42 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         return con
 
+    # GRAFT_BASELINE_PASSES (default 2): timed passes after the warmup.
+    # A 1-pass run is annotated in the summary so cross-round readers
+    # know the methodology (used when wall-clock bounds a big-SF sweep).
+    passes = int(os.environ.get("GRAFT_BASELINE_PASSES", "2"))
+
+    def flush(results, done):
+        """Incremental merge into BASELINE.json (atomic rename): a
+        long sweep interrupted by the round boundary keeps every
+        completed oracle instead of losing the run."""
+        if not write:
+            return
+        ok = {k: v for k, v in results.items() if v >= 0}
+        base = json.load(open("BASELINE.json"))
+        base[key] = {
+            "engine": f"duckdb {duckdb.__version__}",
+            "sf": sf_dir,
+            "total_sec": round(sum(ok.values()), 2),
+            "n_queries": len(ok),
+            "failed": len(results) - len(ok),
+            "skipped": sorted(skip),
+            "timed_passes": passes,
+            "partial": not done,
+            "queries": results,
+        }
+        tmp = "BASELINE.json.tmp"
+        json.dump(base, open(tmp, "w"), indent=2)
+        os.replace(tmp, "BASELINE.json")
+
     results = {}
-    for name in sorted(oracles):
+    for i, name in enumerate(sorted(oracles)):
         sql = oracles[name]
         con = connect()
         try:
             con.execute(sql).fetchall()  # warmup
             times = []
-            for _ in range(2):
+            for _ in range(passes):
                 t0 = time.monotonic()
                 con.execute(sql).fetchall()
                 times.append(time.monotonic() - t0)
@@ -63,6 +91,8 @@ def main():
         finally:
             con.close()
         print(f"{name}: {results[name]}", flush=True)
+        if i % 5 == 4:
+            flush(results, done=False)
 
     ok = {k: v for k, v in results.items() if v >= 0}
     total = round(sum(ok.values()), 2)
@@ -78,9 +108,7 @@ def main():
     print(json.dumps({"metric": "duckdb_total", "value": total,
                       "unit": "sec", "n": len(ok)}))
     if write:
-        base = json.load(open("BASELINE.json"))
-        base[key] = summary
-        json.dump(base, open("BASELINE.json", "w"), indent=2)
+        flush(results, done=True)
         print("[baseline] merged into BASELINE.json")
 
 

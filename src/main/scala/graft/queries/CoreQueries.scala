@@ -122,11 +122,21 @@ object CoreQueries {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       val su = t(s, dir, "supplier")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
+      // Declared join order = selectivity order (the DataFrame path has
+      // no catalog stats for CBO to reorder with): region('ASIA') cuts
+      // nation 5x and supplier with it, so lineitem shrinks ~5x at its
+      // FIRST join — before the orders shuffle — instead of running the
+      // full 60M x 15M merge join and discarding 80% afterwards
+      // (measured at sf10: 11.4 s -> see SCALE.md round 15). Broadcasts
+      // are only FORCED for the fixed-size dims (nation x region); the
+      // filtered supplier side is left to size-based planning + AQE so
+      // a 100 TB supplier table degrades to a shuffle join, not an OOM.
+      val asiaSu = su
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      l.join(asiaSu, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
         .groupBy("n_name")
         .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
         .orderBy("n_name")
