@@ -73,8 +73,20 @@ def main():
         json.dump(base, open(tmp, "w"), indent=2)
         os.replace(tmp, "BASELINE.json")
 
+    # GRAFT_BASELINE_ORDER_KEY: sweep in ascending cost order of a
+    # previously recorded key (e.g. the sf1 baseline) instead of
+    # alphabetically - a wall-clock-bounded big-SF sweep then records
+    # the maximum number of completed oracles before the window closes.
+    # Per-query numbers are unaffected (queries are independent, one
+    # bounded connection each).
+    order = sorted(oracles)
+    okey = os.environ.get("GRAFT_BASELINE_ORDER_KEY")
+    if okey:
+        prior = json.load(open("BASELINE.json")).get(okey, {}).get("queries", {})
+        order = sorted(oracles, key=lambda n: (prior.get(n, 1e9), n))
+
     results = {}
-    for i, name in enumerate(sorted(oracles)):
+    for i, name in enumerate(order):
         sql = oracles[name]
         con = connect()
         try:
