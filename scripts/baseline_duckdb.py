@@ -56,8 +56,15 @@ def main():
         completed oracle instead of losing the run."""
         if not write:
             return
-        ok = {k: v for k, v in results.items() if v >= 0}
         base = json.load(open("BASELINE.json"))
+        # Resuming an interrupted sweep: a prior PARTIAL record under
+        # this key holds oracles the current process never ran — merge
+        # them under the new results (new wins per query) instead of
+        # wiping the very map the incremental flush exists to keep.
+        prior = base.get(key, {})
+        if prior.get("partial"):
+            results = {**prior.get("queries", {}), **results}
+        ok = {k: v for k, v in results.items() if v >= 0}
         base[key] = {
             "engine": f"duckdb {duckdb.__version__}",
             "sf": sf_dir,

@@ -411,7 +411,11 @@ final class GraftEngine(val spark: SparkSession,
         // session (spec suites, multi-dir sessions) must not collide
         // on a shared `graft_cat_<name>` or the second corpus would
         // silently read the first's files through the repointed view.
-        val dirTag = Integer.toHexString(path.hashCode)
+        // A full md5 of the path, not String.hashCode: a 32-bit hash
+        // collision between two corpus dirs would silently serve the
+        // first corpus's files to the second — exactly the leak the
+        // tag exists to prevent, just lower probability.
+        val dirTag = GraftEngine.pathTag(path)
         val catName = s"graft_cat_${name}_$dirTag"
         operators.Profile.feedSessionCatalog(spark, catName, path, cached)
         val cat = spark.table(catName)
@@ -430,13 +434,36 @@ final class GraftEngine(val spark: SparkSession,
     // against — marginal builds (h04's filtered orders at small SF)
     // flipped from broadcast to sort-merge on the estimator change
     // alone, measured 3× on h09 at sf10. Scale the threshold with the
-    // estimator; AQE still converts the other way at runtime from
-    // EXACT shuffle sizes, so an over-estimate only costs a shuffle
-    // that adaptive re-planning can no longer avoid, never an OOM
-    // (the 40m cap bounds a worst-case build at ~tens of MB on-heap
-    // per executor — the same class of build the 10m/file-size pair
-    // admitted).
+    // estimator. Caveat: the threshold is session-wide, and the ×4
+    // justification only holds for relations whose sizes come from the
+    // stats this method just fed — a DataFrame-path read keeps its
+    // compressed FILE-size estimate, so a ~40 MB snappy file (150 MB+
+    // decompressed) could be force-planned as a broadcast that AQE
+    // cannot rescue (AQE converts shuffle→broadcast, never the
+    // reverse). The previous value is saved; [[disableCbo]] restores
+    // it, and sessions that interleave stat-less DataFrame plans with
+    // CBO SQL should bracket the SQL with enableCbo/disableCbo.
+    if (savedBroadcastThreshold.isEmpty)
+      savedBroadcastThreshold =
+        Some(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "40m")
+  }
+
+  private var savedBroadcastThreshold: Option[String] = None
+
+  /** Undo [[enableCbo]]'s session-wide conf changes: CBO flags off and
+    * the broadcast threshold restored to its pre-enableCbo value (the
+    * raised 40m is matched to DECOMPRESSED stat-fed estimates and is
+    * unsafe for file-size-estimated relations — see enableCbo). Temp
+    * views keep pointing at the stats-backed catalog relations; call
+    * [[loadTable]] to re-point them if plain lazy reads are wanted. */
+  def disableCbo(): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    savedBroadcastThreshold.foreach { v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      savedBroadcastThreshold = None
+    }
   }
 
   /** Run a TPC-H-suite query by name in this engine's decimal mode
@@ -453,6 +480,14 @@ final class GraftEngine(val spark: SparkSession,
 }
 
 object GraftEngine {
+  /** Collision-resistant catalog-name tag for a corpus path: md5 hex
+    * (shortened to 16 chars — 64 bits, vs String.hashCode's 32). */
+  def pathTag(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(path.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+  }
+
   /** The one place that captures `explain("formatted")` output (shared
     * by [[GraftEngine.explain]] and [[PlanAudit]]). */
   def explainPlan(df: DataFrame): String = {

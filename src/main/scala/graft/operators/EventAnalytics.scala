@@ -288,11 +288,37 @@ object EventAnalytics {
     // hottest key-day exceeds the bound takes the windowed form, which
     // sorts the same working set through WindowExec's spillable path.
     // Both branches are rank-exact — the oracle is unchanged either way.
-    val hottest = prepped.groupBy(col("__k"), col("__day")).count()
-      .agg(max(col("count"))).head()
-    val hotMax = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    // The probe is cached per corpus snapshot (the corpusRowCount
+    // discipline: ArtifactStore source fingerprint + canonicalized
+    // plan), so only the FIRST invocation per snapshot pays the scan —
+    // repeat timed passes, plan dumps, and spec re-runs are a
+    // driver-side map hit, zero extra jobs. A regenerated corpus flips
+    // the fingerprint, so a stale bound is never served. Fileless
+    // frames (nothing stable to key on) probe every call.
+    val hotMax = hotGroupMax(prepped)
     if (hotMax <= maxExactGroup) percentileBandsArray(prepped)
     else percentileBandsWindowed(prepped)
+  }
+
+  /** fingerprint+plan → hottest (key, day) count (process-wide). */
+  private val hotMaxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Size of the hottest (__k, __day) group of `prepped`, cached per
+    * corpus snapshot (see [[percentileBands]]). */
+  private def hotGroupMax(prepped: DataFrame): Long = {
+    def probe(): Long = {
+      val hottest = prepped.groupBy(col("__k"), col("__day")).count()
+        .agg(max(col("count"))).head()
+      if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    }
+    if (prepped.inputFiles.isEmpty) probe()
+    else {
+      val fp = graft.sources.ArtifactStore.sourceFingerprint(
+        prepped, prepped.sparkSession.sparkContext.hadoopConfiguration,
+        salt = s"hotgroup:${prepped.queryExecution.optimizedPlan.canonicalized.toString}")
+      hotMaxCache.computeIfAbsent(fp, _ => probe()).longValue()
+    }
   }
 
   /** Array branch: ONE aggregate over ONE corpus shuffle —

@@ -205,6 +205,13 @@ object TextQueries {
     // makes tokenizer training feasible at 100 TB).
     "t19_bpe_train" -> ((s, dir) => bpeTrain(s, dir)),
 
+    // t20 BPE ENCODE: t19's other half — apply the learned merges to
+    // the corpus and count true tokenizer tokens per document. The
+    // encoder is the trainer's final vocabulary state (no per-occurrence
+    // merge replay); corpus work is one broadcast join + one doc-keyed
+    // shuffle. See [[bpeEncode]] for the scale shape.
+    "t20_bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
+
     // t14 Gopher rules: the published heuristic filter battery as
     // per-document boolean flags + the conjunction. Every rule is
     // INTEGER arithmetic (mean-word-length [3,10] becomes
@@ -643,7 +650,19 @@ object TextQueries {
     * vocab build in [[bpeTrain]].
     */
   def bpeTrainMerges(s: SparkSession, vocab0: DataFrame,
-                     steps: Int): DataFrame = {
+                     steps: Int): DataFrame =
+    bpeTrainLoop(s, vocab0, steps)._1
+
+  /** The loop itself, returning BOTH the merge table and the FINAL
+    * vocabulary state (every non-`repr` column of `vocab0` carried
+    * through unchanged). The final state is t20's encoder for free:
+    * after k merges each word's `repr` IS its fully-merged symbol
+    * sequence, so the encode pass never re-applies a single merge —
+    * it reads token counts off the vocabulary the trainer already
+    * materialized (the t16 discipline: per-DISTINCT-word work happens
+    * on the vocabulary-sized table, never per corpus occurrence). */
+  private[queries] def bpeTrainLoop(s: SparkSession, vocab0: DataFrame,
+                     steps: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     var vocab = vocab0.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -668,13 +687,55 @@ object TextQueries {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, a, b, cnt))
-        vocab = vocab.select(col("c"),
-          regexp_replace(col("repr"), s"\\($a\\)\\($b\\)", s"($a$b)").as("repr"))
+        vocab = vocab.withColumn("repr",
+          regexp_replace(col("repr"), s"\\($a\\)\\($b\\)", s"($a$b)"))
           .localCheckpoint()
         k += 1
       }
     }
-    merges.result().toDF("step", "merge_a", "merge_b", "pair_count")
+    (merges.result().toDF("step", "merge_a", "merge_b", "pair_count"), vocab)
+  }
+
+  /** t20: BPE ENCODE — apply t19's learned merges to the corpus and
+    * count TRUE tokenizer tokens per document (t03 counts
+    * pre-tokenization words; this is the other half of the tokenizer
+    * story, and the count a real token-budget pass would feed p09).
+    *
+    * Shape: the trainer's final vocabulary state already holds each
+    * distinct word's fully-merged symbol sequence, so encoding is a
+    * LENGTH EXPRESSION over the vocabulary (symbols = ')' count), not
+    * a per-occurrence regex replay — per-word work runs once per
+    * DISTINCT word (t16's model-side discipline). The corpus then
+    * joins the vocabulary-sized (word → token count) table broadcast
+    * and aggregates per doc: corpus scanned twice total (vocabulary
+    * build, encode join), one doc-keyed shuffle. A vocabulary too big
+    * for one executor degrades to a shuffle join by removing the
+    * hint, not by rewriting.
+    *
+    * Word domain = the trainer's (pure-alnum, length ≥ 2): BPE runs
+    * after pre-tokenization, and the alnum restriction is also the
+    * regex-metachar injection guard on the merge patterns. Docs with
+    * zero eligible words are absent (matching the oracle's join). */
+  def bpeEncode(s: SparkSession, dir: String,
+                steps: Int = BpeTrainSteps): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def eligibleWords(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+    val vocab0 = eligibleWords(docs)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(col("word"), col("c"),
+        regexp_replace(col("word"), "(.)", "($1)").as("repr"))
+    val (_, finalVocab) = bpeTrainLoop(s, vocab0, steps)
+    // tokens per word = symbol count = number of ')' delimiters
+    val wordToks = finalVocab.select(col("word"),
+      (length(col("repr")) - length(translate(col("repr"), ")", "")))
+        .cast("long").as("tok"))
+    eligibleWords(docs)
+      .join(broadcast(wordToks), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("tok")).as("n_bpe_tokens"))
   }
 
   /** t19's DuckDB oracle: the trainer unrolled as a CTE chain (t17's
@@ -682,9 +743,28 @@ object TextQueries {
     * v(k-1), a 1-row argmax (same count-desc/lexicographic tie-break),
     * and v(k) via the same delimiter-anchored global regexp_replace. */
   private def bpeTrainOracleSql(steps: Int): String = {
+    val union = (1 to steps)
+      .map(k => s"SELECT $k AS step, a, b, cnt FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(steps, keepWord = false)}
+       |SELECT CAST(step AS INTEGER) AS step, a AS merge_a, b AS merge_b,
+       |  cnt AS pair_count
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** The trainer replay CTEs shared by t19's and t20's oracles: v0 is
+    * the vocabulary, then per step k pair counts over v(k-1), a 1-row
+    * argmax (same count-desc/lexicographic tie-break as the Spark
+    * loop), and v(k) via the same delimiter-anchored global
+    * regexp_replace. `keepWord` carries the word through every v(k) —
+    * t20 needs the final state as a word → repr encoder; t19's merge
+    * replay doesn't pay for the extra column. */
+  private def bpeChainSql(steps: Int, keepWord: Boolean): String = {
+    val w = if (keepWord) "word, " else ""
     val v0 =
       s"""v0 AS (
-         |  SELECT COUNT(*) AS c, regexp_replace(word, '(.)', '(\\1)', 'g') AS repr
+         |  SELECT ${w}COUNT(*) AS c, regexp_replace(word, '(.)', '(\\1)', 'g') AS repr
          |  FROM (SELECT unnest(${sqlWords("text")}) AS word FROM documents)
          |  WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+$$')
          |  GROUP BY word)""".stripMargin
@@ -697,20 +777,31 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
          |v$k AS (
-         |  SELECT c, regexp_replace(repr,
+         |  SELECT ${w}c, regexp_replace(repr,
          |    '\\(' || a || '\\)\\(' || b || '\\)', '(' || a || b || ')', 'g') AS repr
          |  FROM v${k - 1} CROSS JOIN m$k)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to steps)
-      .map(k => s"SELECT $k AS step, a, b, cnt FROM m$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH $v0,
-       |$chain
-       |SELECT CAST(step AS INTEGER) AS step, a AS merge_a, b AS merge_b,
-       |  cnt AS pair_count
-       |FROM ($union)
-       |ORDER BY step""".stripMargin
+    s"""$v0,
+       |$chain""".stripMargin
   }
+
+  /** t20's oracle: the shared trainer replay with `word` carried to the
+    * final vocabulary state, token counts as the ')'-count length
+    * expression, and the same eligible-word corpus join + per-doc
+    * rollup the Spark side plans. */
+  private def bpeEncodeOracleSql(steps: Int): String =
+    s"""WITH ${bpeChainSql(steps, keepWord = true)},
+       |wt AS (
+       |  SELECT word, CAST(length(repr) - length(replace(repr, ')', '')) AS BIGINT) AS tok
+       |  FROM v$steps),
+       |dw AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents)
+       |  WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+$$'))
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(tok) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN wt USING (word)
+       |GROUP BY doc_id""".stripMargin
 
   // The map-only queries' oracles (t01-t06, t14) carry NO ORDER BY,
   // matching their unsorted Spark sides: the driver compare and
@@ -719,6 +810,7 @@ object TextQueries {
   // Spark plan would skew the cross-engine ratio (round-15 symmetry fix).
   val oracles: Map[String, String] = Map(
     "t19_bpe_train" -> bpeTrainOracleSql(BpeTrainSteps),
+    "t20_bpe_encode" -> bpeEncodeOracleSql(BpeTrainSteps),
 
     "t01_langid" -> {
       val scores = langs.map(l => s"${sqlScore(l)} AS s_$l").mkString(",\n  ")

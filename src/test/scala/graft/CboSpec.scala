@@ -152,12 +152,25 @@ class CboSpec extends SparkSpec {
       // restore the plain temp views (session + dir-engine cache are
       // shared across suites) and the conf defaults
       Tables.all.foreach(t => e.loadTable(t, s"$sfDir/$t.parquet"))
-      spark.conf.set("spark.sql.cbo.enabled", "false")
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-      // enableCbo also raised the broadcast threshold to match its
-      // estimator; later suites in this shared session expect the
-      // file-size default
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+      e.disableCbo()
     }
+  }
+
+  test("disableCbo restores the pre-enableCbo broadcast threshold") {
+    val e = GraftEngine.cachedForDir(spark, sfDir)
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    e.enableCbo()
+    try {
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        .startsWith("4"), "enableCbo should raise the threshold to 40m")
+      // idempotent re-enable must not overwrite the saved original
+      e.enableCbo()
+    } finally {
+      Tables.all.foreach(t => e.loadTable(t, s"$sfDir/$t.parquet"))
+      e.disableCbo()
+    }
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before,
+      "disableCbo must restore the ORIGINAL threshold, not a default")
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false")
   }
 }

@@ -469,6 +469,35 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-02", 1L, 42.0, 42.0)))
   }
 
+  test("q60 hot-group probe is cached per corpus snapshot: repeat builds run zero jobs") {
+    import graft.operators.EventAnalytics
+    // parquet-backed source (the cache keys on the file fingerprint)
+    val dir = java.nio.file.Files.createTempDirectory("bandscache").toString
+    Seq((1L, 100L, 1L, "view", 5.0), (2L, 200L, 2L, "view", 7.0))
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_type"), col("event_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    def build() = EventAnalytics.percentileBands(src, col("event_type"),
+      col("ts"), col("value"), col("event_id"))
+    build() // first build pays the probe (and seeds the cache)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      build() // same corpus snapshot: probe must be a driver-side map hit
+      Thread.sleep(500) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0,
+      s"re-building q60 over an unchanged corpus ran ${jobs.get()} Spark job(s); " +
+        "the hot-group probe must come from the fingerprint cache")
+  }
+
   test("q58/q59 plan shape: one corpus exchange each, windows never global") {
     Seq("q58_silences", "q59_cohort_ltv").foreach { q =>
       val plan = EventQueries.defs(q)(spark, sfDir)

@@ -12,7 +12,8 @@ class TextQueriesSpec extends SparkSpec {
     // filter; t17 ranks the vocabulary graph; t18 emits heavy hitters
     (TextQueries.defs - "t07_vocab" - "t08_tfidf" - "t09_quality_gate" -
         "t11_collocations" - "t12_bm25" - "t13_bpe_pairs" -
-        "t17_textrank" - "t18_heavy_hitters" - "t19_bpe_train").foreach { case (name, fn) =>
+        "t17_textrank" - "t18_heavy_hitters" - "t19_bpe_train" -
+        "t20_bpe_encode").foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() == docs, s"$name row count != documents")
     }
   }
@@ -253,5 +254,37 @@ class TextQueriesSpec extends SparkSpec {
     assert(merges.length == 10)
     assert(trained < onePass * 2.2,
       s"training read $trained bytes vs $onePass for one pass — iterations are rescanning the corpus")
+  }
+
+  test("t20 BPE encode: hand-encodable corpus, per-doc true token counts") {
+    import spark.implicits._
+    // vocab {abab: 3, xy: 3}; steps=2 trains merges (a,b) then (ab,ab)
+    // (the (ab,ab)/(x,y) count tie breaks lexicographic, 'ab' < 'x'),
+    // so abab encodes to ONE token and xy stays (x)(y) = two.
+    // 'a' (length 1) and '!punct' (non-alnum) are outside the trainer
+    // domain and must not count; doc 3 has NO eligible words and must
+    // be absent, matching the oracle's inner join.
+    val dir = java.nio.file.Files.createTempDirectory("bpeenc").toString
+    Seq((1L, "abab abab xy a !punct"), (2L, "abab xy xy"), (3L, "! ?"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.bpeEncode(spark, dir, steps = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 4L), (2L, 3L, 5L)),
+      s"expected doc1=(3 words, 1+1+2 tokens), doc2=(3 words, 1+2+2): ${out.toSeq}")
+  }
+
+  test("t20 plan shape: vocabulary broadcast into the encode join, one doc-keyed shuffle") {
+    val df = TextQueries.defs("t20_bpe_encode")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"word->token table must broadcast (vocabulary-sized):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle on the word key:\n$plan")
+    // every word is at least one token, and a fully-merged corpus
+    // can never emit more tokens than t03-style word counts * max len
+    val bad = df.filter(col("n_bpe_tokens") < col("n_words")).count()
+    assert(bad == 0, "a word encoded to fewer than one token")
   }
 }
