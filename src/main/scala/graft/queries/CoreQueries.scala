@@ -122,18 +122,26 @@ object CoreQueries {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       val su = t(s, dir, "supplier")
-      // Declared join order = selectivity order (the DataFrame path has
-      // no catalog stats for CBO to reorder with): region('ASIA') cuts
-      // nation 5x and supplier with it, so lineitem shrinks ~5x at its
-      // FIRST join — before the orders shuffle — instead of running the
-      // full 60M x 15M merge join and discarding 80% afterwards
-      // (measured at sf10: 11.4 s -> see SCALE.md round 15). Broadcasts
-      // are only FORCED for the fixed-size dims (nation x region); the
-      // filtered supplier side is left to size-based planning + AQE so
-      // a 100 TB supplier table degrades to a shuffle join, not an OOM.
+      // Declared join order = selectivity order, the STAT-LESS
+      // fallback: region('ASIA') cuts nation 5x and supplier with it,
+      // so lineitem shrinks ~5x at its FIRST join — before the orders
+      // shuffle — instead of running the full 60M x 15M merge join and
+      // discarding 80% afterwards (measured at sf10: 11.4 s -> see
+      // SCALE.md round 15). In CBO mode (Verify/Bench: Ops.t resolves
+      // stats-backed catalog relations) the declared order is
+      // irrelevant: the chain is deliberately HINT-FREE so
+      // CostBasedJoinReorder can flatten and reorder all six relations
+      // (a broadcast() hint would fence its join out of the reorderable
+      // set) — CboSpec pins that a worst-declared-order variant
+      // optimizes to the identical plan. Region/nation are fixed-size
+      // (5/25 rows at ANY scale factor), so size-based planning
+      // broadcasts them without a hint on both the stat-less and
+      // stats-fed paths; the filtered supplier side is likewise left
+      // to size-based planning + AQE so a 100 TB supplier table
+      // degrades to a shuffle join, not an OOM.
       val asiaSu = su
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
       l.join(asiaSu, l("l_suppkey") === su("s_suppkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))

@@ -27,8 +27,28 @@ object Ops {
   def sqlDsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
   def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT($e))"
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Table read for the query suite. In CBO mode (the Verify/Bench
+    * planning mode: `GraftEngine.enableCbo` fed table statistics and
+    * set `spark.sql.cbo.enabled`), the read resolves to the stats-
+    * backed catalog relation enableCbo registered for this exact path,
+    * so DATAFRAME-path multijoins get the same CostBasedJoinReorder
+    * treatment the SQL surface gets (round-15 verdict: q07 was
+    * hand-ordered because this path was stat-less) — and the raised
+    * broadcast threshold's decompressed-size justification now holds
+    * for these frames too. Outside CBO mode (specs, ad-hoc sessions)
+    * this is a plain lazy parquet read, estimated from file sizes as
+    * before; the fallthrough also covers CBO sessions whose catalog
+    * has no entry for this corpus dir. Schema and values are identical
+    * either way (same files), so oracles don't care which path planned
+    * the scan. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (spark.conf.get("spark.sql.cbo.enabled", "false") == "true") {
+      val cat = s"graft_cat_${name}_${graft.GraftEngine.pathTag(path)}"
+      if (spark.catalog.tableExists(cat)) return spark.table(cat)
+    }
+    spark.read.parquet(path)
+  }
 
   /** DuckDB twin of [[graft.operators.Dedup.dot]]: sequential fold in
     * list order, bounds derived from the list itself (no hard-coded

@@ -156,6 +156,49 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  test("CBO reaches the DataFrame path: q07's plan is declared-order-independent") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Ops
+    val e = GraftEngine.cachedForDir(spark, sfDir)
+    e.enableCbo()
+    try {
+      // 1. Ops.t resolves to the stats-backed catalog relation in CBO mode
+      val rel = Ops.t(spark, sfDir, "nation").queryExecution.optimizedPlan
+        .collect { case lr: LogicalRelation => lr }.head
+      assert(rel.catalogTable.exists(_.stats.exists(_.rowCount.isDefined)),
+        "Ops.t must return the stats-fed catalog relation when CBO is on")
+
+      // 2. the committed q07 vs the same query declared in the WORST
+      // order (fact-fact joins first, the filtered region dead last):
+      // CostBasedJoinReorder must normalize both to the identical plan.
+      val good = graft.queries.Queries.all("q07_multijoin")(spark, sfDir)
+      val r = Ops.t(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+      val n = Ops.t(spark, sfDir, "nation")
+      val c = Ops.t(spark, sfDir, "customer")
+      val o = Ops.t(spark, sfDir, "orders")
+      val l = Ops.t(spark, sfDir, "lineitem")
+      val su = Ops.t(spark, sfDir, "supplier")
+      val bad = l
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Ops.dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+          .as("revenue"))
+        .orderBy("n_name")
+      val goodPlan = good.queryExecution.optimizedPlan.canonicalized.toString
+      val badPlan = bad.queryExecution.optimizedPlan.canonicalized.toString
+      assert(goodPlan == badPlan,
+        s"declared order leaked into the CBO plan:\nGOOD:\n$goodPlan\nBAD:\n$badPlan")
+    } finally {
+      Tables.all.foreach(t => e.loadTable(t, s"$sfDir/$t.parquet"))
+      e.disableCbo()
+    }
+  }
+
   test("disableCbo restores the pre-enableCbo broadcast threshold") {
     val e = GraftEngine.cachedForDir(spark, sfDir)
     val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
