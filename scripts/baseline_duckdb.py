@@ -26,8 +26,8 @@ def main():
     skip = set()
     if "--skip" in sys.argv:
         skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
-    oracles = json.load(open(os.path.join(vout, "oracle_sql.json")))
-    oracles = {k: v for k, v in oracles.items() if k not in skip}
+    all_oracles = json.load(open(os.path.join(vout, "oracle_sql.json")))
+    oracles = {k: v for k, v in all_oracles.items() if k not in skip}
 
     # one bounded connection PER ORACLE — selfcheck.py's workaround for
     # duckdb 1.0.0's buffer pool, which accumulates residue across a
@@ -57,13 +57,18 @@ def main():
         if not write:
             return
         base = json.load(open("BASELINE.json"))
-        # Resuming an interrupted sweep: a prior PARTIAL record under
-        # this key holds oracles the current process never ran — merge
-        # them under the new results (new wins per query) instead of
-        # wiping the very map the incremental flush exists to keep.
-        prior = base.get(key, {})
-        if prior.get("partial"):
-            results = {**prior.get("queries", {}), **results}
+        # Merge the prior record's queries under the new results (new
+        # wins per query): a resumed partial sweep keeps its completed
+        # oracles, and an INCREMENTAL update (--skip everything but a
+        # few re-timed/new entries) keeps the complete record instead
+        # of wiping it down to the current process's handful. Prior
+        # entries whose query no longer exists in oracle_sql.json are
+        # dropped (renamed/removed queries don't linger).
+        prior = {k: v for k, v in
+                 base.get(key, {}).get("queries", {}).items()
+                 if k in all_oracles}
+        results = {**prior, **results}
+        done = done and all(k in results for k in all_oracles)
         ok = {k: v for k, v in results.items() if v >= 0}
         base[key] = {
             "engine": f"duckdb {duckdb.__version__}",
@@ -71,7 +76,9 @@ def main():
             "total_sec": round(sum(ok.values()), 2),
             "n_queries": len(ok),
             "failed": len(results) - len(ok),
-            "skipped": sorted(skip),
+            # names with NO recorded number at all (skip minus whatever
+            # the prior record already covers)
+            "skipped": sorted(k for k in all_oracles if k not in results),
             "timed_passes": passes,
             "partial": not done,
             "queries": results,
