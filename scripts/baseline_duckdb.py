@@ -49,6 +49,10 @@ def main():
     # A 1-pass run is annotated in the summary so cross-round readers
     # know the methodology (used when wall-clock bounds a big-SF sweep).
     passes = int(os.environ.get("GRAFT_BASELINE_PASSES", "2"))
+    # GRAFT_BASELINE_WARMUP=0 skips the untimed warmup run — for
+    # ten-minute oracles the warmup's OS-cache effect is negligible
+    # next to doubling the sweep's wall clock. Recorded in the summary.
+    warmup = os.environ.get("GRAFT_BASELINE_WARMUP", "1") != "0"
 
     def flush(results, done):
         """Incremental merge into BASELINE.json (atomic rename): a
@@ -80,6 +84,7 @@ def main():
             # the prior record already covers)
             "skipped": sorted(k for k in all_oracles if k not in results),
             "timed_passes": passes,
+            "warmup": warmup,
             "partial": not done,
             "queries": results,
         }
@@ -104,7 +109,8 @@ def main():
         sql = oracles[name]
         con = connect()
         try:
-            con.execute(sql).fetchall()  # warmup
+            if warmup:
+                con.execute(sql).fetchall()  # warmup
             times = []
             for _ in range(passes):
                 t0 = time.monotonic()

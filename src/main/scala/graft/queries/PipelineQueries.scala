@@ -171,6 +171,22 @@ object PipelineQueries {
     // so the top-k cut is engine-identical.
     "p10_dsir_select" -> ((s, dir) => dsirSelect(s, dir, exactDecimal = true)),
 
+    // p12: token-budget selection under TRUE tokenizer counts — p09's
+    // blocked prefix sum fed by t20's BPE encoder instead of the
+    // whitespace proxy ("train on exactly N BPE tokens", the budget a
+    // real pretraining run actually has). The count column is t20's
+    // per-doc n_bpe_tokens (trainer's final vocabulary broadcast into
+    // one doc-keyed rollup — per-word work stays vocabulary-sized);
+    // the selection adds p09's 256-block distributed prefix sum on a
+    // fresh seed. Docs with no trainer-eligible words carry no tokens
+    // and are outside the selection domain in both engines (the
+    // encode join is inner on both sides).
+    "p12_bpe_budget" -> ((s, dir) =>
+      graft.operators.Splits.tokenBudgetSample(
+        TextQueries.bpeEncode(s, dir), col("doc_id"), col("n_bpe_tokens"),
+        budget = TokenBudget, seed = "bpe")
+        .orderBy("doc_id")),
+
     // p11 weighted sampling without replacement (priority sampling,
     // Duffield-Lund-Thorup): keep PriK docs weighted by character
     // count, with the threshold-adjusted unbiased weight estimate.
@@ -349,6 +365,20 @@ object PipelineQueries {
          |    CAST(${sqlWsTokenCount("text")} AS BIGINT) AS n_tokens,
          |    md5('budget|' || CAST(doc_id AS VARCHAR)) AS h
          |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum_tokens
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
+
+    // p12: t20's encode chain (nested WITH) feeding p09's running-sum
+    // form on the 'bpe' seed — the oracle's single global window IS
+    // the semantics the blocked Spark plan reproduces piecewise
+    "p12_bpe_budget" ->
+      s"""WITH tok AS (${TextQueries.bpeEncodeOracleSql(TextQueries.BpeTrainSteps)}),
+         |tk AS (SELECT doc_id, n_bpe_tokens AS n_tokens,
+         |    md5('bpe|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM tok),
          |c AS (SELECT doc_id, n_tokens,
          |    SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum_tokens
          |  FROM tk)

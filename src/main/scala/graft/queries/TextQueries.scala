@@ -789,7 +789,7 @@ object TextQueries {
     * final vocabulary state, token counts as the ')'-count length
     * expression, and the same eligible-word corpus join + per-doc
     * rollup the Spark side plans. */
-  private def bpeEncodeOracleSql(steps: Int): String =
+  private[queries] def bpeEncodeOracleSql(steps: Int): String =
     s"""WITH ${bpeChainSql(steps, keepWord = true)},
        |wt AS (
        |  SELECT word, CAST(length(repr) - length(replace(repr, ')', '')) AS BIGINT) AS tok

@@ -208,6 +208,32 @@ class SplitsSpec extends SparkSpec {
       s"corpus running sum must shuffle on the block key only:\n$plan")
   }
 
+  test("p12 BPE-token budget equals the global running sum over t20's counts") {
+    import graft.queries.{PipelineQueries, Queries, TextQueries}
+    import org.apache.spark.sql.expressions.Window
+    val got = Queries.all("p12_bpe_budget")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "budget selected nothing — raise TokenBudget or check t20")
+    // oracle twin in-engine: ONE global running sum over the t20 frame
+    // in 'bpe'-seeded hash order (the shape the blocked plan reproduces)
+    val w = Window.orderBy(col("__h"), col("doc_id"))
+    val want = TextQueries.bpeEncode(spark, sfDir)
+      .withColumn("__h", md5(concat(lit("bpe|"), col("doc_id").cast("string"))))
+      .withColumn("cum", sum(col("n_bpe_tokens")).over(w))
+      .filter(col("cum") <= PipelineQueries.TokenBudget)
+      .select("doc_id", "n_bpe_tokens", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq,
+      "blocked BPE-budget selection must equal the single global running sum")
+    // true-tokenizer budget, not the whitespace proxy: counts differ
+    val ws = graft.functions.TextFunctions.wsTokenCount(col("text"))
+    val wsMap = graft.queries.Ops.t(spark, sfDir, "documents")
+      .select(col("doc_id"), ws.cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (id, n, _) => wsMap.get(id).exists(_ != n) },
+      "every selected doc's BPE count equals its whitespace count — proxy suspected")
+  }
+
   test("p11 priority sample keeps exactly k rows with threshold-adjusted weights") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, 10L + i % 90)).toDF("doc_id", "w")
