@@ -443,13 +443,19 @@ final class GraftEngine(val spark: SparkSession,
     // reverse). The previous value is saved; [[disableCbo]] restores
     // it, and sessions that interleave stat-less DataFrame plans with
     // CBO SQL should bracket the SQL with enableCbo/disableCbo.
-    if (savedBroadcastThreshold.isEmpty)
-      savedBroadcastThreshold =
-        Some(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    // The saved original is keyed per SESSION, not per engine: the
+    // threshold conf is session-global while engines are per-(session,
+    // dir) — two engines interleaving enableCbo/disableCbo on one
+    // session must not launder the raised 40m into a later engine's
+    // "original" (that restore would leave a non-CBO session with
+    // file-size estimates at the stat-matched threshold — the
+    // force-broadcast hazard the comment above warns about). First
+    // save wins session-wide; disableCbo restores the true pre-CBO
+    // value whichever engine calls it.
+    GraftEngine.savedBroadcastThreshold.putIfAbsent(spark,
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "40m")
   }
-
-  private var savedBroadcastThreshold: Option[String] = None
 
   /** Undo [[enableCbo]]'s session-wide conf changes: CBO flags off and
     * the broadcast threshold restored to its pre-enableCbo value (the
@@ -460,9 +466,8 @@ final class GraftEngine(val spark: SparkSession,
   def disableCbo(): Unit = {
     spark.conf.set("spark.sql.cbo.enabled", "false")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-    savedBroadcastThreshold.foreach { v =>
+    Option(GraftEngine.savedBroadcastThreshold.remove(spark)).foreach { v =>
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-      savedBroadcastThreshold = None
     }
   }
 
@@ -480,6 +485,13 @@ final class GraftEngine(val spark: SparkSession,
 }
 
 object GraftEngine {
+  /** Pre-enableCbo broadcast threshold, keyed per session (see
+    * [[GraftEngine.enableCbo]]): weak keys so a stopped session's
+    * entry doesn't pin the SparkSession object for the JVM's life. */
+  private[graft] val savedBroadcastThreshold =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Collision-resistant catalog-name tag for a corpus path: md5 hex
     * (shortened to 16 chars — 64 bits, vs String.hashCode's 32). */
   def pathTag(path: String): String = {
@@ -515,6 +527,19 @@ object GraftEngine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", cfg.adaptiveEnabled.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", cfg.adaptiveEnabled.toString)
       .config("spark.sql.session.timeZone", cfg.sessionTimeZone)
+      // Read un-adjusted parquet timestamp[us] columns (the fixtures'
+      // o_orderdate/l_shipdate/ts vintage) as session-TZ TIMESTAMP, not
+      // TIMESTAMP_NTZ. Value-preserving under the UTC session TZ — the
+      // micros are identical and match what the DuckDB oracle reads —
+      // but NTZ is a stats dead zone: Spark 4.1.2's FilterEstimation
+      // has no NTZ case (a fed stat MatchErrors planning, a missing
+      // stat plans range filters at default selectivity) and runtime
+      // bloom-filter injection never fires on NTZ-filtered creation
+      // sides (measured injected=false on h04/h18/h21, PLANS.md r16).
+      // As plain TIMESTAMP the same columns carry catalog min/max
+      // (Profile.feedSessionCatalog), date-range filters estimate
+      // correctly, and the h-suite plans from real selectivities.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -98,21 +98,44 @@ object Profile {
     // ANY range predicate over an NTZ column WITH a catalog stat
     // MatchErrors the whole planning phase (h15's l_shipdate window
     // found it). A missing stat falls back to default selectivity —
-    // degraded estimation beats a crashed plan.
+    // degraded estimation beats a crashed plan. (The production
+    // session no longer PRODUCES NTZ reads —
+    // spark.sql.parquet.inferTimestampNTZ.enabled=false in
+    // GraftEngine.session maps the fixtures' naive timestamp[us] to
+    // plain TIMESTAMP, which FilterEstimation handles — so this
+    // exclusion is defense for sessions running other read confs.)
     val colStats = df.schema.fields.iterator
       .filterNot(_.dataType == TimestampNTZType).map { f =>
       val nulls = n - one.getAs[Long](s"cnt_${f.name}")
       // numeric min/max travel in CatalogColumnStat's external string
       // form, which is parsed back BY COLUMN TYPE — an integral column
       // must carry "42", not the profiler's "42.0" double render.
-      // Non-numeric (and decimal/date: the profiler's 4-dp double
+      // Non-numeric (and decimal: the profiler's 4-dp double
       // round-trip can't represent them faithfully) columns skip
       // min/max; NDV + null counts drive join cardinality either way.
+      // DATE/TIMESTAMP columns ride the profiler's STRING min/max
+      // instead (mns_/mxs_), re-rendered to the exact external forms
+      // CatalogColumnStat.fromExternalString parses for those types
+      // ("yyyy-MM-dd" / "yyyy-MM-dd HH:mm:ss.SSSSSS" in the UTC
+      // session TZ) — these are what make h-suite date-range filters
+      // estimate from real bounds instead of default selectivity.
       def ext(v: Double): Option[String] = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           Some(v.toLong.toString)
         case FloatType | DoubleType => Some(v.toString)
         case _ => None
+      }
+      // Spark's cast-to-string render trims trailing zero fractions
+      // ("1995-01-01 00:00:00"); the external TimestampType parser
+      // requires the full 6-digit micros field. Re-pad driver-side.
+      def tsExternal(s: String): String = {
+        val dot = s.indexOf('.')
+        if (dot < 0) s + ".000000"
+        else s.substring(0, dot + 1) + (s.substring(dot + 1) + "000000").take(6)
+      }
+      def strOpt(colName: String): Option[String] = {
+        val i = one.fieldIndex(colName)
+        if (one.isNullAt(i)) None else Some(one.getString(i))
       }
       // isNullAt, not Option(getAs[Double]): getAs unboxes SQL NULL
       // (an all-null column's min/max) to primitive 0.0, which would
@@ -123,11 +146,17 @@ object Profile {
         val i = one.fieldIndex(colName)
         if (one.isNullAt(i)) None else Some(one.getDouble(i))
       }
-      val (mn, mx) =
-        if (isNum(f.dataType))
+      val (mn, mx) = f.dataType match {
+        case dt if isNum(dt) =>
           (numOpt(s"mn_${f.name}").flatMap(ext),
             numOpt(s"mx_${f.name}").flatMap(ext))
-        else (None, None)
+        case DateType =>
+          (strOpt(s"mns_${f.name}"), strOpt(s"mxs_${f.name}"))
+        case TimestampType =>
+          (strOpt(s"mns_${f.name}").map(tsExternal),
+            strOpt(s"mxs_${f.name}").map(tsExternal))
+        case _ => (None, None)
+      }
       f.name -> CatalogColumnStat(
         distinctCount = Some(BigInt(one.getAs[Long](s"ad_${f.name}"))),
         min = mn, max = mx,

@@ -372,6 +372,14 @@ object TpchQueries {
       graft.GraftEngine.cachedForDir(s, dir).sql(q))
   }
 
+  // NOTE on projected timestamp columns (h03/h18's o_orderdate): the
+  // session reads the fixtures' naive timestamp[us] as UTC TIMESTAMP
+  // (inferTimestampNTZ=false, GraftEngine.session — what gives date
+  // columns catalog stats), and the verify dump writes TimestampType
+  // as parquet INT96 (spark.sql.parquet.outputTimestampType default),
+  // which the driver's pandas read renders NAIVE — byte-for-byte the
+  // same strings DuckDB renders for the fixture's naive column. Shared
+  // text therefore stays value- and render-identical on both sides.
   val oracles: Map[String, String] = sql
 
   // ---- production decimal mode (GraftConfig.exactDecimal = false) --------

@@ -84,28 +84,66 @@ class CboSpec extends SparkSpec {
     assert(n == withCbo(enabled = false)(spark.sql(q).collect()(0).getLong(0)))
   }
 
-  test("NTZ columns carry NO catalog column stat: a stat-fed timestamp range plans (h15 pin)") {
-    // Spark 4.1.2's FilterEstimation.evaluateBinary has no
-    // TimestampNTZType case: a range predicate over an NTZ column WITH
-    // a catalog stat MatchErrors the planning phase. The feed must
-    // omit those columns (default selectivity beats a crash).
+  test("timestamp columns carry min/max stats and date-range filters estimate from them (h04 pin)") {
+    // With spark.sql.parquet.inferTimestampNTZ.enabled=false
+    // (GraftEngine.session) the fixtures' naive timestamp[us] columns
+    // read as plain TIMESTAMP, which FilterEstimation handles — the
+    // profiler must feed their min/max so h-suite date-range filters
+    // (h04's orders quarter, h15's l_shipdate window) plan from real
+    // bounds instead of default selectivity.
     graft.operators.Profile.feedSessionCatalog(
-      spark, "graft_cat_lineitem_ntz", s"$sfDir/lineitem.parquet")
-    val rel = spark.table("graft_cat_lineitem_ntz").queryExecution
+      spark, "graft_cat_lineitem_ts", s"$sfDir/lineitem.parquet")
+    val rel = spark.table("graft_cat_lineitem_ts").queryExecution
       .optimizedPlan.collect { case lr: LogicalRelation => lr }.head
     val stats = rel.catalogTable.get.stats.get
-    assert(!stats.colStats.contains("l_shipdate"),
-      "NTZ column got a stat — FilterEstimation will MatchError on it")
-    assert(stats.colStats.contains("l_orderkey"))
+    val ship = stats.colStats.get("l_shipdate")
+    assert(ship.isDefined, "timestamp column got no catalog stat")
+    assert(ship.get.min.isDefined && ship.get.max.isDefined,
+      s"timestamp stat carries no bounds: ${ship.get}")
     withCbo(enabled = true) {
-      // the h15 shape: stat-fed scan under a timestamp range filter
-      val n = spark.sql(
-        """SELECT count(*) FROM graft_cat_lineitem_ntz
+      val q = spark.sql(
+        """SELECT * FROM graft_cat_lineitem_ts
           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
-        .collect()(0).getLong(0)
-      assert(n > 0)
+      val filt = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.head
+      val total = stats.rowCount.get
+      val est = filt.stats.rowCount
+      assert(est.isDefined, "no row estimate under the range filter")
+      // a ~3-month window over a ~6.5-year span: the estimate must be
+      // a real narrowing, not the stat-less 25%-per-conjunct default
+      assert(est.get < total / 5,
+        s"range filter not estimated from bounds: est=$est of $total")
+      assert(q.count() > 0)
     }
+  }
+
+  test("NTZ columns (non-default read conf) still carry NO stat: feed must not crash planning") {
+    // Defensive path: a session reading with inferTimestampNTZ=true
+    // gets TIMESTAMP_NTZ columns, for which Spark 4.1.2's
+    // FilterEstimation.evaluateBinary has no case — a fed stat
+    // MatchErrors planning, so the profiler must omit those columns
+    // (default selectivity beats a crash — the h15 lesson).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try {
+      graft.operators.Profile.feedSessionCatalog(
+        spark, "graft_cat_lineitem_ntz", s"$sfDir/lineitem.parquet")
+      val rel = spark.table("graft_cat_lineitem_ntz").queryExecution
+        .optimizedPlan.collect { case lr: LogicalRelation => lr }.head
+      val stats = rel.catalogTable.get.stats.get
+      assert(!stats.colStats.contains("l_shipdate"),
+        "NTZ column got a stat — FilterEstimation will MatchError on it")
+      assert(stats.colStats.contains("l_orderkey"))
+      withCbo(enabled = true) {
+        val n = spark.sql(
+          """SELECT count(*) FROM graft_cat_lineitem_ntz
+            |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+          .collect()(0).getLong(0)
+        assert(n > 0)
+      }
+    } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 
   test("cached stats feed: second session-feed reads the artifact, no profiling scan") {
