@@ -39,7 +39,21 @@ object RuntimeFilterProbe {
       val on = time(name)
       val injected = graft.queries.Queries.all(name)(spark, sfDir)
         .queryExecution.optimizedPlan.toString.contains("might_contain")
-      println(f"[rfprobe] $name off=$off%.2fs on=$on%.2fs injected=$injected")
+      // creation-side threshold raised: the stat-fed estimates are
+      // DECOMPRESSED rowCount × width (h04's filtered orders quarter
+      // estimates 43 MB at sf10), so the 10 MB file-size-tuned default
+      // vetoes every h-suite creation side. 256 MB admits a
+      // quarter-of-orders bloom build while still fencing out
+      // fact-sized creation sides at this corpus.
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "256m")
+      val onWide = time(name)
+      val injWide = graft.queries.Queries.all(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString.contains("might_contain")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10m")
+      println(f"[rfprobe] $name off=$off%.2fs on=$on%.2fs injected=$injected " +
+        f"onWide=$onWide%.2fs injectedWide=$injWide")
     }
     spark.stop()
   }
