@@ -56,9 +56,23 @@ def connect(sf_dir):
         if os.path.isdir(p):
             # Spark-written table (GenScale sf1 output): a DIRECTORY of
             # part files, vs the driver fixtures' single parquet file
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            src = f"{p}/*.parquet"
         elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            src = p
+        else:
+            continue
+        # Spark-written corpora store timestamps as INT64 micros with
+        # isAdjustedToUTC (TIMESTAMP_MICROS — the encoding that keeps
+        # parquet pushdown; see GraftEngine.session), which DuckDB
+        # types as TIMESTAMPTZ. Re-cast those columns to naive
+        # TIMESTAMP under the UTC session: value-identical instants,
+        # and renders/comparisons match the driver fixtures' naive
+        # timestamp[us] exactly.
+        cols = con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()
+        tz = [c[0] for c in cols if c[1] == "TIMESTAMP WITH TIME ZONE"]
+        repl = (" REPLACE (" + ", ".join(
+            f'CAST("{c}" AS TIMESTAMP) AS "{c}"' for c in tz) + ")") if tz else ""
+        con.execute(f"CREATE VIEW {t} AS SELECT *{repl} FROM read_parquet('{src}')")
     return con
 
 

@@ -540,6 +540,17 @@ object GraftEngine {
       // (Profile.feedSessionCatalog), date-range filters estimate
       // correctly, and the h-suite plans from real selectivities.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Write TimestampType as INT64 micros, not Spark's INT96 default:
+      // INT96 columns carry no usable parquet min/max, so EVERY
+      // date-range predicate over a Spark-written table loses row-group
+      // skipping AND ParquetFilters pushdown (measured: regenerating the
+      // sf10 corpus INT96 took h05 from 1.9 s to 6.2 s — the 1-year
+      // orders window scanned all 15M rows), and INT96's rebase decode
+      // is slower besides. Micros + isAdjustedToUTC reads back as the
+      // same session-TZ TIMESTAMP. (graft.Verify overrides this to
+      // INT96 for its OUTPUT dump only: the driver's pandas/DuckDB
+      // compare renders INT96 naive, matching the oracle's render.)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

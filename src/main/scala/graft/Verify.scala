@@ -17,6 +17,14 @@ object Verify {
       master = s"local[$cpus]", appName = "graft-verify",
       shufflePartitions = cpus.toInt))
     new java.io.File(outDir).mkdirs()
+    // Result dumps go out as INT96 timestamps: the driver's compare
+    // stringifies pandas-read Spark output against DuckDB oracle
+    // output, and INT96 is the one encoding both render NAIVE (int64
+    // isAdjustedToUTC would read tz-aware on the pandas side and
+    // mismatch the oracle's naive render). Output-representation only —
+    // the session-wide TIMESTAMP_MICROS default (GraftEngine.session)
+    // stays right for corpus/layout writes, where pushdown matters.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     // Same planning mode as the bench: stats-fed CBO on the SQL surface,
     // so the correctness gate certifies the exact plans the bench times.
     try GraftEngine.cachedForDir(spark, sfDir).enableCbo(cached = true)

@@ -300,9 +300,26 @@ object EventAnalytics {
     else percentileBandsWindowed(prepped)
   }
 
-  /** fingerprint+plan → hottest (key, day) count (process-wide). */
+  /** fingerprint+plan → hottest (key, day) count. Process-wide,
+    * LRU-capped: a long-lived session probing many corpus snapshots
+    * must not grow the map without bound. Caveat shared with every
+    * mtime-based fingerprint in this repo (ArtifactStore): an IN-PLACE
+    * corpus overwrite that preserves both file length and mtime (a
+    * same-millisecond rewrite, or a coarse-mtime filesystem) is
+    * indistinguishable from the cached snapshot and would serve a
+    * stale hot-group bound — which matters here because an understated
+    * bound routes an over-limit group into the array branch's
+    * unspillable buffer. Snapshot-replacing writers must write to a
+    * NEW path (the TableLayout/ObjectStoreCommit discipline) rather
+    * than rewrite files in place. */
+  private val HotMaxCacheCap = 256
   private val hotMaxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > HotMaxCacheCap
+      })
 
   /** Size of the hottest (__k, __day) group of `prepped`, cached per
     * corpus snapshot (see [[percentileBands]]). */

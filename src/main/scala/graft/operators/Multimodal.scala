@@ -258,6 +258,29 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** Sampled raster-integrity audit for the header-only metadata chain
+    * (round-17; closes the round-15 narrowing): since m01's metadata
+    * pass stopped rasterizing, a corrupt-pixel/valid-header payload
+    * could survive a corpus-scale m01 audit — raster integrity rested
+    * entirely on the decode-once artifact build and the m03/m05/m06
+    * paths. A deterministic 1-in-[[RasterAuditOneIn]] of docs (by
+    * md5 of the doc id — stable across runs, independent of corpus
+    * order) now gets a FULL decode inside the metadata pass: images
+    * rasterize and must agree with the header dimensions, video
+    * rasterizes frame 0, audio's PCM byte count must match the header
+    * frame count. Cost is a fixed ~0.4% of the full-decode bill;
+    * a sampled corrupt raster fails the m01 job loudly with its doc
+    * id (MultimodalSpec plants one). */
+  val RasterAuditOneIn = 256
+  private[graft] def rasterAuditSelected(docId: Long,
+      md: java.security.MessageDigest): Boolean = {
+    val h = md.digest(java.nio.ByteBuffer.allocate(8).putLong(docId).array())
+    md.reset()
+    (h(0) & 0xff) % RasterAuditOneIn == 0
+  }
+  private[graft] def rasterAuditSelected(docId: Long): Boolean =
+    rasterAuditSelected(docId, java.security.MessageDigest.getInstance("MD5"))
+
   /** The per-partition decoder lifecycle every codec integration needs:
     * opened once per partition, rows streamed through, closed on task
     * completion (a native decoder holds handles that must not leak). */
@@ -293,14 +316,23 @@ object Multimodal {
           // header walk). The raster path stays certified by the
           // artifact build + m03/m06, which do decode pixels.
           val iis = memStream(r.media)
-          try {
+          val (w, h) = try {
             pngReader.setInput(iis)
-            base.copy(width = Some(pngReader.getWidth(0)),
-              height = Some(pngReader.getHeight(0)), n_frames = Some(1))
+            (pngReader.getWidth(0), pngReader.getHeight(0))
           } catch {
             case e: Exception => throw new IllegalArgumentException(
               s"undecodable image payload for doc ${r.doc_id}", e)
           } finally iis.close()
+          // sampled full-decode audit (see rasterAuditSelected): the
+          // raster a header-only pass never touches
+          if (Multimodal.rasterAuditSelected(r.doc_id, md)) {
+            val img = readImage(pngReader, r.doc_id, r.media)
+            require(img.getWidth == w && img.getHeight == h,
+              s"raster audit: doc ${r.doc_id} raster " +
+                s"${img.getWidth}x${img.getHeight} disagrees with header ${w}x$h")
+            centerColor(img) // touch pixel data
+          }
+          base.copy(width = Some(w), height = Some(h), n_frames = Some(1))
         case "audio" =>
           if (wavReader == null) wavReader = newWavReader()
           val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(r.media))
@@ -308,6 +340,15 @@ object Multimodal {
             val frames = ais.getFrameLength
             require(frames >= 0,
               s"doc ${r.doc_id}: audio stream reports unknown frame length")
+            if (Multimodal.rasterAuditSelected(r.doc_id, md)) {
+              // sampled full-stream audit: the header's frame count
+              // must be backed by actual PCM bytes
+              val fmt = ais.getFormat
+              val pcm = ais.readAllBytes()
+              require(pcm.length == frames * fmt.getFrameSize,
+                s"raster audit: doc ${r.doc_id} PCM byte count ${pcm.length} " +
+                  s"disagrees with header $frames frames x ${fmt.getFrameSize}B")
+            }
             base.copy(n_frames = Some(frames.toInt))
           } finally ais.close()
         case _ =>
@@ -324,8 +365,16 @@ object Multimodal {
             // certified by the artifact build + m05's sampled frames.
             val frames = tiffReader.getNumImages(true)
             require(frames > 0, s"empty video container for doc ${r.doc_id}")
-            base.copy(width = Some(tiffReader.getWidth(0)),
-              height = Some(tiffReader.getHeight(0)),
+            val (w, h) = (tiffReader.getWidth(0), tiffReader.getHeight(0))
+            if (Multimodal.rasterAuditSelected(r.doc_id, md)) {
+              // sampled full-decode audit: rasterize frame 0
+              val img = tiffReader.read(0)
+              require(img.getWidth == w && img.getHeight == h,
+                s"raster audit: doc ${r.doc_id} frame-0 raster " +
+                  s"${img.getWidth}x${img.getHeight} disagrees with header ${w}x$h")
+              centerColor(img)
+            }
+            base.copy(width = Some(w), height = Some(h),
               n_frames = Some(frames))
           } finally iis.close()
       }

@@ -74,8 +74,6 @@ object Profile {
     * CBO orders the plan before anything runs. */
   def feedSessionCatalog(spark: org.apache.spark.sql.SparkSession,
       name: String, path: String, cached: Boolean = false): Unit = {
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     val df = spark.read.parquet(path)
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING PARQUET LOCATION '$path'")
     // `cached` persists the single stats row as a fingerprint-guarded
@@ -90,6 +88,24 @@ object Profile {
             graft.sources.ArtifactStore.defaultRoot, "table_stats", path))(
           statsRow(df))(spark)
       else statsRow(df)
+    attachStats(spark, name, df, statsDf)
+  }
+
+  /** Profiler-ANALYZE for an EXISTING session-catalog table (the
+    * bucketed-layout path: a bucket spec lives ONLY in the catalog
+    * entry `saveAsTable` wrote, so re-registering the files as an
+    * external table — feedSessionCatalog's route — would shed it).
+    * One profiling scan of the table, stats attached in place. */
+  def analyzeCatalogTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val df = spark.table(name)
+    attachStats(spark, name, df, statsRow(df))
+  }
+
+  private def attachStats(spark: org.apache.spark.sql.SparkSession,
+      name: String, df: DataFrame, statsDf: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     val one = statsDf.collect()(0)
     val n = one.getAs[Long]("__n")
     // TimestampNTZ columns get NO column stat at all: Spark's

@@ -146,15 +146,35 @@ object SimilarityQueries {
     * `${pfx}assignF`. */
   private def sqlKmeansChainFor(src: String, pfx: String,
       n: String, iters: Int): String = {
+    // Per-vector argmax WITHOUT a window: the ROW_NUMBER form sorts
+    // the full n·k scored cross join (each row dragging the vector
+    // list along for the partition sort) — at sf10's 200k × 4096
+    // adaptive cells that is 800M list-bearing rows per Lloyd round,
+    // which DuckDB spilled past ~73 GB of temp disk before dying
+    // (SCALE.md round-16: the one failed oracle cell). Folding
+    // (score DESC, cent_id ASC) into ONE integer sort key and taking
+    // MIN() turns each round into a streaming hash aggregate over
+    // 200k groups — O(n) memory, zero spill, pairs consumed as the
+    // cross join produces them. The key is exact: scores carry 6
+    // decimals, so (1 - s)·10⁶ is integer-valued (±fp noise ROUND
+    // removes) and distinct scores stay distinct; · 10⁵ + cent_id
+    // tie-breaks ascending (cent_id < 10⁵ at every corpus dial —
+    // 4096 adaptive cells at sf10, 256 PQ codes). Bit-identical
+    // assignments to the window form wherever both complete
+    // (selfcheck sf0.01/sf1 re-certifies the equivalence).
+    def argmaxAssign(centsCte: String, outCte: String): String = {
+      val s = s"round(${sqlKmDot("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6)"
+      s"""${outCte}_bk AS (
+         |  SELECT e.vec_id,
+         |    MIN(CAST(ROUND((1 - $s) * 1000000) AS BIGINT) * 100000 + c.cent_id) AS bk
+         |  FROM $src e CROSS JOIN $centsCte c GROUP BY e.vec_id),
+         |$outCte AS (
+         |  SELECT e.vec_id, e.v, b.bk % 100000 AS cell
+         |  FROM $src e JOIN ${outCte}_bk b ON e.vec_id = b.vec_id)""".stripMargin
+    }
     val iterCtes = (1 to iters).map { i =>
       val prev = s"${pfx}cents${i - 1}"
-      s"""${pfx}assign$i AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT e.vec_id, e.v, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${sqlKmDot("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
-         |          c.cent_id ASC) AS rn
-         |    FROM $src e CROSS JOIN $prev c) WHERE rn = 1),
+      s"""${argmaxAssign(prev, s"${pfx}assign$i")},
          |${pfx}sums$i AS (
          |  SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
          |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM ${pfx}assign$i)
@@ -167,13 +187,7 @@ object SimilarityQueries {
     s"""${pfx}cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM $src
        |  WHERE vec_id < $n),
        |$iterCtes,
-       |${pfx}assignF AS (
-       |  SELECT vec_id, v, cell FROM (
-       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${sqlKmDot("e.v", "c.cv")} / (${norm("e.v")} * ${norm("c.cv")}), 6) DESC,
-       |          c.cent_id ASC) AS rn
-       |    FROM $src e CROSS JOIN ${pfx}cents$iters c) WHERE rn = 1)""".stripMargin
+       |${argmaxAssign(s"${pfx}cents$iters", s"${pfx}assignF")}""".stripMargin
   }
 
   /** d12's k-means prelude at the ADAPTIVE cell count

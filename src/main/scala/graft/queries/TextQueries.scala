@@ -619,14 +619,17 @@ object TextQueries {
     * `(sym)` string encoding below collision-free (symbols can never
     * contain the delimiter characters). */
   def bpeTrain(s: SparkSession, dir: String,
-               steps: Int = BpeTrainSteps): DataFrame = {
-    val vocab0 = t(s, dir, "documents")
+               steps: Int = BpeTrainSteps): DataFrame =
+    bpeTrainMerges(s, bpeVocab0(s, dir), steps)
+
+  /** The trainer's initial vocabulary: one row per distinct eligible
+    * word, `repr` its character-split symbol encoding. */
+  def bpeVocab0(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .select(col("c"), regexp_replace(col("word"), "(.)", "($1)").as("repr"))
-    bpeTrainMerges(s, vocab0, steps)
-  }
 
   /** The merge-training loop over a (c, repr) vocabulary, where `repr`
     * encodes a word's current symbol sequence as `(s1)(s2)...(sn)`.
@@ -694,6 +697,96 @@ object TextQueries {
       }
     }
     (merges.result().toDF("step", "merge_a", "merge_b", "pair_count"), vocab)
+  }
+
+  /** BATCHED merge training — the production-merge-budget form of
+    * [[bpeTrainLoop]]. The sequential loop pays one driver round-trip
+    * (a 1-row argmax collect) per merge: fine at the fixture's
+    * 10-step budget, O(32k) Spark jobs at a real vocabulary size. This
+    * variant selects up to `batch` merges per round under an explicit
+    * disjointness rule and applies them in ONE vocabulary projection,
+    * cutting driver round-trips (and pair-count aggregates) by ~batch×.
+    *
+    * The batch rule, stated exactly (the spec pins it):
+    *  - rank all pairs by (count DESC, a ASC, b ASC) and take the top
+    *    `4·batch` as the candidate pool (collected — ≤ 4·batch rows);
+    *  - scan the pool in rank order, keeping a pair iff it shares NO
+    *    symbol with any pair already kept this round, until `batch`
+    *    pairs are kept or the pool is exhausted;
+    *  - apply the kept merges to every word in rank order within one
+    *    projection (a fold of regexp_replace calls).
+    *
+    * Why symbol-disjointness makes the batch well-defined: merging
+    * (a,b) only creates adjacencies involving the new symbol `ab` and
+    * only destroys adjacencies containing a or b — the count of ANY
+    * pair sharing no symbol with (a,b) is invariant under the merge.
+    * Kept pairs are pairwise disjoint, so their counts at selection
+    * time equal their counts at application time whatever the order,
+    * and within-round sequential application ≡ batch application.
+    * (This is a batched APPROXIMATION of classic BPE, not an
+    * equivalent: classic recounts after every merge and may next pick
+    * a pair this rule defers. batch = 1 reduces EXACTLY to
+    * [[bpeTrainLoop]] — pool head = global argmax — which is how the
+    * variant inherits the t19 oracle: TextQueriesSpec pins the
+    * batch=1 merge table byte-identical to the sequential one.)
+    *
+    * Returns the merge table with its `round` column (which fold of
+    * the loop emitted each merge) so the disjointness invariant is
+    * externally checkable, plus the final vocabulary state. */
+  /** Public surface of [[bpeTrainBatchedLoop]]: the merge table. */
+  def bpeTrainBatched(s: SparkSession, vocab0: DataFrame,
+      steps: Int, batch: Int): DataFrame =
+    bpeTrainBatchedLoop(s, vocab0, steps, batch)._1
+
+  private[queries] def bpeTrainBatchedLoop(s: SparkSession, vocab0: DataFrame,
+      steps: Int, batch: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    require(batch >= 1, s"batch must be >= 1 (got $batch)")
+    var vocab = vocab0.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var k = 1
+    var round = 1
+    var dry = false
+    while (k <= steps && !dry) {
+      val want = math.min(batch, steps - k + 1)
+      val pool = vocab
+        .select(col("c"),
+          split(expr("substring(repr, 2, length(repr) - 2)"), "\\)\\(").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(4 * batch).collect()
+      if (pool.isEmpty) dry = true
+      else {
+        val kept = Seq.newBuilder[(String, String, Long)]
+        val used = scala.collection.mutable.Set[String]()
+        var n = 0
+        pool.iterator.takeWhile(_ => n < want).foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (!used(a) && !used(b)) {
+            kept += ((a, b, r.getLong(2)))
+            used += a; used += b
+            n += 1
+          }
+        }
+        val batchKept = kept.result()
+        batchKept.foreach { case (a, b, cnt) =>
+          merges += ((k, round, a, b, cnt))
+          k += 1
+        }
+        val repr = batchKept.foldLeft(col("repr")) { case (c, (a, b, _)) =>
+          regexp_replace(c, s"\\($a\\)\\($b\\)", s"($a$b)")
+        }
+        vocab = vocab.withColumn("repr", repr).localCheckpoint()
+        round += 1
+      }
+    }
+    (merges.result().toDF("step", "round", "merge_a", "merge_b", "pair_count"),
+      vocab)
   }
 
   /** t20: BPE ENCODE — apply t19's learned merges to the corpus and

@@ -125,13 +125,15 @@ object TpchQueries {
     // (1.15 -> 1.19 s at sf10) and 2.2x for Spark (5.6 -> 2.6 s): a
     // LeftSemi join can only broadcast-build its RIGHT side, so the
     // EXISTS form forced the 60M-row lineitem shuffle+sort into a
-    // SortMergeJoin; the inner form lets AQE flip to a broadcast of
-    // the filtered quarter of orders at runtime (the initial plan
-    // still shuffles: o_orderdate is TimestampNTZ, which carries no
-    // catalog stats — see Profile.feedSessionCatalog — so the planner
-    // can't see the filter's selectivity; AQE rescues from EXACT
-    // shuffle sizes). At 100 TB the quarter outgrows the broadcast
-    // threshold and the same text degrades to the shuffle join.
+    // SortMergeJoin; the inner form lets the planner broadcast the
+    // filtered quarter of orders. Since round 17 that broadcast is
+    // planned UP FRONT rather than AQE-rescued: o_orderdate reads as
+    // plain TIMESTAMP (inferTimestampNTZ=false, GraftEngine.session)
+    // and carries catalog min/max, so FilterEstimation prices the
+    // quarter at ~4% of orders (562k rows at sf10) and the initial
+    // plan never shuffles lineitem — measured 3.0 -> 1.4 s at sf10.
+    // At 100 TB the quarter outgrows the broadcast threshold and the
+    // same text degrades to the shuffle join.
     "h04_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM (SELECT DISTINCT o_orderkey, o_orderpriority

@@ -491,7 +491,14 @@ class EventAnalyticsSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       build() // same corpus snapshot: probe must be a driver-side map hit
-      Thread.sleep(500) // listener bus is async
+      // drain the async listener bus DETERMINISTICALLY: a fixed sleep
+      // can let a delayed JobStart event go uncounted (silent false
+      // negative on a slow bus). listenerBus/waitUntilEmpty are
+      // private[spark] (public in bytecode), hence the reflection.
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(30000L))
     } finally spark.sparkContext.removeSparkListener(l)
     assert(jobs.get() == 0,
       s"re-building q60 over an unchanged corpus ran ${jobs.get()} Spark job(s); " +

@@ -240,4 +240,42 @@ class MultimodalSpec extends SparkSpec {
       (3, 0, 1) -> ((2L, 0L)),  // docs 0 and 1 cluster
       (0, 0, 0) -> ((1L, 2L)))) // doc 2 stands alone
   }
+
+  test("m01 sampled raster audit catches a corrupt-raster/valid-header payload") {
+    implicit val s = spark
+    import spark.implicits._
+    // the metadata chain is header-only (round-15 narrowing); the
+    // round-17 audit fully decodes a deterministic 1-in-256 sample.
+    // Plant a payload whose IHDR parses but whose IDAT is garbage:
+    // on a SAMPLED doc the audit must fail the job loudly; on an
+    // UNSAMPLED doc the header-only chain passes — which is exactly
+    // the documented sampling semantics.
+    val selected = (0L to 100000L).find(Multimodal.rasterAuditSelected).get
+    val unselected = (0L to 100000L).find(id => !Multimodal.rasterAuditSelected(id)).get
+    def corrupt(png: Array[Byte]): Array[Byte] = {
+      val out = png.clone()
+      val tag = "IDAT".getBytes("US-ASCII")
+      val at = out.indices.find(i => i + 4 <= out.length &&
+        out(i) == tag(0) && out(i + 1) == tag(1) &&
+        out(i + 2) == tag(2) && out(i + 3) == tag(3)).get
+      (at + 4 until math.min(at + 12, out.length)).foreach(i =>
+        out(i) = (out(i) ^ 0xff).toByte)
+      out
+    }
+    def rec(id: Long) = MediaRecord(id, "image",
+      Array.emptyByteArray, corrupt(Multimodal.ImageSynth.png(id)))
+    // unsampled: header-only pass survives the corrupt raster
+    val ok = Multimodal.extractFeatures(Seq(rec(unselected)).toDS(),
+      () => new Multimodal.JdkMediaDecoder).collect()
+    assert(ok.length == 1 && ok(0).width.isDefined)
+    // sampled: the audit's full decode fails loudly with the doc id
+    val e = intercept[Throwable] {
+      Multimodal.extractFeatures(Seq(rec(selected)).toDS(),
+        () => new Multimodal.JdkMediaDecoder).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("undecodable image payload") || msgs.contains("raster audit"),
+      s"expected the raster audit to reject the payload, got: $msgs")
+  }
 }

@@ -40,6 +40,57 @@ class TableLayoutSpec extends SparkSpec {
       plain.orderBy("o_orderstatus").collect().toSeq)
   }
 
+  test("h18 shape on co-bucketed layout: lineitem aggregate AND orders join run exchange-free") {
+    // h18's dominant cost at scale is ONE 60M→15M hash aggregate of
+    // lineitem by l_orderkey plus the join to orders — both keyed on
+    // the order key. On a layout bucketed by that key the aggregate
+    // consumes the scan's bucket partitioning and the join arrives
+    // co-partitioned: ZERO hash exchanges end-to-end. This is the
+    // amortization BucketedLayoutProbe measures at sf10 — the recipe
+    // that retires the "no plan change removes the aggregate shuffle"
+    // exemption at the LAYOUT layer rather than the query layer.
+    Seq("orders_h18b", "lineitem_h18b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    TableLayout.writeBucketed(l, "lineitem_h18b", "l_orderkey", 4)
+    TableLayout.writeBucketed(o, "orders_h18b", "o_orderkey", 4)
+    def h18(li: org.apache.spark.sql.DataFrame, ord: org.apache.spark.sql.DataFrame) =
+      li.groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .join(ord, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+    // broadcast off: the point is bucket CO-LOCATION, not a broadcast
+    // hiding the exchange at toy scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = h18(spark.table("lineitem_h18b"), spark.table("orders_h18b"))
+      bucketed.collect()
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed h18 shape should be exchange-free:\n$plan")
+      // plain layout pays exchanges for the same result
+      val plain = h18(l, o)
+      plain.collect()
+      val plainEx = "Exchange hashpartitioning".r
+        .findAllIn(plain.queryExecution.executedPlan.toString).length
+      assert(plainEx >= 2, s"expected the plain layout to shuffle, got $plainEx")
+      assert(bucketed.orderBy("o_orderkey").collect().toSeq ==
+        plain.orderBy("o_orderkey").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("global-sorted write is range-partitioned: files hold disjoint ordered key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/out"
     val o = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -233,6 +233,42 @@ class TextQueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("batched BPE trainer: batch=1 replays the sequential (oracled) trainer byte-for-byte") {
+    // the batched variant inherits t19's oracle through this pin: at
+    // batch=1 the candidate-pool head IS the sequential argmax, so the
+    // merge tables must be identical on real corpus data
+    val vocab0 = TextQueries.bpeVocab0(spark, sfDir)
+    val seq = TextQueries.bpeTrainMerges(spark, vocab0, steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val b1 = TextQueries.bpeTrainBatched(spark, vocab0, steps = 10, batch = 1)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(seq.toSeq == b1.toSeq,
+      s"batch=1 diverged from the sequential trainer:\n seq=${seq.toSeq}\n b1=${b1.toSeq}")
+  }
+
+  test("batched BPE trainer: within a round, kept pairs are pairwise symbol-disjoint") {
+    // the disjointness rule is what makes within-round batch
+    // application ≡ sequential application (merging (a,b) can only
+    // change counts of pairs sharing a or b) — assert it held on real
+    // corpus data, and that batching actually compressed the rounds
+    val vocab0 = TextQueries.bpeVocab0(spark, sfDir)
+    val merges = TextQueries.bpeTrainBatched(spark, vocab0, steps = 16, batch = 8)
+      .collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+    assert(merges.length == 16, s"expected 16 merges, got ${merges.length}")
+    merges.groupBy(_._1).foreach { case (round, ms) =>
+      // a SELF-pair like (g,g) is one symbol, not a conflict — dedupe
+      // within the pair; cross-pair sharing is what breaks invariance
+      val syms = ms.flatMap(m => Seq(m._2, m._3).distinct)
+      assert(syms.distinct.length == syms.length,
+        s"round $round kept pairs sharing a symbol: ${ms.toSeq}")
+    }
+    val rounds = merges.map(_._1).distinct.length
+    assert(rounds < 16, s"16 merges in $rounds rounds — batching compressed nothing")
+  }
+
   test("t19 loop state is the vocabulary: the corpus is scanned exactly once") {
     // file-scheme bytesRead across the whole training run must stay
     // within ~1.2x of a single corpus pass: iterations read the
