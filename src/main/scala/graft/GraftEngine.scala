@@ -471,6 +471,31 @@ final class GraftEngine(val spark: SparkSession,
     }
   }
 
+  /** Run `query` with the named registered tables temporarily wrapped
+    * in the adaptive scan fan-out ([[graft.queries.Ops.fanScan]]): a
+    * table whose file layout supports fewer scan tasks than half the
+    * session's parallelism resolves, for THIS query only, to a
+    * round-robin-repartitioned read, so expression-heavy map work above
+    * the scan (exact-decimal aggregation) runs wide instead of inside
+    * the single-task scan stage. The returned frame is fully analyzed
+    * before the original views are restored, so the override cannot
+    * leak into other queries; at scale (multi-file layouts) fanScan is
+    * the identity and this is exactly [[sql]]. Measured round 17:
+    * h01 2.07 s → 0.96 s at sf0.1 — but a LOSS for join-shaped
+    * queries, whose own key exchange already parallelizes downstream
+    * work (h03/h05/h08/h09/h18/h21 all regressed under a blanket fan;
+    * plans/r17). Use only for single-table aggregate shapes. */
+  def sqlFanned(query: String, tables: Seq[String]): DataFrame = {
+    val originals = tables.map(n => n -> spark.table(n))
+    originals.foreach { case (n, df) =>
+      queries.Ops.fanScan(df).createOrReplaceTempView(n) }
+    try {
+      val df = spark.sql(query)
+      df.queryExecution.analyzed // force resolution under the override
+      df
+    } finally originals.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
+
   /** Run a TPC-H-suite query by name in this engine's decimal mode
     * ([[GraftConfig.exactDecimal]]): exact-decimal text when true,
     * the production double-sum rewrite when false. */

@@ -20,9 +20,13 @@ object TimeProbe {
     val cpus = args.collectFirst { case a if a.startsWith("--cpus=") => a.drop(7).toInt }.getOrElse(32)
     val passes = args.collectFirst { case a if a.startsWith("--passes=") => a.drop(9).toInt }.getOrElse(2)
     val noCbo = args.contains("--no-cbo")
+    // --set spark.x.y=v : applied to the session before any query runs
+    val confs = args.collect { case a if a.startsWith("--set=") =>
+      val kv = a.drop(6).split("=", 2); (kv(0), kv(1)) }
     val names = args.filterNot(_.startsWith("--")).toSeq
     val spark = GraftEngine.session(GraftConfig(
       master = s"local[$cpus]", appName = "graft-timeprobe", shufflePartitions = cpus))
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
 
     // artifact prep as the bench does (untimed)
     queries.MultimodalQueries.ensureMediaStore(spark, sfDir)
@@ -69,9 +73,13 @@ object TimeProbe {
       q(spark, sfDir).write.format("noop").mode("overwrite").save()
       release()
       (1 to passes).foreach { i =>
+        drainBus()
+        jobs = 0; stages = 0; tasks = 0
         val t0 = System.nanoTime()
         val df = q(spark, sfDir)
         val t1 = System.nanoTime()
+        drainBus()
+        val (bJobs, bStages, bTasks) = (jobs, stages, tasks)
         df.queryExecution.executedPlan // force analysis+optimization+planning
         val t2 = System.nanoTime()
         drainBus()
@@ -83,7 +91,8 @@ object TimeProbe {
         def ms(a: Long, b: Long) = (b - a) / 1e6
         println(f"[timeprobe] $name pass$i total=${ms(t0, t3)}%.0fms " +
           f"build=${ms(t0, t1)}%.0fms plan=${ms(t1, t2)}%.0fms exec=${ms(t2, t3)}%.0fms " +
-          s"jobs=$jobs stages=$stages tasks=$tasks")
+          s"jobs=$jobs stages=$stages tasks=$tasks " +
+          s"buildJobs=$bJobs buildStages=$bStages buildTasks=$bTasks")
       }
     }
     spark.stop()

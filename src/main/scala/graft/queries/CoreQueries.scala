@@ -57,7 +57,7 @@ object CoreQueries {
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .orderSmall("l_returnflag", "l_linestatus")
     }),
 
     // #4 COUNT(DISTINCT) (python_usage.py:231-232)
@@ -65,7 +65,7 @@ object CoreQueries {
       val o = t(s, dir, "orders")
       o.groupBy("o_orderstatus")
         .agg(countDistinct(col("o_custkey")).as("uniq_cust"), count(lit(1)).as("cnt"))
-        .orderBy("o_orderstatus")
+        .orderSmall("o_orderstatus")
     }),
 
     // #5 inner equi-join (reference radix hash join, executor.rs:220-265).
@@ -86,7 +86,7 @@ object CoreQueries {
       val su = t(s, dir, "supplier")
       n.join(su, su("s_nationkey") === n("n_nationkey"), "left")
         .groupBy("n_name").agg(count(col("s_suppkey")).as("supp_cnt"))
-        .orderBy("n_name")
+        .orderSmall("n_name")
     }),
 
     // #6 RIGHT outer join — same semantics written from the other side
@@ -95,7 +95,7 @@ object CoreQueries {
       val su = t(s, dir, "supplier")
       su.join(n, su("s_nationkey") === n("n_nationkey"), "right")
         .groupBy("n_name").agg(count(col("s_suppkey")).as("supp_cnt"))
-        .orderBy("n_name")
+        .orderSmall("n_name")
     }),
 
     // #6 FULL outer join over derived aggregates (+ #13 derived tables)
@@ -147,7 +147,7 @@ object CoreQueries {
         .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
         .groupBy("n_name")
         .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
-        .orderBy("n_name")
+        .orderSmall("n_name")
     }),
 
     // #8 sort-merge join strategy (executor.rs:271-291) — forced via hint
@@ -173,7 +173,7 @@ object CoreQueries {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("cnt"), dsum(col("p_retailprice")).as("sum_price"))
         .filter(col("cnt") > 7)
-        .orderBy("p_brand")),
+        .orderSmall("p_brand")),
 
     // #11 temporal extraction + grouping (python_usage.py:277-284 date_part)
     "q11_date_part" -> ((s, dir) => {
@@ -182,7 +182,7 @@ object CoreQueries {
         year(col("ts")).as("y"), month(col("ts")).as("m"),
         dayofmonth(col("ts")).as("d"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
-        .orderBy("y", "m", "d", "event_type")
+        .orderSmall("y", "m", "d", "event_type")
     }),
 
     // #12 global aggregate, no GROUP BY (rust_usage.rs:162)
@@ -204,7 +204,7 @@ object CoreQueries {
       p.join(broadcast(avgs), p("p_brand") === avgs("b"))
         .filter(p("p_retailprice") > avgs("avg_price"))
         .groupBy("p_brand").agg(count(lit(1)).as("n_above"))
-        .orderBy("p_brand")
+        .orderSmall("p_brand")
     }),
 
     // #14 SQL-string API via GraftEngine (lib.rs execute_query)
@@ -229,7 +229,7 @@ object CoreQueries {
         .withColumn("side", lit("no_f"))
       withF.unionAll(withoutF)
         .groupBy("side", "c_mktsegment").agg(count(lit(1)).as("cnt"))
-        .orderBy("side", "c_mktsegment")
+        .orderSmall("side", "c_mktsegment")
     }),
 
     // string-function surface: LIKE, substring, concat, upper, length
@@ -284,7 +284,7 @@ object CoreQueries {
       lvl0.union(lvl1).union(lvl2)
         .select(col("gflag"), col("gstatus"), col("flag"), col("status"),
           col("dq").cast("double").as("sum_qty"), col("cnt"))
-        .orderBy("gflag", "gstatus", "flag", "status")
+        .orderSmall("gflag", "gstatus", "flag", "status")
     }),
 
     // set operations: INTERSECT / EXCEPT between customer segments
@@ -300,7 +300,7 @@ object CoreQueries {
       both.withColumn("side", lit("both"))
         .unionAll(onlyF.withColumn("side", lit("only_f")))
         .groupBy("side", "c_mktsegment").agg(count(lit(1)).as("cnt"))
-        .orderBy("side", "c_mktsegment")
+        .orderSmall("side", "c_mktsegment")
     }),
 
     // approximate sketches: HyperLogLog++ distinct counts and t-digest-
@@ -341,7 +341,7 @@ object CoreQueries {
             .as("users_ok"),
           (col("lo") <= col("cnt") * 0.51 && col("hi") >= col("cnt") * 0.49)
             .as("median_ok"))
-        .orderBy("event_type")
+        .orderSmall("event_type")
     }),
 
     // extended window-function surface: ntile bucketing, lag/lead
@@ -478,7 +478,7 @@ object CoreQueries {
       side("F").intersectAll(side("O")).withColumn("side", lit("both"))
         .unionAll(side("F").exceptAll(side("O")).withColumn("side", lit("only_f")))
         .groupBy("side", "o_orderpriority").agg(count(lit(1)).as("cnt"))
-        .orderBy("side", "o_orderpriority")
+        .orderSmall("side", "o_orderpriority")
     }),
 
     // pagination: ORDER BY ... LIMIT/OFFSET with a unique-key tiebreak
@@ -516,7 +516,7 @@ object CoreQueries {
       sup.join(ord, "l_returnflag")
         .select(col("l_returnflag"), col("n_suppliers"), col("n_orders"),
           col("n_rows"), col("sum_qty"))
-        .orderBy("l_returnflag")
+        .orderSmall("l_returnflag")
     }),
 
     // explicit NULL ordering: the left join leaves customers without
@@ -626,7 +626,7 @@ object CoreQueries {
           pct(0.25).as("p25"), pct(0.5).as("median"),
           pct(0.75).as("p75"), pct(0.9).as("p90"),
           max(col("n")).as("cnt"))
-        .orderBy("l_returnflag")
+        .orderSmall("l_returnflag")
     }),
 
     // semi-structured JSON column: path extraction + typed aggregation
@@ -642,7 +642,7 @@ object CoreQueries {
           sum(k).as("sum_k"),
           min(k).as("min_k"),
           max(k).as("max_k"))
-        .orderBy("event_type")
+        .orderSmall("event_type")
     }),
 
     // #17 window functions: partitioned row_number + running exact sum
@@ -723,7 +723,7 @@ object CoreQueries {
       round(cov / (sqrt(vx) * sqrt(vy)), 6).as("pearson_r"),
       round(slope, 6).as("slope"),
       round((sy - slope * sx) / n, 6).as("intercept"))
-      .orderBy("l_returnflag")
+      .orderSmall("l_returnflag")
   }
 
   /** Bench hook: q57 in production (double-sum) mode. */

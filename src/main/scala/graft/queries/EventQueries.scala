@@ -29,7 +29,7 @@ object EventQueries {
     "q47_funnel" -> ((s, dir) =>
       EventAnalytics.funnel(events(s, dir), FunnelSteps,
         col("user_id"), col("ts"), col("event_type"))
-        .orderBy("stage")),
+        .orderSmall("stage")),
 
     // q48 weekly cohort retention. Weeks are date_trunc Mondays in both
     // engines, so the day difference is exactly divisible by 7 and the
@@ -39,7 +39,7 @@ object EventQueries {
     // paths.
     "q48_retention" -> ((s, dir) =>
       EventAnalytics.retention(events(s, dir), col("user_id"), col("ts"))
-        .orderBy("cohort_week", "week_offset")),
+        .orderSmall("cohort_week", "week_offset")),
 
     // q49 event-path transitions: the first-order Markov matrix (the
     // Sankey/path-analysis query); event_id breaks same-instant ties
@@ -47,7 +47,7 @@ object EventQueries {
     "q49_transitions" -> ((s, dir) =>
       EventAnalytics.transitions(events(s, dir),
         col("user_id"), col("ts"), col("event_type"), col("event_id"))
-        .orderBy("src", "dst")),
+        .orderSmall("src", "dst")),
 
     // q50 A/B experiment readout: md5-hash arm split, conversion =
     // (>= AbConvThreshold purchases), pooled two-proportion z-test.
@@ -68,13 +68,13 @@ object EventQueries {
       EventAnalytics.attribution(events(s, dir), col("user_id"), col("ts"),
         col("event_type"), col("event_id"), col("value"),
         convertType = "purchase")
-        .orderBy("channel")),
+        .orderSmall("channel")),
 
     // q53 trailing z-score anomaly detection on daily event volumes
     // (7 observed days' lookback, |z| > 3 flags).
     "q53_anomaly" -> ((s, dir) =>
       EventAnalytics.anomalies(events(s, dir), col("event_type"), col("ts"))
-        .orderBy("event_type", "day")),
+        .orderSmall("event_type", "day")),
 
     // q55 time-series resampling: densify the per-type daily series
     // onto the full calendar, LOCF + linear interpolation in the gaps.
@@ -103,7 +103,7 @@ object EventQueries {
     "q59_cohort_ltv" -> ((s, dir) =>
       EventAnalytics.cohortLtv(events(s, dir), col("user_id"), col("ts"),
         col("event_type"), col("value"), revenueType = "purchase")
-        .orderBy("cohort_week", "week_offset")),
+        .orderSmall("cohort_week", "week_offset")),
 
     // q60 daily percentile bands: rank-selected exact p50/p95 of the
     // event value per (type, day) — the latency-dashboard readout.

@@ -55,7 +55,7 @@ object ExtQueries {
       l00.union(l01).union(l10).union(l11)
         .select(col("gtype"), col("gy"), col("etype"), col("y"),
           col("cnt"), col("dv").cast("double").as("sum_value"))
-        .orderBy("gtype", "gy", "etype", "y")
+        .orderSmall("gtype", "gy", "etype", "y")
     }),
 
     // PIVOT: long→wide reshape. The value list is DECLARED, which keeps
@@ -115,7 +115,7 @@ object ExtQueries {
           p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
         .groupBy("band")
         .agg(count(lit(1)).as("cnt"), dsum(col("p_retailprice")).as("sum_price"))
-        .orderBy("band")
+        .orderSmall("band")
     }),
 
     // skew-resistant two-phase (salted) aggregation: a hot grouping key
@@ -137,7 +137,7 @@ object ExtQueries {
         .agg(
           sum(col("psum")).cast("double").as("sum_qty"),
           sum(col("pcnt")).as("cnt"))
-        .orderBy("l_returnflag")
+        .orderSmall("l_returnflag")
     }),
 
     // deterministic stratified hash sampling: keep a row iff the first
@@ -151,7 +151,7 @@ object ExtQueries {
           .isin("0", "1", "2"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_sample"), dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy("o_orderstatus")
+        .orderSmall("o_orderstatus")
     }),
 
     // SCD Type-2 dimension build (graft.operators.Scd): per customer,

@@ -23,6 +23,67 @@ object Ops {
     * `CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(x)`. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Deterministic global sort for a BOUNDED (aggregate-sized) result:
+    * `coalesce(1)` then the same `orderBy`. A single-partition child
+    * already satisfies the sort's required distribution, so the
+    * planner emits a local Sort with NO range exchange and NO
+    * range-partitioner sampling job — measured ~60–150 ms of fixed
+    * per-query cost at sf0.1 (the sampling pass is a whole extra Spark
+    * job), and two fewer plan nodes at every scale. Identical rows,
+    * identical order: only the partitioning of the sort changes.
+    *
+    * Use ONLY where the result stays aggregate-sized at scale (rollups
+    * over bounded key domains, top-k, global summaries): the coalesce
+    * also narrows the FINAL stage to one task, which is exactly right
+    * for a handful of output rows and exactly wrong for corpus-sized
+    * results — those keep the parallel range sort. */
+  /** Adaptive scan fan-out (guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read").
+    *
+    * The driver fixtures are SINGLE-row-group parquet files, which cap
+    * scan parallelism at ONE TASK however many cores the session has —
+    * parquet can only split at row-group boundaries — so every map-side
+    * operation over them (decimal aggregation, regex/text derivation)
+    * runs serial. When the file layout under `df` supports fewer scan
+    * tasks than HALF the cluster's default parallelism, insert a
+    * round-robin repartition to the default parallelism right above the
+    * scan; pushed filters and pruned columns stay at the scan (verified:
+    * PushedFilters/ReadSchema unchanged under the wrap), and everything
+    * above the exchange runs wide. When the layout already provides
+    * enough scan tasks — any real at-scale table, e.g. the GenScale
+    * sf1/sf10 corpora with 32 part files — this is the IDENTITY and no
+    * exchange is added, so plans at scale are untouched: the knob
+    * derives from input layout, never from a local-mode constant.
+    *
+    * Correctness: a round-robin exchange changes only partitioning.
+    * Every value-compared aggregate in the suite is order-independent
+    * by construction (exact DECIMAL sums / counts / min-max — the
+    * cross-engine determinism discipline in the header above), so
+    * results are bit-identical; the full oracle sweep re-certifies. */
+  def fanScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty) return df // in-process frame: no file layout
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    val conf = spark.sessionState.newHadoopConf()
+    val estTasks =
+      try {
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          math.max(1L, (len + maxPB - 1) / maxPB)
+        }.sum
+      } catch { case _: Throwable => return df }
+    if (estTasks < par / 2) df.repartition(par) else df
+  }
+
+  implicit class SmallSortOps(private val df: DataFrame) {
+    def orderSmall(cols: Column*): DataFrame = df.coalesce(1).orderBy(cols: _*)
+    def orderSmall(col1: String, colRest: String*): DataFrame =
+      df.coalesce(1).orderBy(col1, colRest: _*)
+  }
+
   /** SQL-side twins, for building oracle strings. */
   def sqlDsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
   def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT($e))"

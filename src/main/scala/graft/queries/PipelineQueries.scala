@@ -34,7 +34,7 @@ object PipelineQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),
         sum(bpeTokenCount(col("text"))).as("total_tokens"))
-        .orderBy("lang")
+        .orderSmall("lang")
     }),
 
     // p02: the NEAR-dup curation flow — cluster resolution (d06) keeps
@@ -59,7 +59,7 @@ object PipelineQueries {
           count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"),
           sum(bpeTokenCount(col("clean_text"))).as("total_tokens"))
-        .orderBy("lang")
+        .orderSmall("lang")
     }),
 
     // p03: deterministic hash-split — stable train/val/test assignment
@@ -69,7 +69,7 @@ object PipelineQueries {
       graft.operators.Splits.assignSplit(
         t(s, dir, "documents"), col("doc_id"))
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "split")
+        .orderSmall("lang", "split")
     }),
 
     // p04: domain-mixture rebalance — every language downsampled (in
@@ -204,7 +204,7 @@ object PipelineQueries {
   private[graft] def dsirSelect(s: org.apache.spark.sql.SparkSession, dir: String,
       exactDecimal: Boolean): org.apache.spark.sql.DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    val toks = t(s, dir, "documents")
+    val toks = fanScan(t(s, dir, "documents"))
       .select(col("doc_id"), (col("lang") === DsirTargetLang).as("is_target"),
         explode(words(col("text"))).as("word"))
       .withColumn("b",

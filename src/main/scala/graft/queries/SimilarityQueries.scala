@@ -291,14 +291,14 @@ object SimilarityQueries {
     "s01_topk_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, Similarity.defaultQueries(e, NQueries))
-        .orderBy("query_id", "rank")
+        .orderSmall("query_id", "rank")
     }),
 
     // #24 LSH-bucketed approximate top-k (equi-join on sign bucket)
     "s02_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.annTopK(e, Similarity.defaultQueries(e, NQueries))
-        .orderBy("query_id", "rank")
+        .orderSmall("query_id", "rank")
     }),
 
     // s03 IVF-style ANN: data-adaptive cells + nProbe probing (map-side
@@ -306,7 +306,7 @@ object SimilarityQueries {
     "s03_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, Similarity.defaultQueries(e, NQueries))
-        .orderBy("query_id", "rank")
+        .orderSmall("query_id", "rank")
     }),
 
     // s04 IVF ANN with k-means-TRAINED centroids (Lloyd iterations as
@@ -322,7 +322,7 @@ object SimilarityQueries {
       Similarity.ivfTopKWith(Similarity.preparedCorpus(e),
           Similarity.storedKmeansCentroids(e, annIndexPath(dir)),
           Similarity.defaultQueries(e, NQueries))
-        .orderBy("query_id", "rank")
+        .orderSmall("query_id", "rank")
     }),
 
     // s05: corpus cartography over the trained k-means cells — cluster
@@ -341,7 +341,7 @@ object SimilarityQueries {
     // arithmetic keeps the whole quantize→score chain oracle-matched
     "s06_ann_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(t(s, dir, "embeddings"), nQueries = NQueries)
-        .orderBy("query_id", "rank")),
+        .orderSmall("query_id", "rank")),
 
     // s07: incremental admission (§2 #36) — a simulated arrival batch
     // (every 10th vector) assigned to the STORED index map-side:
@@ -368,7 +368,7 @@ object SimilarityQueries {
       val (cbPath, codesPath) = pqIndexPaths(dir)
       val (cbs, codes) = Similarity.storedPqIndex(e, cbPath, codesPath)
       Similarity.pqTopKWith(e, cbs, codes, nQueries = NQueries)
-        .orderBy("query_id", "rank")
+        .orderSmall("query_id", "rank")
     }),
 
     // s10: FILTERED vector search — IVF ANN over the SAME stored
@@ -389,7 +389,7 @@ object SimilarityQueries {
         Similarity.storedKmeansCentroids(e, annIndexPath(dir)),
         Similarity.defaultQueries(e, NQueries),
         nProbe = FilteredNProbe)
-        .orderBy("query_id", "rank")
+        .orderSmall("query_id", "rank")
     }),
 
     // s08: hybrid lexical+vector retrieval with reciprocal-rank fusion

@@ -16,13 +16,13 @@ object StreamingQueries {
     // #30 watermark + event-time windowed aggregation (batch equivalent)
     "q30_stream_batch" -> ((s, dir) =>
       EventStreams.windowedCounts(events(s, dir))
-        .orderBy("w_start", "event_type")),
+        .orderSmall("w_start", "event_type")),
 
     // q45 windowed top-k "trending" (batch form; the stream applies the
     // same ranking in foreachBatch over closed windows — StreamingSpec)
     "q45_trending" -> ((s, dir) =>
       EventStreams.trending(events(s, dir))
-        .orderBy("w_start", "rank")),
+        .orderSmall("w_start", "rank")),
 
     // #31 gap-based sessionization (batch-equivalent window/lag form)
     "q31_session_batch" -> ((s, dir) =>
@@ -64,7 +64,7 @@ object StreamingQueries {
     // dimension — see EventStreams.enrichedCounts + StreamingSpec)
     "q36_stream_enrich" -> ((s, dir) =>
       EventStreams.enrichedCounts(events(s, dir), t(s, dir, "customer"))
-        .orderBy("c_mktsegment", "event_type")))
+        .orderSmall("c_mktsegment", "event_type")))
 
   val oracles: Map[String, String] = Map(
     "q30_stream_batch" ->

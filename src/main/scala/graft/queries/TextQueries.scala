@@ -651,7 +651,14 @@ object TextQueries {
     * discipline); per round one vocabulary-sized aggregate + a 1-row
     * argmax collect. The corpus is touched exactly once, by the
     * vocab build in [[bpeTrain]].
-    */
+    *
+    * Round-17: the per-round checkpoint is LAZY (`localCheckpoint(
+    * eager = false)`) — round k's own argmax job materializes it, so a
+    * round costs ONE Spark job instead of two (measured 64 ms fixed
+    * overhead per job at sf0.1; the eager form spent half the
+    * trainer's wall time on checkpoint-only jobs). Same lineage
+    * truncation, same state, same merges — an eager checkpoint just
+    * pays a dedicated job for what the next aggregate does anyway. */
   def bpeTrainMerges(s: SparkSession, vocab0: DataFrame,
                      steps: Int): DataFrame =
     bpeTrainLoop(s, vocab0, steps)._1
@@ -672,31 +679,70 @@ object TextQueries {
     var k = 1
     var dry = false
     while (k <= steps && !dry) {
-      val top = vocab
-        .select(col("c"),
-          split(expr("substring(repr, 2, length(repr) - 2)"), "\\)\\(").as("s"))
-        // single-symbol words carry no pairs; they must ALSO be dropped
-        // before the transform — Spark's sequence(1, 0) is a DESCENDING
-        // [1, 0], so the lambda would index past the array, not skip it
-        .filter(size(col("s")) >= 2)
-        .select(col("c"), explode(expr(
-          "transform(sequence(1, size(s) - 1), " +
-            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) dry = true // every word fused to one symbol
-      else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((k, a, b, cnt))
-        vocab = vocab.withColumn("repr",
-          regexp_replace(col("repr"), s"\\($a\\)\\($b\\)", s"($a$b)"))
-          .localCheckpoint()
-        k += 1
+      topPairs(vocab, 1).headOption match {
+        case None => dry = true // every word fused to one symbol
+        case Some((a, b, cnt)) =>
+          merges += ((k, a, b, cnt))
+          vocab = vocab.withColumn("repr",
+            regexp_replace(col("repr"), s"\\($a\\)\\($b\\)", s"($a$b)"))
+            .localCheckpoint(eager = false)
+          k += 1
       }
     }
     (merges.result().toDF("step", "merge_a", "merge_b", "pair_count"), vocab)
+  }
+
+  /** Top-`n` adjacent-symbol pairs of a (c, repr) vocabulary by
+    * (count DESC, a ASC, b ASC) — the per-round argmax of both trainer
+    * loops, as ONE Spark job.
+    *
+    * Round-17: this was a groupBy(a, b) + orderBy + limit DataFrame
+    * aggregate — semantically identical, but under AQE it executes as
+    * TWO stage-jobs per round (shuffle-map, then TakeOrdered), and at
+    * the fixed ~60 ms/job driver overhead the 10-round trainer spent
+    * more time scheduling than counting (measured: 22 jobs, ~1.4 s at
+    * sf0.1, pair counting itself ~5 ms/round). Per-partition hash maps
+    * merged with `reduce` produce the SAME exact counts and the same
+    * total-order tie-break in a single job per round. Memory shape:
+    * one (pair → count) entry per DISTINCT adjacent pair — bounded by
+    * the summed symbol length of the vocabulary, the same bound the
+    * shuffle form's hash aggregate carries; merge maps live one (plus
+    * one incoming) at a time on the driver. A trainer at production
+    * merge budgets uses [[bpeTrainBatched]] either way (VERDICT r16
+    * item 5), which amortizes the per-round cost over `batch` merges. */
+  private def topPairs(vocab: DataFrame, n: Int): Seq[(String, String, Long)] = {
+    def mergeInto(m1: scala.collection.mutable.HashMap[String, Long],
+        m2: scala.collection.mutable.HashMap[String, Long]) = {
+      val (into, from) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
+      from.foreach { case (k, v) => into.update(k, into.getOrElse(k, 0L) + v) }
+      into
+    }
+    val total = vocab.select(col("c"), col("repr")).rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { r =>
+        val c = r.getLong(0)
+        val repr = r.getString(1)
+        // symbols of "(s1)(s2)...(sn)": split the delimiter-stripped
+        // body on ")(" — the same parse the SQL form used
+        val syms = repr.substring(1, repr.length - 1).split("\\)\\(")
+        var i = 0
+        while (i < syms.length - 1) {
+          // alnum-only symbols can never contain ')', so ")(" is an
+          // unambiguous, collision-free pair-key separator
+          val key = syms(i) + ")(" + syms(i + 1)
+          m.update(key, m.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      Iterator.single(m)
+    }.reduce(mergeInto)
+    val ord = Ordering.by[(String, String, Long), (Long, String, String)] {
+      case (a, b, cnt) => (-cnt, a, b)
+    }
+    total.iterator.map { case (key, cnt) =>
+      val Array(a, b) = key.split("\\)\\(", 2)
+      (a, b, cnt)
+    }.toSeq.sorted(ord).take(n)
   }
 
   /** BATCHED merge training — the production-merge-budget form of
@@ -749,26 +795,15 @@ object TextQueries {
     var dry = false
     while (k <= steps && !dry) {
       val want = math.min(batch, steps - k + 1)
-      val pool = vocab
-        .select(col("c"),
-          split(expr("substring(repr, 2, length(repr) - 2)"), "\\)\\(").as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("c"), explode(expr(
-          "transform(sequence(1, size(s) - 1), " +
-            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(4 * batch).collect()
+      val pool = topPairs(vocab, 4 * batch)
       if (pool.isEmpty) dry = true
       else {
         val kept = Seq.newBuilder[(String, String, Long)]
         val used = scala.collection.mutable.Set[String]()
         var n = 0
-        pool.iterator.takeWhile(_ => n < want).foreach { r =>
-          val (a, b) = (r.getString(0), r.getString(1))
+        pool.iterator.takeWhile(_ => n < want).foreach { case (a, b, cnt) =>
           if (!used(a) && !used(b)) {
-            kept += ((a, b, r.getLong(2)))
+            kept += ((a, b, cnt))
             used += a; used += b
             n += 1
           }
@@ -781,7 +816,7 @@ object TextQueries {
         val repr = batchKept.foldLeft(col("repr")) { case (c, (a, b, _)) =>
           regexp_replace(c, s"\\($a\\)\\($b\\)", s"($a$b)")
         }
-        vocab = vocab.withColumn("repr", repr).localCheckpoint()
+        vocab = vocab.withColumn("repr", repr).localCheckpoint(eager = false)
         round += 1
       }
     }

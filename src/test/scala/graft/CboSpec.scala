@@ -226,7 +226,11 @@ class CboSpec extends SparkSpec {
         .groupBy("n_name")
         .agg(Ops.dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount")))
           .as("revenue"))
-        .orderBy("n_name")
+        // q07's final sort is Ops.orderSmall since round 17 (bounded
+        // result: one row per nation) — the variant must share the
+        // coalesce(1) shape or the canonical compare fails on the
+        // Repartition node alone
+        .coalesce(1).orderBy("n_name")
       val goodPlan = good.queryExecution.optimizedPlan.canonicalized.toString
       val badPlan = bad.queryExecution.optimizedPlan.canonicalized.toString
       assert(goodPlan == badPlan,
