@@ -583,7 +583,7 @@ object CoreQueries {
       // that must not be re-read 4× at 100 TB.
       val hist = l.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by the first consumer
       // value-range blocks from the global price envelope (one tiny agg,
       // broadcast): block index is monotone in v, so per-block prefix
       // sums compose into the global order

@@ -396,7 +396,7 @@ object DedupQueries {
     "d13_bloom_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.bloomDecontaminate(
-        corpus = docs.filter(col("doc_id") >= BenchmarkDocs),
+        corpus = fanScan(docs.filter(col("doc_id") >= BenchmarkDocs)),
         benchmark = docs.filter(col("doc_id") < BenchmarkDocs))
         .orderBy("doc_id")
     }),
@@ -406,7 +406,7 @@ object DedupQueries {
     // still match after insertions/deletions; report every chunk seen
     // in ≥ 2 docs. Chunking is map-side; one shuffle on chunk content.
     "d14_cdc_dedup" -> ((s, dir) =>
-      Dedup.cdcChunkDups(t(s, dir, "documents")).orderBy("chunk")),
+      Dedup.cdcChunkDups(fanScan(t(s, dir, "documents"))).orderBy("chunk")),
 
     // d15: fuzzy entity resolution — a deterministically corrupted copy
     // of part names (one md5-positioned char deleted, prefix preserved)

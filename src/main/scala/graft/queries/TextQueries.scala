@@ -234,7 +234,7 @@ object TextQueries {
     // (zero joins, no model shuffle); the only shuffle is the per-doc
     // aggregate. Inference over 100 TB is embarrassingly parallel.
     "t15_classifier" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      val toks = fanScan(t(s, dir, "documents"))
         .select(col("doc_id"), explode(words(col("text"))).as("word"))
       val b = conv(substring(md5(concat(lit("clf|"), col("word"))), 1, 4), 16, 10)
         .cast("long") % ClfBuckets
