@@ -46,8 +46,11 @@ object CoreQueries {
     }),
 
     // #3 grouped aggregation, TPC-H Q1 shape (executor.rs:297-355)
+    // scan fan-out: three exact-decimal sum chains per row above a
+    // serial single-file scan (ABBA A/B min 0.66 -> 0.58 s, fan ≤ base
+    // in 5 of 6 interleaved pairs — the h01/q57 shape, smaller margin)
     "q03_agg" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      val l = fanScan(t(s, dir, "lineitem"))
       l.filter(l("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -694,7 +697,13 @@ object CoreQueries {
     // operand to avoid its int64 multiply overflow)
     val d19 = DecimalType(19, 4)
     val d18 = DecimalType(18, 4)
-    val l = t(s, dir, "lineitem")
+    // exact mode: three DECIMAL(38)-product updates per row dominate a
+    // serial scan stage — the h01 shape, so the same adaptive fan-out
+    // (ABBA-interleaved A/B at sf0.1: 1.18 -> 0.82 s min, fan faster in
+    // all 6 pairs; plans/r17/fan_ab.txt). Production double sums are
+    // lighter than the round-robin shuffle they'd buy — kept serial.
+    val l0 = t(s, dir, "lineitem")
+    val l = if (exactDecimal) fanScan(l0) else l0
     val g =
       if (exactDecimal)
         l.groupBy(col("l_returnflag")).agg(

@@ -46,7 +46,10 @@ object PipelineQueries {
     // map-side until the final partial-aggregated groupBy(lang).
     "p02_neardup_prep" -> ((s, dir) => {
       implicit val spark = s
-      val docs = t(s, dir, "documents")
+      // fan the survivor redact/count chain (regex-heavy per row;
+      // ABBA A/B at sf0.1: fan faster in 5 of 6 interleaved pairs,
+      // min 1.06 -> 0.93 s); the cluster-index read stays unfanned
+      val docs = fanScan(t(s, dir, "documents"))
       val kept = graft.operators.Dedup
         .storedClusters(docs, DedupQueries.clusterIndexPath(dir))
         .filter(col("is_kept") === 1).select("doc_id")

@@ -563,7 +563,10 @@ object TextQueries {
   private[graft] def bigramPpl(s: SparkSession, dir: String,
       exactDecimal: Boolean): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
-    val docsW = t(s, dir, "documents").select(col("doc_id"), words(col("text")).as("w"))
+    // scan fan-out for the bigram explode chain (ABBA A/B at sf0.1:
+    // min 1.10 -> 0.92 s, fan faster in all 6 interleaved pairs)
+    val docsW = fanScan(t(s, dir, "documents"))
+      .select(col("doc_id"), words(col("text")).as("w"))
     val bi = docsW.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("w")) - 2),
         i => struct(element_at(col("w"), i + 1).as("w1"),
