@@ -159,6 +159,53 @@ object OptProbe {
     }
     abba("d17", d17)
 
+    def d15(fan: Boolean): org.apache.spark.sql.DataFrame = {
+      val p0 = queries.Ops.t(spark, sfDir, "part")
+      val p = if (fan) queries.Ops.fanScan(p0) else p0
+      val dirty = p.select(col("p_partkey"),
+        graft.operators.Resolve
+          .deleteOneChar(col("p_name"), "fz", col("p_partkey")).as("dirty_name"))
+      graft.operators.Resolve
+        .resolve(dirty, p0, "p_partkey", "dirty_name", "p_name")
+        .orderBy("p_partkey")
+    }
+    abba("d15", d15)
+    def s06(fan: Boolean): org.apache.spark.sql.DataFrame = {
+      val e0 = queries.Ops.t(spark, sfDir, "embeddings")
+      val e = if (fan) queries.Ops.fanScan(e0) else e0
+      graft.operators.Similarity.quantizedTopK(e, nQueries = 5)
+        .coalesce(1).orderBy("query_id", "rank")
+    }
+    abba("s06", s06)
+    def d05(fan: Boolean): org.apache.spark.sql.DataFrame = {
+      val e0 = queries.Ops.t(spark, sfDir, "embeddings")
+      val e = if (fan) queries.Ops.fanScan(e0) else e0
+      graft.operators.Dedup.embeddingCosinePairs(e).orderBy("vec_a", "vec_b")
+    }
+    abba("d05", d05)
+
+    def s09(fan: Boolean): org.apache.spark.sql.DataFrame = {
+      implicit val sp = spark
+      val e = queries.Ops.t(spark, sfDir, "embeddings")
+      val (cbPath, codesPath) = queries.SimilarityQueries.pqIndexPaths(sfDir)
+      val (cbs, codes0) = graft.operators.Similarity.storedPqIndex(e, cbPath, codesPath)
+      val codes = if (fan) queries.Ops.fanScan(codes0) else codes0
+      graft.operators.Similarity.pqTopKWith(e, cbs, codes, nQueries = 5)
+        .coalesce(1).orderBy("query_id", "rank")
+    }
+    abba("s09", s09)
+    def s04(fan: Boolean): org.apache.spark.sql.DataFrame = {
+      implicit val sp = spark
+      val e = queries.Ops.t(spark, sfDir, "embeddings")
+      val corp = if (fan) graft.operators.Similarity.preparedCorpus(queries.Ops.fanScan(e))
+                 else graft.operators.Similarity.preparedCorpus(e)
+      graft.operators.Similarity.ivfTopKWith(corp,
+          graft.operators.Similarity.storedKmeansCentroids(e, queries.SimilarityQueries.annIndexPath(sfDir)),
+          graft.operators.Similarity.defaultQueries(e, 5))
+        .coalesce(1).orderBy("query_id", "rank")
+    }
+    abba("s04", s04)
+
     noop(q57(fan = false)); noop(q57(fan = true)) // warm both
     val a = collection.mutable.Buffer[Double]()
     val b = collection.mutable.Buffer[Double]()

@@ -288,7 +288,8 @@ object DedupQueries {
 
     // #22 embedding-cosine near-dup via sign-LSH buckets
     "d05_dedup_embcos" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(t(s, dir, "embeddings")).orderBy("vec_a", "vec_b")),
+      Dedup.embeddingCosinePairs(fanScan(t(s, dir, "embeddings")))
+        .orderBy("vec_a", "vec_b")),
 
     // d17: C4-style segment dedup — the corpus REWRITE operator (every
     // repeated fixed-width segment keeps only its first occurrence)

@@ -287,16 +287,23 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // Embedding-math fan-outs (round 17): per-row vector arithmetic
+    // (dot products, sign hashes, int8 scoring) above a serial
+    // single-file scan is the strongest fanScan shape measured — ABBA
+    // A/B at sf0.1: s06 0.57 -> 0.25 s, d05 0.53 -> 0.30 s, every
+    // interleaved pair faster. Applied to the raw-embeddings operators
+    // (s01/s02/s03/s05/s06, d05); the query-side frames stay broadcast.
+
     // #23 exact brute-force cosine top-k (query side broadcast)
     "s01_topk_cosine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = fanScan(t(s, dir, "embeddings"))
       Similarity.bruteForceTopK(e, Similarity.defaultQueries(e, NQueries))
         .orderSmall("query_id", "rank")
     }),
 
     // #24 LSH-bucketed approximate top-k (equi-join on sign bucket)
     "s02_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = fanScan(t(s, dir, "embeddings"))
       Similarity.annTopK(e, Similarity.defaultQueries(e, NQueries))
         .orderSmall("query_id", "rank")
     }),
@@ -304,7 +311,7 @@ object SimilarityQueries {
     // s03 IVF-style ANN: data-adaptive cells + nProbe probing (map-side
     // cell assignment; candidate join is an equi-join on the cell id)
     "s03_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = fanScan(t(s, dir, "embeddings"))
       Similarity.ivfTopK(e, Similarity.defaultQueries(e, NQueries))
         .orderSmall("query_id", "rank")
     }),
@@ -319,7 +326,7 @@ object SimilarityQueries {
     "s04_ann_kmeans" -> ((s, dir) => {
       implicit val spark = s
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopKWith(Similarity.preparedCorpus(e),
+      Similarity.ivfTopKWith(Similarity.preparedCorpus(fanScan(e)),
           Similarity.storedKmeansCentroids(e, annIndexPath(dir)),
           Similarity.defaultQueries(e, NQueries))
         .orderSmall("query_id", "rank")
@@ -332,7 +339,8 @@ object SimilarityQueries {
     "s05_cluster_stats" -> ((s, dir) => {
       implicit val spark = s
       val e = t(s, dir, "embeddings")
-      Similarity.clusterStatsWith(e,
+      val ef = fanScan(e)
+      Similarity.clusterStatsWith(ef,
         Similarity.storedKmeansCentroids(e, annIndexPath(dir))).orderBy("cell")
     }),
 
@@ -340,7 +348,7 @@ object SimilarityQueries {
     // vector representation a 10⁹-vector scan runs on; integer-exact
     // arithmetic keeps the whole quantize→score chain oracle-matched
     "s06_ann_quantized" -> ((s, dir) =>
-      Similarity.quantizedTopK(t(s, dir, "embeddings"), nQueries = NQueries)
+      Similarity.quantizedTopK(fanScan(t(s, dir, "embeddings")), nQueries = NQueries)
         .orderSmall("query_id", "rank")),
 
     // s07: incremental admission (§2 #36) — a simulated arrival batch
@@ -385,7 +393,7 @@ object SimilarityQueries {
       import org.apache.spark.sql.functions.col
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopKWith(
-        Similarity.preparedCorpus(e.filter(col("label") === FilteredLabel)),
+        Similarity.preparedCorpus(fanScan(e.filter(col("label") === FilteredLabel))),
         Similarity.storedKmeansCentroids(e, annIndexPath(dir)),
         Similarity.defaultQueries(e, NQueries),
         nProbe = FilteredNProbe)
